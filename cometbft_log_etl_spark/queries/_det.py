@@ -1,0 +1,57 @@
+"""Determinism helpers shared by the query catalog.
+
+Cross-engine (Spark vs DuckDB) bit-exact aggregation rules:
+
+- ``dsum``: sum through DECIMAL — decimal addition is exact and
+  associative, so partitioned/partial aggregation order cannot change the
+  result; final CAST to DOUBLE is a single deterministic rounding.
+- ``dmean``: exact decimal sum divided by the count as one double
+  division (both engines evaluate IEEE-754 identically).
+- per-row arithmetic stays in DOUBLE (deterministic per-row), and is cast
+  to DECIMAL *before* any aggregation.
+
+CAUTION — double→decimal casts: Spark routes them through the double's
+*shortest string representation* (``BigDecimal.valueOf``); DuckDB rounds
+the exact binary value. For doubles that are near-exact short decimals
+(parquet money values, products of 2-dec values) both agree; for
+arbitrary full-precision doubles (sqrt/division results) they can differ
+in the last decimal. Round such doubles (e.g. ``round(x, 9)``) before any
+decimal cast so the cast is unambiguous in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Wide enough for sf=1000-scale sums; parquet doubles carry ≤ 6 fractional
+# digits in this corpus so scale 6 is lossless per-row.
+DEC = "decimal(28,6)"
+
+
+def dec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col, alias: str) -> Column:
+    """Exact sum of a double column (through decimal), output DOUBLE."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def dmean(col, alias: str) -> Column:
+    """Deterministic mean: exact decimal sum ÷ count, as one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
+
+
+# SQL-side (DuckDB) mirrors — keep these textually in sync with the above.
+SQL_DEC = "DECIMAL(28,6)"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE)"
+
+
+def sql_dmean(expr: str) -> str:
+    return f"(CAST(sum(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE) / count({expr}))"

@@ -1,0 +1,346 @@
+"""Training-data pipeline operators over `documents` / `embeddings`:
+deduplication, text analysis, and embedding similarity search.
+
+These go beyond the reference's own surface (BASELINE.json north star):
+the operators a 100 TB LLM-data pipeline needs, built Spark-first.
+Determinism rules as in queries/_det.py; the portable cross-engine hash
+is the md5-hex-prefix integer (see q42_hash_codecs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+
+# Portable 32-bit-ish hash: int(md5(s)[:8], 16). Identical in Spark
+# (conv) and DuckDB (0x-prefix cast); used as the MinHash base hash.
+def _h32(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+_SQL_H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "q50_exact_dedup",
+    tags=("datapipe", "dedup"),
+    oracle="""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies,
+       min(n_chars) AS n_chars
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    At 100 TB this is a single shuffle on the hash; the md5 is computed
+    map-side so the shuffle key is 32 bytes, not the document text.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+@register(
+    "q51_fingerprint_dedup",
+    tags=("datapipe", "dedup"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       max(doc_id) AS max_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+)
+def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint near-dup clustering: hash of the first 5 tokens
+    (a cheap document fingerprint), keep clusters with >1 member."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).cast("binary"))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "q52_token_stats",
+    tags=("datapipe", "text"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stopwords
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       CAST(sum(n_stopwords) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stopword_ratio
+FROM tok
+GROUP BY lang
+""",
+)
+def q52_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword-ratio quality signal per language."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok = docs.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stopwords"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_stopwords").cast("double") / F.sum("n_tokens").cast("double")).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q53_quality_score",
+    tags=("datapipe", "text"),
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_uniq_tokens,
+       CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+       CASE WHEN n_tokens < 30 THEN 'short'
+            WHEN CAST(n_uniq_tokens AS DOUBLE) / n_tokens < 0.35 THEN 'repetitive'
+            ELSE 'ok' END AS quality_band
+FROM feat
+""",
+)
+def q53_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, lexical diversity, band."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
+    uniq_ratio = F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        uniq_ratio.alias("uniq_ratio"),
+        F.when(F.col("n_tokens") < 30, "short")
+        .when(uniq_ratio < 0.35, "repetitive")
+        .otherwise("ok")
+        .alias("quality_band"),
+    )
+
+
+@register(
+    "q54_lang_confusion",
+    tags=("datapipe", "text", "langid"),
+    oracle="""
+WITH pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN contains(text, ' the ') AND contains(text, ' a ') THEN 'en'
+              WHEN contains(text, 'vector') THEN 'tech'
+              ELSE 'other' END AS predicted
+  FROM documents
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM pred
+GROUP BY lang, predicted
+""",
+)
+def q54_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (token-presence n-gram heuristic) scored as a
+    confusion matrix against the labeled `lang` column."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    predicted = (
+        F.when(F.contains("text", F.lit(" the ")) & F.contains("text", F.lit(" a ")), "en")
+        .when(F.contains("text", F.lit("vector")), "tech")
+        .otherwise("other")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _exploded_embeddings(spark: SparkSession, sf_dir: str, id_alias: str, filter_expr=None) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    if filter_expr is not None:
+        emb = emb.filter(filter_expr)
+    return emb.select(
+        F.col("vec_id").alias(id_alias), F.posexplode("embedding").alias("pos", "x")
+    ).select(id_alias, "pos", F.col("x").cast("double").alias("x"))
+
+
+# DuckDB: unnest(generate_series(...)) in the SELECT list expands rows
+# (lateral generate_series over a column is not supported).
+_SQL_EXPLODE = """
+  SELECT {id_alias}, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id AS {id_alias}, embedding AS emb,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+    {where}
+  )
+"""
+
+
+@register(
+    "q59_cosine_topk",
+    headline=True,
+    tags=("datapipe", "similarity"),
+    oracle=f"""
+WITH probe AS ({_SQL_EXPLODE.format(id_alias="probe_id", where="WHERE vec_id < 5")}),
+cand AS ({_SQL_EXPLODE.format(id_alias="cand_id", where="")}),
+dots AS (
+  SELECT p.probe_id, c.cand_id,
+         CAST(sum(CAST(p.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM probe p JOIN cand c ON p.pos = c.pos
+  WHERE p.probe_id <> c.cand_id
+  GROUP BY p.probe_id, c.cand_id
+),
+norms AS (
+  SELECT cand_id AS vec_id,
+         sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM cand GROUP BY cand_id
+),
+scored AS (
+  SELECT d.probe_id, d.cand_id,
+         d.dot / (np.nrm * nc.nrm) AS cosine
+  FROM dots d
+  JOIN norms np ON np.vec_id = d.probe_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+)
+SELECT probe_id, cand_id, round(cosine, 9) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+""",
+)
+def q59_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline.
+
+    The dot product is computed as an exploded position-join + exact
+    decimal sum (order-independent, so the shuffled aggregation is
+    bit-stable); at scale the probe side is small → broadcast, and the
+    candidate side streams. The LSH-bucketed scale path lives in
+    datapipe/similarity.py.
+    """
+    tune_session(spark)
+    probe = _exploded_embeddings(spark, sf_dir, "probe_id", F.col("vec_id") < 5)
+    cand = _exploded_embeddings(spark, sf_dir, "cand_id")
+    prod = F.col("p.x") * F.col("c.x")
+    dots = (
+        F.broadcast(probe.alias("p"))
+        .join(cand.alias("c"), F.col("p.pos") == F.col("c.pos"))
+        .filter(F.col("p.probe_id") != F.col("c.cand_id"))
+        .groupBy("p.probe_id", "c.cand_id")
+        .agg(F.sum(prod.cast("decimal(28,12)")).cast("double").alias("dot"))
+    )
+    norms = cand.groupBy("cand_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
+    ).withColumnRenamed("cand_id", "vec_id")
+    scored = (
+        dots.join(F.broadcast(norms).alias("np"), F.col("np.vec_id") == F.col("probe_id"))
+        .join(F.broadcast(norms).alias("nc"), F.col("nc.vec_id") == F.col("cand_id"))
+        .select("probe_id", "cand_id", (F.col("dot") / (F.col("np.nrm") * F.col("nc.nrm"))).alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "cand_id"))
+    )
+    return ranked.filter(F.col("rank") <= 10).select(
+        "probe_id", "cand_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "q60_embedding_stats",
+    tags=("datapipe", "similarity"),
+    oracle=f"""
+WITH elems AS ({_SQL_EXPLODE.format(id_alias="vec_id", where="")}),
+norms AS (
+  SELECT e.vec_id,
+         sqrt(CAST(sum(CAST(e.x * e.x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm,
+         count(*) AS dim
+  FROM elems e GROUP BY e.vec_id
+)
+SELECT emb.label,
+       count(*) AS n_vecs,
+       min(n.dim) AS min_dim, max(n.dim) AS max_dim,
+       CAST(sum(CAST(round(n.nrm, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_norm
+FROM embeddings emb JOIN norms n ON emb.vec_id = n.vec_id
+GROUP BY emb.label
+""",
+)
+def q60_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding health stats (dimension check + mean L2 norm)."""
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    elems = _exploded_embeddings(spark, sf_dir, "vec_id")
+    norms = elems.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm"),
+        F.count(F.lit(1)).alias("dim"),
+    )
+    return (
+        emb.join(norms, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("min_dim"),
+            F.max("dim").alias("max_dim"),
+            # Post-sqrt doubles are rounded to 9 decimals before the decimal
+            # cast: Spark casts double→decimal via the shortest string repr
+            # while DuckDB rounds the exact binary value, so an arbitrary
+            # 17-digit double can round differently at scale 12.
+            (F.sum(F.round("nrm", 9).cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_norm"
+            ),
+        )
+    )

@@ -1,0 +1,497 @@
+"""Event-stream analytics: the reference's plugin operators (SURVEY.md
+§2.6, P1-P9) recast on the driver's `events` table so each is
+oracle-checkable. `event_type` stands in for the message kind, `user_id`
+for the node/peer key, `ts` for the event timestamp.
+
+Determinism: latencies/durations are integer epoch-microsecond
+arithmetic; quantile thresholds are positional (row_number vs ceil(p*n))
+over integer cents, never float interpolation — see queries/_det.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+from ._det import dsum, sql_dsum
+
+# Shared CTE text for FIFO send/receive pairing (q21/q22 oracles).
+_FIFO_CTES = """
+WITH sends AS (
+  SELECT user_id, ts AS send_ts, event_id AS send_event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS match_seq
+  FROM events WHERE event_type = 'click'
+), recvs AS (
+  SELECT user_id, ts AS recv_ts, event_id AS recv_event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS match_seq
+  FROM events WHERE event_type = 'view'
+)
+"""
+
+
+def _fifo_sides(spark: SparkSession, sf_dir: str):
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def side(kind: str, prefix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .withColumn("match_seq", F.row_number().over(w))
+            .select(
+                "user_id",
+                "match_seq",
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_event_id"),
+            )
+        )
+
+    return side("click", "send"), side("view", "recv")
+
+
+@register(
+    "q20_event_type_filter",
+    tags=("filter",),
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('purchase', 'signup', 'error')
+""",
+)
+def q20_event_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-set filter — consensus-steps plugin P4 (keep 11 of 30 event
+    types, /root/reference/ossplugins/consensus-steps/processor.go:21-65)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("purchase", "signup", "error")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "q21_fifo_pairing",
+    headline=True,
+    tags=("join", "window", "fifo"),
+    oracle=_FIFO_CTES
+    + """
+SELECT s.user_id, s.match_seq, s.send_event_id, r.recv_event_id,
+       epoch_us(r.recv_ts) - epoch_us(s.send_ts) AS latency_us
+FROM sends s JOIN recvs r USING (user_id, match_seq)
+""",
+)
+def q21_fifo_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO multi-match of a send stream vs a receive stream.
+
+    This is the network-latency plugin's pairing core (P7a,
+    /root/reference/ossplugins/network-latency/processor.go:122-292):
+    oldest pending send matches first. In batch that is row_number() per
+    key on each side + equi-join on (key, seq) — order-of-arrival
+    tolerance is free because the join is symmetric.
+    """
+    tune_session(spark)
+    sends, recvs = _fifo_sides(spark, sf_dir)
+    return sends.join(recvs, ["user_id", "match_seq"]).select(
+        "user_id",
+        "match_seq",
+        "send_event_id",
+        "recv_event_id",
+        (F.unix_micros("recv_ts") - F.unix_micros("send_ts")).alias("latency_us"),
+    )
+
+
+@register(
+    "q22_unmatched_sends",
+    tags=("join", "anti", "fifo"),
+    oracle=_FIFO_CTES
+    + """
+SELECT s.user_id, count(*) AS n_unmatched_sends, min(s.send_event_id) AS first_unmatched_event_id
+FROM sends s
+WHERE NOT EXISTS (
+  SELECT 1 FROM recvs r
+  WHERE r.user_id = s.user_id AND r.match_seq = s.match_seq
+)
+GROUP BY s.user_id
+""",
+)
+def q22_unmatched_sends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched-pending stats — P7's end-of-input unmatched sends
+    (/root/reference/ossplugins/network-latency/processor.go:449-497) as a
+    left-anti join on the FIFO key."""
+    tune_session(spark)
+    sends, recvs = _fifo_sides(spark, sf_dir)
+    return (
+        sends.join(recvs.select("user_id", "match_seq"), ["user_id", "match_seq"], "left_anti")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unmatched_sends"),
+            F.min("send_event_id").alias("first_unmatched_event_id"),
+        )
+    )
+
+
+@register(
+    "q23_sessionization",
+    headline=True,
+    tags=("window", "session"),
+    oracle="""
+WITH laged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                OR event_id - prev_event_id > 50
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM laged
+), sessioned AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sessioned
+GROUP BY user_id, session_id
+HAVING count(*) >= 3
+""",
+)
+def q23_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-gap sessionization with a min-size filter.
+
+    Mirrors timeout-cluster detection (P8c, /root/reference/ossplugins/
+    timeout-analysis/processor.go:180-199): a new cluster starts when the
+    time gap exceeds a bound OR the sequence gap exceeds a bound, and only
+    clusters with ≥3 members are kept. Built with lag + cumulative sum —
+    built-in session_window can't express the dual condition.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+    seq_gap = F.col("event_id") - F.lag("event_id").over(order)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(order).isNull() | (gap_us > 1_800_000_000) | (seq_gap > 50),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+
+
+@register(
+    "q24_step_durations",
+    tags=("window", "lag"),
+    oracle="""
+WITH nexted AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type AS step_from, next_type AS step_to,
+       count(*) AS n_transitions,
+       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+       CAST(sum(gap_us) AS DOUBLE) / count(*) AS avg_gap_us
+FROM nexted
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def q24_step_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-step durations — consensus-timing's pairwise step
+    deltas (P5, /root/reference/ossplugins/consensus-timing/
+    processor.go:108-130) via lead() then grouped stats."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nexted = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(order).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        nexted.groupBy(
+            F.col("event_type").alias("step_from"), F.col("next_type").alias("step_to")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+        )
+    )
+
+
+@register(
+    "q25_rollup_overall",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT user_id,
+       COALESCE(event_type, 'overall') AS event_type,
+       count(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY GROUPING SETS ((user_id, event_type), (user_id))
+""",
+)
+def q25_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with a synthetic 'overall' row per key — the network-latency
+    per-pair × message-type rollup (P7c, /root/reference/ossplugins/
+    network-latency/processor.go:559-643) as a native rollup."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.max("value").alias("max_value"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid") <= 1)  # keep (user,type) and (user); drop grand total
+        .select(
+            "user_id",
+            F.coalesce("event_type", F.lit("overall")).alias("event_type"),
+            "n_events",
+            "sum_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "q26_latency_histogram",
+    headline=True,
+    tags=("window", "quantile", "histogram"),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), thresh AS (
+  SELECT *,
+    max(CASE WHEN rn <= ceil(0.50 * n) THEN vc END) OVER (PARTITION BY event_type) AS p50_c,
+    max(CASE WHEN rn <= ceil(0.95 * n) THEN vc END) OVER (PARTITION BY event_type) AS p95_c,
+    max(CASE WHEN rn <= ceil(0.99 * n) THEN vc END) OVER (PARTITION BY event_type) AS p99_c
+  FROM ranked
+)
+SELECT event_type,
+       count(*) AS n_events,
+       min(vc) AS min_cents, max(vc) AS max_cents,
+       CAST(sum(vc) AS DOUBLE) / count(*) AS mean_cents,
+       max(p50_c) AS p50_cents, max(p95_c) AS p95_cents, max(p99_c) AS p99_cents,
+       count(*) FILTER (WHERE vc <= p50_c) AS n_le_p50,
+       count(*) FILTER (WHERE vc > p50_c AND vc <= p95_c) AS n_p50_p95,
+       count(*) FILTER (WHERE vc > p95_c AND vc <= p99_c) AS n_p95_p99,
+       count(*) FILTER (WHERE vc > p99_c) AS n_gt_p99
+FROM thresh
+GROUP BY event_type
+""",
+)
+def q26_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency histogram with quantile-dependent buckets.
+
+    The network-latency plugin computes per-group p50/p95/p99 and then
+    bucket counts against those thresholds (P7b, /root/reference/
+    ossplugins/network-latency/processor.go:499-556). Thresholds are
+    positional over integer cents (discrete quantiles) so bucket
+    boundaries are exact; the bucket pass reuses the same windowed scan.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    part = W.partitionBy("event_type")
+    ranked = (
+        ev.withColumn("vc", vc)
+        .withColumn("rn", F.row_number().over(part.orderBy("vc", "event_id")))
+        .withColumn("n", F.count(F.lit(1)).over(part))
+    )
+
+    def disc_quantile(p: float, name: str):
+        return F.max(F.when(F.col("rn") <= F.ceil(F.lit(p) * F.col("n")), F.col("vc"))).over(part).alias(name)
+
+    thresh = ranked.select(
+        "event_type",
+        "vc",
+        disc_quantile(0.50, "p50_c"),
+        disc_quantile(0.95, "p95_c"),
+        disc_quantile(0.99, "p99_c"),
+    )
+    return thresh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+        (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+        F.max("p50_c").alias("p50_cents"),
+        F.max("p95_c").alias("p95_cents"),
+        F.max("p99_c").alias("p99_cents"),
+        F.count_if(F.col("vc") <= F.col("p50_c")).alias("n_le_p50"),
+        F.count_if((F.col("vc") > F.col("p50_c")) & (F.col("vc") <= F.col("p95_c"))).alias("n_p50_p95"),
+        F.count_if((F.col("vc") > F.col("p95_c")) & (F.col("vc") <= F.col("p99_c"))).alias("n_p95_p99"),
+        F.count_if(F.col("vc") > F.col("p99_c")).alias("n_gt_p99"),
+    )
+
+
+@register(
+    "q27_union_sort",
+    tags=("union", "sort"),
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, ts, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE event_type = 'error'
+ORDER BY ts, event_id
+""",
+)
+def q27_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-by-name of two differently-shaped streams + global time sort —
+    the tracer-events plugin (P9, /root/reference/ossplugins/tracer-events/
+    plugin.go:39-73)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id", "event_type")
+    return purchases.unionByName(errors, allowMissingColumns=True).orderBy("ts", "event_id")
+
+
+@register(
+    "q28_first_per_group",
+    tags=("window", "min_by"),
+    oracle="""
+SELECT user_id, event_id AS first_event_id, ts AS first_ts, event_type AS first_event_type,
+       n_events
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q28_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-row-per-key — per-file identity capture (M1, /root/reference/
+    internal/app/app.go:77-86 takes the first P2pNodeID line per file)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    part = W.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(part.orderBy("ts", "event_id")))
+        .withColumn("n_events", F.count(F.lit(1)).over(part))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_event_type"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q29_trailing_window",
+    tags=("window", "trailing"),
+    oracle="""
+WITH win AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_errors_last4
+  FROM events
+)
+SELECT user_id, event_id, ts, n_errors_last4,
+       n_errors_last4 >= 2 AS is_recovery
+FROM win
+WHERE event_type = 'error'
+""",
+)
+def q29_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window conditional count — the recovery-timeout flag
+    (≥2 timeouts within the trailing window, P8a, /root/reference/
+    ossplugins/timeout-analysis/processor.go:201-208)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    trail = (
+        W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "n_errors_last4",
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(trail),
+        )
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "n_errors_last4",
+            (F.col("n_errors_last4") >= 2).alias("is_recovery"),
+        )
+    )
+
+
+@register(
+    "q30_last_wins_dedup",
+    tags=("window", "dedup"),
+    oracle="""
+SELECT user_id, event_type,
+       event_id AS last_event_id, value AS last_value, n_entries
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n_entries
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def q30_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per key — p2p-messages keeps one live entry per
+    composite key where duplicates re-confirm (P3, /root/reference/
+    ossplugins/p2p-messages/processor.go:39-368)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts", "value")
+    part = W.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(part.orderBy(F.col("ts").desc(), F.col("event_id").desc())))
+        .withColumn("n_entries", F.count(F.lit(1)).over(part))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            "n_entries",
+        )
+    )

@@ -1,0 +1,196 @@
+"""Scalar function battery — the reference's converter/scalar surface
+(SURVEY.md §2.3/§2.7 "scalar functions") exercised as oracle-checkable
+projections: string split/extract, JSON field access, hashing/binary
+codecs, and date/time arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+
+
+@register(
+    "q40_json_extract",
+    tags=("scalar", "json"),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS prop_k_mod10,
+       json_extract_string(props, '$.missing') AS prop_missing
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def q40_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured field access — the `_msg` tag peek (S3,
+    /root/reference/internal/parser/dispatcher.go:69-97) is exactly
+    get_json_object before full parse."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        k.alias("prop_k"),
+        (k % 10).alias("prop_k_mod10"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+@register(
+    "q41_string_funcs",
+    tags=("scalar", "string"),
+    oracle="""
+SELECT doc_id,
+       upper(lang) AS lang_upper,
+       length(text) AS text_len,
+       len(string_split(text, ' ')) AS n_tokens,
+       split_part(text, ' ', 1) AS first_token,
+       split_part(source || '@' || lang, '@', 1) AS peer_id,
+       substr(text, 1, 12) AS head12,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       reverse(lang) AS lang_rev,
+       CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS mentions_spark
+FROM documents
+""",
+)
+def q41_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface — split (C1), regexp_extract (C4/C13/C14),
+    substring_index peer-id split (C10, /root/reference/lib/format.go:57-62),
+    case conversion (C11), contains (S4)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.length("text").alias("text_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.substring_index("text", " ", 1).alias("first_token"),
+        F.substring_index(F.concat("source", F.lit("@"), "lang"), "@", 1).alias("peer_id"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.reverse("lang").alias("lang_rev"),
+        F.when(F.contains("text", F.lit("spark")), 1).otherwise(0).alias("mentions_spark"),
+    )
+
+
+@register(
+    "q42_hash_codecs",
+    tags=("scalar", "binary", "hash"),
+    oracle="""
+SELECT event_id,
+       md5(event_type) AS type_md5,
+       sha256(event_type || ':' || CAST(user_id AS VARCHAR)) AS key_sha256,
+       CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 64 AS hash_bucket,
+       to_base64(CAST(event_type AS BLOB)) AS type_b64,
+       CAST(from_base64(to_base64(CAST(event_type AS BLOB))) AS VARCHAR) AS type_roundtrip
+FROM events
+WHERE event_id < 200
+""",
+)
+def q42_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/codec surface — sha2 composite keys (P7a uses sha256 of raw
+    bytes, /root/reference/ossplugins/network-latency/processor.go:697-707),
+    base64/hex codecs (C6/C8 msgBytes decode). The md5-prefix hash bucket
+    is the engine's portable (Spark == DuckDB) hash partitioner, also used
+    by the MinHash/SimHash dedup operators."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    b64 = F.base64(F.col("event_type").cast("binary"))
+    return ev.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.md5(F.col("event_type").cast("binary")).alias("type_md5"),
+        F.sha2(
+            F.concat("event_type", F.lit(":"), F.col("user_id").cast("string")).cast("binary"), 256
+        ).alias("key_sha256"),
+        (F.conv(F.substring(F.md5(F.col("event_type").cast("binary")), 1, 8), 16, 10).cast("bigint") % 64).alias(
+            "hash_bucket"
+        ),
+        b64.alias("type_b64"),
+        F.unbase64(b64).cast("string").alias("type_roundtrip"),
+    )
+
+
+@register(
+    "q43_datetime_funcs",
+    tags=("scalar", "datetime"),
+    oracle="""
+SELECT event_id,
+       year(ts) AS y, month(ts) AS mo, day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+       date_trunc('day', ts) AS day_start,
+       date_trunc('hour', ts) AS hour_start,
+       epoch_ms(ts) AS epoch_millis,
+       isodow(ts) - 1 AS weekday_mon0,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_start,
+       ts + INTERVAL 1 DAY AS ts_plus_day
+FROM events
+WHERE event_id < 200
+""",
+)
+def q43_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface — RFC3339 timestamp handling (C12,
+    /root/reference/lib/time.go:5-13) and the ms-latency arithmetic used by
+    every latency plugin (P1-P3, P7)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.unix_millis("ts").alias("epoch_millis"),
+        F.weekday("ts").alias("weekday_mon0"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("days_since_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts_plus_day"),
+    )
+
+
+@register(
+    "q44_case_when_battery",
+    tags=("scalar", "conditional"),
+    oracle="""
+SELECT event_id,
+       CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_band,
+       CASE event_type
+         WHEN 'click' THEN 'interaction'
+         WHEN 'view' THEN 'interaction'
+         WHEN 'purchase' THEN 'conversion'
+         ELSE 'lifecycle' END AS type_family,
+       COALESCE(NULLIF(event_type, 'error'), 'ERR') AS type_or_err,
+       greatest(value, 100.0) AS val_floor100,
+       least(value, 100.0) AS val_cap100
+FROM events
+WHERE event_id < 500
+""",
+)
+def q44_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF surface — step-name formatting (C11,
+    /root/reference/lib/format.go:49-55 is a finite-vocabulary CASE) and
+    channel naming (D3, /root/reference/types/channels.go:17-47)."""
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.when(F.col("value") < 50, "low").when(F.col("value") < 150, "mid").otherwise("high").alias(
+            "value_band"
+        ),
+        F.when(F.col("event_type").isin("click", "view"), "interaction")
+        .when(F.col("event_type") == "purchase", "conversion")
+        .otherwise("lifecycle")
+        .alias("type_family"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_or_err"),
+        F.greatest("value", F.lit(100.0)).alias("val_floor100"),
+        F.least("value", F.lit(100.0)).alias("val_cap100"),
+    )

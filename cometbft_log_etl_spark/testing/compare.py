@@ -1,0 +1,139 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle check.
+
+Stricter than the driver: after canonicalization (columns sorted by
+name, rows sorted by all columns, timestamps → ISO strings) we demand
+cell-exact equality — floats included. Queries are engineered to be
+bit-deterministic across engines (see queries/_det.py), so any float
+drift is a bug, not noise.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from ..tables import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    errors: list = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
+        for e in self.errors[:5]:
+            msg += f"\n    - {e}"
+        return msg
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s)
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        elif s.dtype == object:
+            df[c] = s.map(_canon_obj)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.map(_sort_key)).reset_index(drop=True)
+    return df
+
+
+def _canon_obj(v):
+    import datetime
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_obj(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_obj(x)) for k, x in v.items()))
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _sort_key(v):
+    # total order across None/NaN and values
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return (0, "")
+    return (1, str(v))
+
+
+def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareResult:
+    res = CompareResult(name=name, ok=True, spark_rows=len(sdf), oracle_rows=len(odf))
+    s, o = canonicalize(sdf), canonicalize(odf)
+    if list(s.columns) != list(o.columns):
+        res.ok = False
+        res.errors.append(f"column mismatch: spark={list(s.columns)} oracle={list(o.columns)}")
+        return res
+    if len(s) != len(o):
+        res.ok = False
+        res.errors.append(f"row count mismatch: spark={len(s)} oracle={len(o)}")
+        return res
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        for i in range(len(sv)):
+            a, b = sv.iloc[i], ov.iloc[i]
+            if _cell_equal(a, b):
+                continue
+            res.ok = False
+            res.errors.append(f"col {c!r} row {i}: spark={a!r} oracle={b!r}")
+            if len(res.errors) >= 8:
+                return res
+    return res
+
+
+def _cell_equal(a, b) -> bool:
+    import numpy as np
+
+    a_nan = a is None or (isinstance(a, float) and math.isnan(a)) or (a is pd.NaT)
+    b_nan = b is None or (isinstance(b, float) and math.isnan(b)) or (b is pd.NaT)
+    if a_nan or b_nan:
+        return a_nan and b_nan
+    if isinstance(a, (float, np.floating)) or isinstance(b, (float, np.floating)):
+        return float(a) == float(b)
+    try:
+        if bool(a == b):
+            return True
+    except Exception:
+        pass
+    return str(a) == str(b)
+
+
+def run_compare(spark, qdef, sf_dir: str) -> CompareResult:
+    sdf = qdef.fn(spark, sf_dir).toPandas()
+    if qdef.oracle is None:
+        return CompareResult(name=qdef.name, ok=len(sdf) >= 0, spark_rows=len(sdf), oracle_rows=-1)
+    con = duckdb_connection(sf_dir)
+    try:
+        odf = con.execute(qdef.oracle).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(qdef.name, sdf, odf)
