@@ -1,0 +1,56 @@
+"""End-to-end batch ETL: log dir → normalized, metadata-stamped events.
+
+Mirrors the reference main() pipeline (/root/reference/main.go:24-81):
+parse directory → convert → attach per-file metadata → (sort) → sink →
+fan out to plugin analytics. The Spark restatement (SURVEY.md §3.1):
+read → normalize (one wide DF) → cache → write events → run each
+enabled plugin off the cached DF → write result tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.metadata import attach_metadata, file_identities
+from .operators.normalize import normalize
+from .session import tune_session
+from .sources.logs import read_raw_events
+
+
+def etl_events(spark: SparkSession, log_dir: str, strict: bool = True) -> DataFrame:
+    """Parse + normalize + enrich a directory of CometBFT node logs."""
+    tune_session(spark)
+    raw = read_raw_events(spark, log_dir)
+    events = normalize(raw)
+    ids = file_identities(raw, strict=strict)
+    return attach_metadata(events, ids, strict=strict)
+
+
+def write_events(events: DataFrame, out_dir: str, sort_by_time: bool = True) -> None:
+    """O1/O2: event sink. The global time sort becomes a range-partitioned
+    write (orderBy before write ⇒ parquet files are time-ordered without a
+    single-reducer bottleneck)."""
+    df = events.orderBy("timestamp") if sort_by_time else events
+    df.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/events")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str | None = None,
+    plugins: list[str] | None = None,
+    strict: bool = True,
+) -> dict[str, DataFrame]:
+    """Full fan-out: normalized events + every enabled plugin's result
+    tables (O5/O6 — the single shared scan becomes `events.cache()`)."""
+    from .plans.registry import run_plugins
+
+    events = etl_events(spark, log_dir, strict=strict).cache()
+    results: dict[str, DataFrame] = {"events": events}
+    results.update(run_plugins(events, enabled=plugins))
+    if out_dir is not None:
+        write_events(events, out_dir)
+        for name, df in results.items():
+            if name != "events":
+                df.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/{name}")
+    return results

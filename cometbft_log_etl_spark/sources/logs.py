@@ -1,0 +1,56 @@
+"""S1-S5: NDJSON log-directory source.
+
+Reference: internal/app/app.go:25-65 (directory scan + line scan) and
+internal/parser/dispatcher.go:69-97 (tag peek + dispatch).
+
+Spark-first: `spark.read.text` replaces the hand-rolled scanner (no
+64 MB line limit to manage), `input_file_name()` carries per-file
+lineage for M1/M2 metadata, and one `from_json` against the union
+schema replaces the 23 typed unmarshals — the `_msg` tag then routes
+rows columnarly. Dropped classes reproduce dispatcher semantics:
+missing `_msg` (dispatcher.go:74-77), "with invalid args"
+(dispatcher.go:81-84), unknown tags (dispatcher.go:89-93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas.raws import TAG_KINDS, UNION_SCHEMA
+
+
+def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: every line of every *.log file under `path`, with file lineage."""
+    return spark.read.text(f"{path.rstrip('/')}/*.log").select(
+        F.col("value"), F.input_file_name().alias("file_path")
+    )
+
+
+def _kind_map_expr():
+    return F.create_map(*[x for tag, kind in TAG_KINDS.items() for x in (F.lit(tag), F.lit(kind))])
+
+
+def parse_raw(lines: DataFrame) -> DataFrame:
+    """S3-S5: tag peek, drop rules, and the single union-schema JSON parse.
+
+    Output: one row per *recognized* line with columns
+    (file_path, tag, kind, j: struct<union schema>).
+    """
+    parsed = lines.select(
+        "file_path", F.from_json("value", UNION_SCHEMA).alias("j")
+    ).withColumn("tag", F.lower(F.col("j._msg")))
+    return (
+        parsed
+        # no `_msg` (or unparseable JSON → NULL struct): silently dropped
+        .filter(F.col("tag").isNotNull())
+        # spurious "... with invalid args" transitions: dropped
+        .filter(~F.col("tag").contains("with invalid args"))
+        # unknown tags: dropped
+        .withColumn("kind", _kind_map_expr().getItem(F.col("tag")))
+        .filter(F.col("kind").isNotNull())
+    )
+
+
+def read_raw_events(spark: SparkSession, path: str) -> DataFrame:
+    return parse_raw(read_log_lines(spark, path))

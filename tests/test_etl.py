@@ -1,0 +1,108 @@
+"""End-to-end ETL tests on the synthetic 4-node scenario: parse →
+normalize → metadata enrichment, asserting exact per-type event counts
+(the generator tracks what the reference's pipeline would emit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.operators.metadata import MissingIdentityError, file_identities
+from cometbft_log_etl_spark.pipeline import etl_events
+from cometbft_log_etl_spark.sources.logs import read_raw_events
+
+from .fixtures import NODE_IDS, VAL_ADDRS, build_scenario, write_logs
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    sc = build_scenario(heights=6)
+    d = tmp_path_factory.mktemp("cometbft-logs")
+    write_logs(sc, str(d))
+    return str(d), sc
+
+
+@pytest.fixture(scope="module")
+def events(spark, log_dir):
+    d, sc = log_dir
+    df = etl_events(spark, d).cache()
+    df.count()
+    return df, sc
+
+
+def test_event_type_counts_exact(events):
+    df, sc = events
+    got = {r.event_type: r.n for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == dict(sc.expected)
+
+
+def test_no_propose_entering_events(events):
+    df, _ = events
+    assert df.filter(F.col("event_type") == "entering_propose_step").count() == 0
+
+
+def test_wait_steps_collapse(events):
+    df, _ = events
+    # fixture writes "Entering prevote wait step" lines; the reference's
+    # first-match quirk maps them to entering_prevote_step
+    assert df.filter(F.col("event_type") == "entering_prevote_wait_step").count() == 0
+
+
+def test_metadata_attached(events):
+    df, _ = events
+    assert df.filter(F.col("node_id").isNull()).count() == 0
+    pairs = {
+        (r.node_id, r.validator_address)
+        for r in df.select("node_id", "validator_address").distinct().collect()
+    }
+    assert pairs == set(zip(NODE_IDS, VAL_ADDRS))
+
+
+def test_send_vote_payload_decoded(events):
+    df, _ = events
+    votes = df.filter(F.col("event_type") == "send_vote")
+    row = votes.filter(F.col("validator_index") == 2).limit(1).collect()[0]
+    assert row.vote_type in ("prevote", "precommit")
+    assert row.msg_kind == "vote"
+    assert row.channel == 0x22
+    assert row.channel_name == "vote"
+    assert row.recipient_peer_id in NODE_IDS
+    assert row.validator_address_fp == VAL_ADDRS[2].lower()
+
+
+def test_receive_has_source_info(events):
+    df, _ = events
+    recv = df.filter(F.col("event_type") == "receive_packet_vote").limit(1).collect()[0]
+    assert recv.source_peer_id in NODE_IDS
+    assert recv.recipient_peer is None
+
+
+def test_timeout_duration_parsed(events):
+    df, _ = events
+    durs = {
+        r.dur: r.duration_ms
+        for r in df.filter(F.col("event_type") == "scheduled_timeout").select("dur", "duration_ms").distinct().collect()
+    }
+    assert durs == {"3s": 3000, "1s": 1000, "800ms": 800}
+
+
+def test_received_proposal_parsed(events):
+    df, _ = events
+    row = df.filter(F.col("event_type") == "received_proposal").limit(1).collect()[0]
+    assert row.pol_round == -1
+    assert row.ps_total == 1
+    assert len(row.bid_hash) == 12
+    assert row.proposal_ts is not None
+
+
+def test_strict_identity_failure(spark, tmp_path):
+    bad = tmp_path / "badlogs"
+    bad.mkdir()
+    (bad / "orphan.log").write_text(
+        '{"_msg": "Entering new round", "current": "1/0/RoundStepNewRound", '
+        '"previous": "1/0/RoundStepNewHeight", "proposer": "AA", "height": 1, '
+        '"round": 0, "ts": "2025-06-01T12:00:00.000000000Z"}\n'
+    )
+    raw = read_raw_events(spark, str(bad))
+    with pytest.raises(MissingIdentityError):
+        file_identities(raw, strict=True)
