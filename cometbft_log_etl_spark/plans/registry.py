@@ -1,0 +1,74 @@
+"""O5/O6: plugin registry — named DataFrame transforms over the
+normalized events stream.
+
+Reference: pkg/pluginloader/loader.go:13-74 (Register/Init/Process/
+Finalize lifecycle) and pkg/pluginsdk/interfaces.go:10-25. In Spark the
+lifecycle collapses to a pure function `f(events_df) -> dict[table_name,
+DataFrame]`; the single-pass fan-out (main.go:77-79) becomes running
+every enabled plugin off one cached events DataFrame.
+
+The default-enabled set mirrors internal/config/config.go:67-83.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+PluginFn = Callable[[DataFrame], dict[str, DataFrame]]
+
+_PLUGINS: dict[str, PluginFn] = {}
+
+# internal/config/config.go:71-81 default-enabled list.
+DEFAULT_ENABLED = (
+    "vote-latency",
+    "block-parts",
+    "p2p-messages",
+    "consensus-steps",
+    "consensus-timing",
+    "validator-participation",
+    "timeout-analysis",
+    "tracer-events",
+    "network-latency",
+)
+
+
+def register_plugin(name: str):
+    def deco(fn: PluginFn) -> PluginFn:
+        _PLUGINS[name] = fn
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    from . import (  # noqa: F401
+        block_parts,
+        consensus_steps,
+        consensus_timing,
+        network_latency,
+        p2p_messages,
+        timeout_analysis,
+        tracer_events,
+        validator_participation,
+        vote_latency,
+    )
+
+
+def plugins() -> dict[str, PluginFn]:
+    _load_all()
+    return dict(_PLUGINS)
+
+
+def run_plugins(events: DataFrame, enabled: list[str] | None = None) -> dict[str, DataFrame]:
+    """Run each enabled plugin; returns the union of their result tables."""
+    reg = plugins()
+    names = list(enabled) if enabled is not None else [n for n in DEFAULT_ENABLED if n in reg]
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        for table, df in reg[name](events).items():
+            if table in out:
+                raise ValueError(f"plugin {name!r} re-emits table {table!r}")
+            out[table] = df
+    return out

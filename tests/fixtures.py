@@ -258,6 +258,20 @@ def build_scenario(heights: int = 8) -> Scenario:
                         )
             t += timedelta(milliseconds=50)
 
+        # node1 TrySends a round-step gossip to node2: TrySend logs carry
+        # no peer id, so this exercises the raw-hash fallback match tier
+        sc.send(
+            1,
+            2,
+            t + timedelta(milliseconds=2),
+            0x20,
+            "new_round_step",
+            try_send=True,
+            height=h,
+            round=0,
+            step="newRound",
+        )
+
         # node0 struggles on some heights → timeouts (clustered)
         if h % 2 == 0:
             for k in range(3):
