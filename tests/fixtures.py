@@ -142,7 +142,44 @@ class Scenario:
         self.expected["received_complete_proposal_block"] += 1
 
     def committed(self, node: int, t: datetime, h: int, bid_hash: str):
-        self.log(node, t, {"block": f"Block{{#stub {bid_hash}}}", "height": h}, "Committed block")
+        from cometbft_log_etl_spark.functions.blocktext import render_block
+
+        block = {
+            "header": {
+                "version": {"block": 11, "app": 0},
+                "chain_id": "test-chain",
+                "height": h,
+                "time": t.replace(tzinfo=timezone.utc),
+                "last_block_id": {
+                    "hash": f"{h - 1:02X}" * 6 if h > 1 else "00" * 6,
+                    "part_set_header": {"total": 1, "hash": "AB" * 6},
+                },
+                "last_commit_hash": "C1" * 6, "data_hash": "D2" * 6,
+                "validators_hash": "E3" * 6, "next_validators_hash": "E4" * 6,
+                "app_hash": "A5" * 6, "consensus_hash": "C6" * 6,
+                "last_results_hash": "F7" * 6, "evidence_hash": "E8" * 6,
+                "proposer_address": VAL_ADDRS[(h - 1) % N_NODES][:12],
+            },
+            "data": {"txs": ["DEADBEEF"] if h % 2 == 0 else []},
+            "last_commit": {
+                "height": h - 1,
+                "round": 0,
+                "block_id": {
+                    "hash": f"{h - 1:02X}" * 6 if h > 1 else "00" * 6,
+                    "part_set_header": {"total": 1, "hash": "AB" * 6},
+                },
+                "signatures": [
+                    {
+                        "block_id_flag": 2,
+                        "validator_address": VAL_ADDRS[v],
+                        "timestamp": t.replace(tzinfo=timezone.utc),
+                        "signature": "5A" * 6,
+                    }
+                    for v in range(N_NODES)
+                ],
+            },
+        }
+        self.log(node, t, {"block": render_block(block, bid_hash), "height": h}, "Committed block")
         self.expected["committed_block"] += 1
 
     def timeout(self, node: int, t: datetime, h: int, r: int, step: str, dur: str):
