@@ -54,6 +54,8 @@ def _load_all() -> None:
     from . import datapipe  # noqa: F401
     from . import events_analytics  # noqa: F401
     from . import log_pipeline  # noqa: F401
+    from . import multimodal  # noqa: F401
+    from . import neardup  # noqa: F401
     from . import relational  # noqa: F401
     from . import scalars  # noqa: F401
 

@@ -1,0 +1,74 @@
+"""Multimodal pipeline query: binary media columns → mapInPandas
+feature extraction → per-type stats.
+
+The Spark path runs the REAL plumbing (operators/multimodal.py:
+synthesize → Arrow-batched decode kernel → frame-sample explode →
+aggregate); the DuckDB oracle recomputes the deterministic stand-in
+arithmetic in SQL — so a pass proves the mapInPandas kernel, its
+schema, and the batch iteration produce exactly the declared values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_media, sample_frames, synthesize_media
+from ..session import tune_session
+from ..tables import load
+from . import register
+
+_H32 = "CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "q61_multimodal_features",
+    tags=("datapipe", "multimodal"),
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         CASE WHEN doc_id % 3 IN (0, 2) THEN ({_H32.format(e="text || ':w'")}) % 1920 + 1 ELSE 0 END AS width,
+         CASE WHEN doc_id % 3 IN (0, 2) THEN ({_H32.format(e="text || ':h'")}) % 1080 + 1 ELSE 0 END AS height,
+         CASE doc_id % 3 WHEN 2 THEN ({_H32.format(e="text || ':f'")}) % 240 + 1
+                         WHEN 0 THEN 1 ELSE 0 END AS n_frames
+  FROM documents
+)
+SELECT media_type,
+       count(*) AS n_objects,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       CAST(sum(width) AS DOUBLE) / count(*) AS avg_width,
+       CAST(sum(height) AS DOUBLE) / count(*) AS avg_height,
+       max(n_frames) AS max_frames,
+       sum(CASE WHEN media_type = 'video' THEN (n_frames - 1) // 24 + 1 ELSE 0 END)::BIGINT
+         AS total_sampled_frames
+FROM f
+GROUP BY media_type
+""",
+)
+def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media → decode kernel → per-type stats + frame budget.
+
+    total_sampled_frames is what a stride-24 frame sampler would emit —
+    the row count of the sample_frames explode, folded back per type.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    feats = decode_media(synthesize_media(docs))
+    sampled = (
+        sample_frames(feats, stride=24)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    enriched = feats.join(sampled, "doc_id", "left").withColumn(
+        "n_sampled", F.coalesce("n_sampled", F.lit(0))
+    )
+    return enriched.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
+        (F.sum("height").cast("double") / F.count(F.lit(1))).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+        F.sum("n_sampled").alias("total_sampled_frames"),
+    )

@@ -1,0 +1,434 @@
+"""Near-duplicate detection + bucketed similarity search over
+`documents` / `embeddings` — the scale path of the training-data
+pipeline (BASELINE.json north star, beyond the reference surface).
+
+All four queries are fully deterministic cross-engine:
+- the only hash is the portable md5-prefix integer (datapipe._h32);
+- MinHash signatures/bands are exact integer/string computations;
+- SimHash bit sums are integer arithmetic over token hashes;
+- LSH hyperplanes are pseudo-random ±1 weights DERIVED from md5 of
+  (plane, dimension) — no RNG state, same planes in Spark and DuckDB;
+- every float dot product goes through round(x, 9) + DECIMAL sums
+  (see queries/_det.py for why).
+
+Scale shape: everything is hash → shuffle-on-short-key → bucket-local
+work. Candidate generation never compares all pairs: MinHash bands,
+blocking keys, and LSH buckets bound the join fan-out; only
+within-bucket pairs are scored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+from .datapipe import _h32
+
+_MINHASH_K = 8  # hash functions
+_BANDS = 4  # bands of 2 rows → pairs agreeing on any 2 consecutive sigs collide
+
+
+def _h32_expr(c: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+
+_SQL_H32 = "CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# q55 — MinHash + LSH banding
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: _h32_expr(F.concat_ws(":", s, k)))
+        ),
+    )
+    return (
+        docs.select("doc_id", shingles.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+@register(
+    "q55_minhash_lsh",
+    headline=True,
+    tags=("datapipe", "dedup", "minhash"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+              ELSE [] END AS shingles
+  FROM tok
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_MINHASH_K - 1}),
+                        k -> list_aggregate(
+                               list_transform(shingles,
+                                 s -> {_SQL_H32.format(e="s || ':' || CAST(k AS VARCHAR)")}),
+                               'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, sig, unnest(generate_series(0, {_BANDS - 1})) AS band FROM sig
+),
+bh AS (
+  SELECT doc_id, sig, band,
+         md5(CAST(sig[2 * band + 1] AS VARCHAR) || ',' || CAST(sig[2 * band + 2] AS VARCHAR)) AS bucket
+  FROM bands
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared_bands,
+         any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+  FROM bh a JOIN bh b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       CAST(len(list_filter(generate_series(1, {_MINHASH_K}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+         / {_MINHASH_K} AS est_jaccard
+FROM pairs
+""",
+)
+def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup candidates via LSH banding.
+
+    shingle(word-3-gram) → K=8 minhashes → 4 bands of 2 → bucket join.
+    The self-join keys on (band, bucket-hash): at 100 TB the shuffle key
+    is 16 bytes and only same-bucket docs ever meet; the signature
+    agreement fraction estimates Jaccard without touching the text
+    again.
+    """
+    tune_session(spark)
+    sigs = _minhash_sigs(load(spark, sf_dir, "documents"))
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.element_at("sig", b * 2 + 1),
+                        F.element_at("sig", b * 2 + 2),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.any_value(F.col("a.sig")).alias("sig_a"),
+            F.any_value(F.col("b.sig")).alias("sig_b"),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        (agree.cast("double") / _MINHASH_K).alias("est_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — SimHash fingerprints
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, {_SQL_H32.format(e="unnest(string_split(text, ' '))")} AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM tokh GROUP BY doc_id
+),
+sh AS (SELECT doc_id, {combine} AS simhash FROM bits)
+SELECT s.doc_id, s.simhash, c.n_cluster
+FROM sh s
+JOIN (SELECT simhash, count(*) AS n_cluster FROM sh GROUP BY simhash) c USING (simhash)
+"""
+
+
+@register(
+    "q56_simhash",
+    tags=("datapipe", "dedup", "simhash"),
+    oracle=_simhash_sql(),
+)
+def q56_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints + equal-fingerprint cluster sizes.
+
+    Token-hash bit votes aggregate map-side (16 conditional sums — a
+    partial-aggregatable groupBy, no arrays held per group); identical
+    fingerprints mark near-dup families. Hamming-ball expansion would
+    add a band join like q55; equality buckets are the exact-match tier.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    tokh = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", _h32_expr(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum((F.shiftright("h", j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = tokh.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        [F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(_SIMHASH_BITS)],
+        F.lit(0),
+    )
+    sh = bits.select("doc_id", simhash.alias("simhash"))
+    clusters = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_cluster"))
+    return sh.join(clusters, "simhash").select("doc_id", "simhash", "n_cluster")
+
+
+# --------------------------------------------------------------------------
+# q57 — blocked n-gram Jaccard
+
+
+@register(
+    "q57_ngram_jaccard",
+    tags=("datapipe", "dedup", "jaccard"),
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lang, n_chars // 100 AS size_block,
+         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS n_common,
+       CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+         / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jaccard
+FROM g a
+JOIN g b ON a.lang = b.lang AND a.size_block = b.size_block AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+        / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) >= 0.2
+""",
+)
+def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard over blocked candidate pairs.
+
+    Blocking on (lang, n_chars/100) bounds the self-join: only
+    same-language, similar-length docs are compared — the standard
+    budget control that keeps pairwise similarity feasible at scale.
+    |A∪B| is |A|+|B|−|A∩B| over distinct gram sets.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    g = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("size_block"),
+        grams.alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.size_block") == F.col("b.size_block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    n_common = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    jaccard = n_common.cast("double") / (
+        F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - n_common
+    )
+    return (
+        joined.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_common.alias("n_common"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — LSH-bucketed ANN (the scale path next to q59's brute force)
+
+_PLANES = 8
+
+
+def _bucket_sql(src_filter: str, id_alias: str) -> str:
+    """Per-vector LSH bucket: sign bits of 8 md5-derived ±1 hyperplanes."""
+    bit_exprs = []
+    for j in range(_PLANES):
+        plane_hash = _SQL_H32.format(e="'%d:' || CAST(pos AS VARCHAR)" % j)
+        bit_exprs.append(
+            "CAST(sum(CAST(round(x, 9) * "
+            f"(({plane_hash}) % 2 * 2 - 1) "
+            f"AS DECIMAL(28,12))) AS DOUBLE) > 0 AS b{j}"
+        )
+    bits = ",\n         ".join(bit_exprs)
+    code = " + ".join(f"(CASE WHEN b{j} THEN {1 << j} ELSE 0 END)" for j in range(_PLANES))
+    return f"""
+  SELECT {id_alias}, {code} AS bucket FROM (
+    SELECT {id_alias},
+         {bits}
+    FROM (
+      SELECT vec_id AS {id_alias}, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+      FROM (SELECT vec_id, embedding AS emb,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings {src_filter})
+    ) GROUP BY {id_alias}
+  )
+"""
+
+
+@register(
+    "q58_ann_lsh",
+    tags=("datapipe", "similarity", "lsh"),
+    oracle=f"""
+WITH pb AS ({_bucket_sql("WHERE vec_id < 3", "probe_id")}),
+cb AS ({_bucket_sql("", "cand_id")}),
+cand_pairs AS (
+  SELECT pb.probe_id, cb.cand_id, pb.bucket
+  FROM pb JOIN cb ON pb.bucket = cb.bucket AND pb.probe_id <> cb.cand_id
+),
+elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+),
+dots AS (
+  SELECT cp.probe_id, cp.cand_id, cp.bucket,
+         CAST(sum(CAST(p.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM cand_pairs cp
+  JOIN elems p ON p.vec_id = cp.probe_id
+  JOIN elems c ON c.vec_id = cp.cand_id AND c.pos = p.pos
+  GROUP BY cp.probe_id, cp.cand_id, cp.bucket
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+)
+SELECT probe_id, cand_id, bucket, round(cosine, 9) AS cosine, rank FROM (
+  SELECT d.probe_id, d.cand_id, d.bucket,
+         d.dot / (np.nrm * nc.nrm) AS cosine,
+         row_number() OVER (PARTITION BY d.probe_id
+                            ORDER BY d.dot / (np.nrm * nc.nrm) DESC, d.cand_id) AS rank
+  FROM dots d
+  JOIN norms np ON np.vec_id = d.probe_id
+  JOIN norms nc ON nc.vec_id = d.cand_id
+) WHERE rank <= 5
+""",
+)
+def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours.
+
+    Random-hyperplane signs (±1 weights derived from md5(plane:dim) —
+    reproducible, no RNG) bucket every vector into one of 2^8 cells;
+    probes only score candidates in THEIR cell. At 100 TB the exact
+    cosine join touches ~1/256 of the corpus per probe instead of all
+    of it; recall grows with multi-probe or more tables, cost with
+    plane count — the standard ANN trade.
+    """
+    tune_session(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+
+    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        w = lambda j: (  # noqa: E731
+            _h32_expr(F.concat_ws("", F.lit(f"{j}:"), F.col("pos"))) % 2 * 2 - 1
+        )
+        bits = [
+            (
+                F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)")).cast("double") > 0
+            ).alias(f"b{j}")
+            for j in range(_PLANES)
+        ]
+        agg = df.groupBy(F.col("vec_id").alias(id_alias)).agg(*bits)
+        code = sum(
+            [F.when(F.col(f"b{j}"), F.lit(1 << j)).otherwise(F.lit(0)) for j in range(_PLANES)],
+            F.lit(0),
+        )
+        return agg.select(id_alias, code.alias("bucket"))
+
+    pb = buckets(elems.filter(F.col("vec_id") < 3), "probe_id")
+    cb = buckets(elems, "cand_id")
+    cand_pairs = F.broadcast(pb).join(cb, "bucket").filter(F.col("probe_id") != F.col("cand_id"))
+
+    p, c = elems.alias("p"), elems.alias("c")
+    dots = (
+        F.broadcast(cand_pairs)
+        .join(p, F.col("p.vec_id") == F.col("probe_id"))
+        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
+        .groupBy("probe_id", "cand_id", "bucket")
+        .agg(F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"))
+    )
+    norms = elems.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
+    )
+    scored = (
+        dots.join(F.broadcast(norms).alias("np"), F.col("np.vec_id") == F.col("probe_id"))
+        .join(F.broadcast(norms).alias("nc"), F.col("nc.vec_id") == F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            "bucket",
+            (F.col("dot") / (F.col("np.nrm") * F.col("nc.nrm"))).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "cand_id")),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "probe_id", "cand_id", "bucket", F.round("cosine", 9).alias("cosine"), "rank"
+    )
