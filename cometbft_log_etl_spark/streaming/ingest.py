@@ -1,0 +1,58 @@
+"""S7: Structured-Streaming ingestion of CometBFT log directories.
+
+Reference: internal/parser/dispatcher.go:101-121 (ParseStream — the
+dormant streaming entry: NDJSON reader → dispatch → channel, no
+metadata, no sort). Here the SAME transforms as the batch path run on a
+streaming DataFrame: `parse_raw` and `normalize` are pure
+projection/filter/union plans, so batch/stream parity is by
+construction, not reimplementation.
+
+`stream_events` goes beyond ParseStream to full main()-pipeline parity:
+per-file identities come from a STATIC batch aggregation of the same
+directory, broadcast into the stream (stream-static join) — the
+M1/M2 enrichment without any streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.metadata import file_identities
+from ..operators.normalize import normalize
+from ..sources.logs import parse_raw, read_raw_events
+
+
+def stream_log_lines(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.text(f"{path.rstrip('/')}/*.log").select(
+        F.col("value"), F.input_file_name().alias("file_path")
+    )
+
+
+def stream_raw_events(spark: SparkSession, path: str) -> DataFrame:
+    """ParseStream parity: streaming tag-dispatch, no enrichment."""
+    return parse_raw(stream_log_lines(spark, path))
+
+
+def stream_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming normalized events (no metadata — dispatcher.go:101-121
+    emits bare parsed events)."""
+    return normalize(stream_raw_events(spark, path))
+
+
+def stream_events(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """Full-pipeline parity on a stream: normalized + identity-stamped.
+
+    The identity table is one row per file — a static batch aggregate
+    over the same directory, broadcast to every micro-batch.
+
+    Operational caveat: the static side's FILE LISTING is frozen when
+    the query starts, so events from files created later stream through
+    with NULL identity. Downstream joins that key on node_id will
+    null-filter those rows (including before watermark nodes — they
+    won't advance event time either). For long-running ingestion,
+    restart the query on topology change or supply a refreshed identity
+    table.
+    """
+    ids = file_identities(read_raw_events(spark, path), strict=strict)
+    return stream_normalized(spark, path).join(F.broadcast(ids), "file_path", "left")

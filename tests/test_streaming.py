@@ -1,0 +1,141 @@
+"""Structured-Streaming parity tests: the streaming path must produce
+exactly the batch path's results on the same log directory (S7 →
+ParseStream parity by construction), plus watermark semantics for the
+stream-stream vote matcher."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.pipeline import etl_events
+from cometbft_log_etl_spark.streaming.analytics import (
+    streaming_vote_matches,
+    windowed_event_counts,
+)
+from cometbft_log_etl_spark.streaming.ingest import stream_events, stream_normalized
+
+from .fixtures import build_scenario, write_logs
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    sc = build_scenario(heights=4)
+    d = tmp_path_factory.mktemp("stream-logs")
+    write_logs(sc, str(d))
+    return str(d), sc
+
+
+def _run_to_memory(df, name: str, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not df.isStreaming or True else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_normalized_matches_batch(spark, log_dir):
+    d, sc = log_dir
+    out = _run_to_memory(stream_normalized(spark, d), "t_norm", spark)
+    got = {r.event_type: r.n for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == dict(sc.expected)
+
+
+def test_stream_events_identity_stamped(spark, log_dir):
+    d, _ = log_dir
+    stream_df = stream_events(spark, d)
+    assert stream_df.isStreaming
+    out = _run_to_memory(stream_df, "t_events", spark)
+    assert out.filter(F.col("node_id").isNull()).count() == 0
+    # full parity with the batch pipeline, row for row
+    batch = etl_events(spark, d)
+    assert out.count() == batch.count()
+
+
+def test_windowed_counts(spark, log_dir):
+    d, sc = log_dir
+    counts = windowed_event_counts(stream_normalized(spark, d), window="5 seconds")
+    # complete mode: every window's current count each batch (append mode
+    # would only emit windows the watermark has closed)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_windows")
+    total = out.agg(F.sum("n")).collect()[0][0] or 0
+    assert total == sum(sc.expected.values())
+
+
+def test_streaming_vote_confirmations(spark, log_dir):
+    d, sc = log_dir
+    matches = streaming_vote_matches(stream_events(spark, d), how="inner")
+    out = _run_to_memory(matches, "t_votes", spark)
+    assert out.count() == sc.expected["receive_packet_vote"]
+    lats = {r.latency_ms for r in out.select("latency_ms").distinct().collect()}
+    assert lats == {350, 80}
+
+
+def test_streaming_unmatched_after_watermark(spark, tmp_path_factory):
+    """Watermark expiry = the reference's end-of-input pending flush: a
+    far-future heartbeat vote pair advances the event-time watermark past
+    every pending send, so the scenario's lost votes emit as unmatched.
+
+    The heartbeat file must exist before the query starts: the
+    stream-static identity join freezes its file listing at query start,
+    and a receive with a NULL (identity-less) join key is null-filtered
+    before it can ever advance the watermark.
+    """
+    import base64
+
+    from cometbft_log_etl_spark.functions.protowire import encode_message
+
+    from .fixtures import NODE_IDS, PEER_ADDR, VAL_ADDRS
+
+    work = tmp_path_factory.mktemp("wm-logs")
+    base = build_scenario(heights=2)
+    write_logs(base, str(work))
+
+    ts = "2025-06-01T13:30:00.000000000Z"
+    payload = encode_message(
+        "vote", vote_type="prevote", height=999, round=0,
+        bid_hash="ab" * 6, ps_total=1, ps_hash="cd" * 6,
+        msg_ts=ts, validator_address="ee" * 20,
+        validator_index=0, signature="ab" * 8,
+    )
+    hb = [
+        {"_msg": "P2P Node ID", "ID": NODE_IDS[3], "file": "/k", "ts": ts},
+        {"_msg": "This node is a validator", "addr": VAL_ADDRS[3], "pubKey": "x", "ts": ts},
+        # a matching self-link pair: confirms instead of adding unmatched
+        {"_msg": "Send", "channel": 0x22, "conn": "MConn{x}",
+         "msgBytes": payload.hex().upper(),
+         "peer": f"{NODE_IDS[3]}@{PEER_ADDR[3]}", "ts": ts},
+        {"_msg": "Received bytes", "chID": 0x22,
+         "msgBytes": base64.b64encode(payload).decode(),
+         "peer": f"{NODE_IDS[3]}@{PEER_ADDR[3]}", "ts": ts},
+    ]
+    with open(os.path.join(str(work), "heartbeat.log"), "w") as f:
+        f.write("\n".join(json.dumps(x) for x in hb) + "\n")
+
+    matched = streaming_vote_matches(stream_events(spark, str(work)), how="left_outer")
+    q = matched.writeStream.format("memory").queryName("t_unmatched").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("t_unmatched")
+    assert out.filter(F.col("status") == "confirmed").count() > 0
+    un = out.filter(F.col("status") == "unmatched")
+    # the scenario loses one precommit vote per height (2 heights)
+    assert un.count() == 2
+    assert un.filter(F.col("received_time").isNotNull()).count() == 0
