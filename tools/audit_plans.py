@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the scale-critical plan properties of the
+headline queries instead of eyeballing `.explain` output.
+
+Checks per query (tagged expectations below):
+- column pruning: the big-table scan must not read more columns than
+  the query needs (ReadSchema width cap);
+- filter pushdown: selective predicates appear as scan DataFilters;
+- join strategy: dimension joins must be broadcast (no SortMergeJoin
+  against a broadcastable side);
+- whole-stage codegen: the plan contains codegen spans (expressions
+  stayed JVM-side).
+
+Run: python tools/audit_plans.py [sf_dir]
+Exit code != 0 on any violated expectation — wired into tests so a
+plan regression (a dropped broadcast, a widened scan) fails CI, not a
+100 TB run.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# name -> dict of expectations; max_scan_cols applies to the widest
+# parquet FileScan in the plan.
+EXPECTATIONS = {
+    "q01_pricing_summary": {"codegen": True, "max_scan_cols": 7, "no_smj": True},
+    "q03_shipping_priority": {"codegen": True, "max_scan_cols": 4, "broadcasts": 2, "no_smj": True},
+    "q05_nation_revenue": {"codegen": True, "max_scan_cols": 4, "broadcasts": 4, "no_smj": True},
+    "q21_fifo_pairing": {"codegen": True, "max_scan_cols": 6},
+    "q23_sessionization": {"codegen": True, "max_scan_cols": 6},
+    "q26_latency_histogram": {"codegen": True, "max_scan_cols": 6},
+    "q59_cosine_topk": {"codegen": True, "broadcasts": 2, "no_smj": True},
+}
+
+
+def audit(spark, sf_dir: str) -> list[str]:
+    from cometbft_log_etl_spark.queries import queries
+
+    qs = queries()
+    failures: list[str] = []
+    for name, exp in EXPECTATIONS.items():
+        df = qs[name](spark, sf_dir)
+        # collect THIS df (count() would be a different query plan) so
+        # AQE settles on the final plan with codegen stages compiled
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        widest = max((len(s.split(",")) for s in scans), default=0)
+        n_broadcast = plan.count("BroadcastHashJoin")
+        # codegen stages print as "WholeStageCodegen (n)" or "*(n)"
+        has_codegen = "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan)
+        if exp.get("codegen") and not has_codegen:
+            failures.append(f"{name}: no WholeStageCodegen span")
+        cap = exp.get("max_scan_cols")
+        if cap is not None and widest > cap:
+            failures.append(f"{name}: widest scan reads {widest} cols (cap {cap}) — pruning lost")
+        want_b = exp.get("broadcasts")
+        if want_b is not None and n_broadcast < want_b:
+            failures.append(f"{name}: {n_broadcast} broadcast joins (expected >= {want_b})")
+        if exp.get("no_smj") and "SortMergeJoin" in plan:
+            failures.append(f"{name}: SortMergeJoin appeared where broadcast was expected")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from cometbft_log_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_plans")
+    failures = audit(spark, sf_dir)
+    for f in failures:
+        print(f"[BAD] {f}")
+    if not failures:
+        print(f"all {len(EXPECTATIONS)} headline plans hold their scale properties")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
