@@ -229,6 +229,98 @@ _SQL_EXPLODE = """
 
 
 @register(
+    "q62_bpe_token_counts",
+    tags=("datapipe", "text", "tokenize"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         list_aggregate(list_transform(toks, t -> (len(t) + 3) // 4), 'sum') AS n_subwords
+  FROM tok
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_words)::BIGINT AS total_words,
+       sum(n_subwords)::BIGINT AS total_subwords,
+       CAST(sum(n_subwords) AS DOUBLE) / sum(n_words) AS subwords_per_word
+FROM counts
+GROUP BY lang
+""",
+)
+def q62_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish: regex word split, then each
+    word costs ceil(len/4) subword units — a deterministic stand-in for
+    BPE merge counts that keeps the budget arithmetic (tokens-per-doc,
+    subwords-per-word) exactly checkable cross-engine."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^a-zA-Z0-9]+"), lambda t: t != "")
+    counts = docs.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: (F.length(t) + 3).cast("long") / F.lit(4)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("n_subwords"),
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_subwords").cast("bigint").alias("total_subwords"),
+        (F.sum("n_subwords").cast("double") / F.sum("n_words")).alias("subwords_per_word"),
+    )
+
+
+@register(
+    "q63_rolling_fingerprint",
+    tags=("datapipe", "dedup", "fingerprint"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+                        list_transform(toks, t -> {_SQL_H32.format(expr="t")})),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+  FROM tok
+)
+SELECT fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM fp
+GROUP BY fingerprint
+""",
+)
+def q63_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the word-hash sequence (seed 7, base 31, mod 2^31−1) — unlike the
+    set-based MinHash/SimHash signatures, word ORDER changes the
+    fingerprint, so equal fingerprints mean equal token sequences. One
+    map-side fold per doc, shuffle on an 8-byte key."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    fp = F.aggregate(
+        F.transform(toks, lambda t: _h32(t)),
+        F.lit(7).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 2_147_483_647,
+    )
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register(
     "q59_cosine_topk",
     headline=True,
     tags=("datapipe", "similarity"),
