@@ -1,0 +1,58 @@
+"""CLI entry point — the reference main() workflow on Spark.
+
+Mirrors /root/reference/main.go:24-81 + internal/config/config.go:24-46:
+`-dir` and `-simulation` are required, plugins are config-selectable
+(JSON list here instead of the YAML plugin block), and every enabled
+plugin's result tables land under <out>/<simulation>/ — the
+table-per-collection layout with parquet standing in for MongoDB
+(SURVEY.md §2.5 O2-O4).
+
+    python -m cometbft_log_etl_spark \
+        --dir /path/to/logs --simulation run42 --out /data/lake \
+        [--plugins vote-latency,network-latency] [--no-strict] \
+        [--partition-by-date] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cometbft_log_etl_spark", description=__doc__)
+    ap.add_argument("--dir", required=True, help="directory containing per-node NDJSON .log files")
+    ap.add_argument("--simulation", required=True, help="simulation id (output namespace)")
+    ap.add_argument("--out", required=True, help="output lake root; tables land under <out>/<simulation>/")
+    ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
+    ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
+    ap.add_argument("--partition-by-date", action="store_true", help="hive-partition events on event_date")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    args = ap.parse_args(argv)
+
+    from .pipeline import etl_events, write_events
+    from .plans.registry import run_plugins
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cometbft-log-etl-{args.simulation}", cpus=args.cpus)
+    out_root = f"{args.out.rstrip('/')}/{args.simulation}"
+    enabled = args.plugins.split(",") if args.plugins else None
+
+    t0 = time.time()
+    events = etl_events(spark, args.dir, strict=not args.no_strict).cache()
+    n_events = events.count()
+    write_events(events, out_root, partition_by_date=args.partition_by_date)
+    results = run_plugins(events, enabled=enabled)
+    for name, df in results.items():
+        df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+    print(
+        f"processed {n_events} events -> {len(results) + 1} tables "
+        f"under {out_root} in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
