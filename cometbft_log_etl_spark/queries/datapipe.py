@@ -207,12 +207,21 @@ def q54_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exploded_embeddings(spark: SparkSession, sf_dir: str, id_alias: str, filter_expr=None) -> DataFrame:
+    from ..session import default_parallelism
+
     emb = load(spark, sf_dir, "embeddings")
     if filter_expr is not None:
         emb = emb.filter(filter_expr)
-    return emb.select(
-        F.col("vec_id").alias(id_alias), F.posexplode("embedding").alias("pos", "x")
-    ).select(id_alias, "pos", F.col("x").cast("double").alias("x"))
+    # Spread vectors across the cluster BEFORE the explode: the downstream
+    # broadcast-joined dot products and norm aggregates all execute in the
+    # exploded side's scan stage, which is one task when the table is a
+    # single parquet row group. The exchange moves only the compact
+    # array<float> rows; at real scale file splits make it a no-op cost.
+    return (
+        emb.repartition(default_parallelism())
+        .select(F.col("vec_id").alias(id_alias), F.posexplode("embedding").alias("pos", "x"))
+        .select(id_alias, "pos", F.col("x").cast("double").alias("x"))
+    )
 
 
 # DuckDB: unnest(generate_series(...)) in the SELECT list expands rows
@@ -374,9 +383,21 @@ def q59_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.probe_id", "c.cand_id")
         .agg(F.sum(prod.cast("decimal(28,12)")).cast("double").alias("dot"))
     )
-    norms = cand.groupBy("cand_id").agg(
-        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
-    ).withColumnRenamed("cand_id", "vec_id")
+    # Norms fold over the array in place — no explode, no shuffle. The
+    # decimal terms are identical to the oracle's exploded SUM and decimal
+    # addition is exact, so the fold order can't change the result.
+    norms = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("decimal(28,12)"),
+                lambda acc, x: (
+                    acc + (x.cast("double") * x.cast("double")).cast("decimal(28,12)")
+                ).cast("decimal(28,12)"),
+            ).cast("double")
+        ).alias("nrm"),
+    )
     scored = (
         dots.join(F.broadcast(norms).alias("np"), F.col("np.vec_id") == F.col("probe_id"))
         .join(F.broadcast(norms).alias("nc"), F.col("nc.vec_id") == F.col("cand_id"))

@@ -435,7 +435,12 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane count — the standard ANN trade.
     """
     tune_session(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    from ..session import default_parallelism
+
+    # Same staging rationale as datapipe._exploded_embeddings: spread the
+    # compact vectors before exploding so bucket signs + dot products run
+    # cluster-wide instead of inside a one-task scan stage.
+    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
