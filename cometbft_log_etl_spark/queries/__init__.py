@@ -56,6 +56,7 @@ def _load_all() -> None:
     from . import log_pipeline  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import neardup  # noqa: F401
+    from . import olap  # noqa: F401
     from . import relational  # noqa: F401
     from . import scalars  # noqa: F401
     from . import temporal  # noqa: F401

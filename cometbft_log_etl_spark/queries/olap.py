@@ -1,0 +1,318 @@
+"""OLAP breadth beyond the reference's hand-rolled surface.
+
+The reference builds its single rollup by hand (network-latency's
+per-pair × message_type histograms plus a synthetic "overall" row,
+/root/reference/ossplugins/network-latency/processor.go:559-643) and has
+no cube/grouping-sets, no approximate distinct, no generic window
+battery. A complete engine exposes these natively — on Spark they are
+single declarative operators that Catalyst turns into shared-scan
+partial aggregations, which is exactly what a 100 TB reporting layer
+needs (one shuffle for all grouping sets instead of one job per level).
+
+Determinism: GROUPING() markers disambiguate NULL-as-subtotal from
+NULL-as-value identically in Spark and DuckDB; sums use the exact
+decimal path from queries/_det.py; window orderings carry a unique
+tiebreaker wherever row identity affects output values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+from ._det import dsum, sql_dsum
+
+
+@register(
+    "q11_rollup_native",
+    tags=("olap", "rollup"),
+    oracle=f"""
+SELECT
+  coalesce(n.n_name, '(all)') AS nation,
+  coalesce(o.o_orderpriority, '(all)') AS priority,
+  GROUPING(n.n_name) AS g_nation,
+  GROUPING(o.o_orderpriority) AS g_priority,
+  count(*) AS n_orders,
+  {sql_dsum('o.o_totalprice')} AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+""",
+)
+def q11_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP: (nation, priority) → (nation) → grand total.
+
+    The engine-level version of the reference's hand-made
+    message_type→'overall' rollup: one shuffle computes every level via
+    partial aggregation instead of a union of per-level jobs.
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.grouping("n_name").alias("g_nation"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_nation",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "q12_cube_native",
+    tags=("olap", "cube"),
+    oracle=f"""
+SELECT
+  coalesce(l_returnflag, '(all)') AS returnflag,
+  coalesce(l_linestatus, '(all)') AS linestatus,
+  GROUPING(l_returnflag) AS g_flag,
+  GROUPING(l_linestatus) AS g_status,
+  count(*) AS n_items,
+  {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q12_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE over two dimensions — all 4 grouping sets, one shuffle."""
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q13_grouping_sets",
+    tags=("olap", "grouping-sets"),
+    oracle=f"""
+SELECT
+  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+  coalesce(o_orderpriority, '(all)') AS priority,
+  count(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+""",
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: two independent summaries in one pass."""
+    tune_session(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT
+          coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+          coalesce(o_orderpriority, '(all)') AS priority,
+          count(*) AS n_orders,
+          {sql_dsum("o_totalprice")} AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "q14_approx_distinct",
+    tags=("olap", "approx"),
+    oracle="""
+WITH ex AS (
+  SELECT o_orderpriority,
+         count(DISTINCT o_custkey) AS exact_customers,
+         approx_count_distinct(o_custkey) AS approx_raw
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, exact_customers,
+       abs(CAST(approx_raw AS DOUBLE) - exact_customers) / exact_customers <= 0.10
+         AS approx_within_10pct
+FROM ex
+""",
+)
+def q14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count with a cross-engine tolerance contract.
+
+    Spark's HLL++ and DuckDB's HLL produce different raw estimates, so
+    the hashed column is the INVARIANT both engines must satisfy: the
+    estimate lands within 10% of the exact count. At 100 TB the approx
+    path is the only affordable one (fixed-size sketch, map-side
+    partial merge, no shuffle of distinct values).
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders")
+    ex = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey").alias("approx_raw"),
+    )
+    return ex.select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_raw").cast("double") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.10
+        ).alias("approx_within_10pct"),
+    )
+
+
+@register(
+    "q15_topk_per_group",
+    tags=("olap", "window", "topk"),
+    oracle="""
+SELECT n_name, c_custkey, acctbal_cents, rk FROM (
+  SELECT n.n_name, c.c_custkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rk <= 3
+""",
+)
+def q15_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group — the window-rank idiom (rank pushdown at
+    scale: Spark 3.5+ inserts a per-partition WindowGroupLimit so only k
+    rows per group survive the map side of the shuffle)."""
+    tune_session(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ranked = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.select(
+        "n_name",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        "rk",
+    )
+
+
+@register(
+    "q16_window_battery",
+    tags=("olap", "window"),
+    oracle="""
+SELECT
+  o_orderkey,
+  o_custkey,
+  price_cents,
+  lag(price_cents) OVER w AS prev_cents,
+  lead(price_cents) OVER w AS next_cents,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
+  sum(price_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS running_cents
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_custkey < 200
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+)
+def q16_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank/dense_rank/running-sum in one pass over one window
+    partitioning — one shuffle serves all five functions. Ranks order by
+    a tie-heavy key (rank semantics are tie-stable); value-carrying
+    functions order by the unique o_orderkey."""
+    tune_session(spark)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        )
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.lag("price_cents").over(w).alias("prev_cents"),
+        F.lead("price_cents").over(w).alias("next_cents"),
+        F.rank().over(wp).alias("prio_rank"),
+        F.dense_rank().over(wp).alias("prio_dense"),
+        F.sum("price_cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "running_cents"
+        ),
+    )
+
+
+@register(
+    "q17_set_ops",
+    tags=("olap", "setops"),
+    oracle="""
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+big_spenders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+SELECT 'intersect' AS op, count(*) AS n FROM (
+  SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders
+)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+  SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders
+)
+""",
+)
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — the set operators the reference never grew
+    (SURVEY.md §2.7 'No intersect/except'). Both compile to join-based
+    plans (left-semi / left-anti over distinct keys)."""
+    tune_session(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    inter = building.intersect(big).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = building.subtract(big).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
