@@ -29,6 +29,33 @@ def stream_log_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def stream_dedup_lines(spark: SparkSession, path: str, watermark: str = "1 minute") -> DataFrame:
+    """Streaming exact dedup of raw log lines by content hash.
+
+    The training-data-pipeline shape (dedup before any parsing):
+    `dropDuplicatesWithinWatermark` keys state on a 32-byte sha256 of
+    the line and expires it once the event-time watermark passes —
+    bounded state, unlike plain `dropDuplicates` whose key set grows
+    forever. Duplicates arriving within the watermark window are
+    suppressed; the first occurrence always survives.
+
+    Lines whose JSON lacks a parseable `ts` are dropped here (they
+    carry no event time to watermark on); the batch path drops them
+    later at the tag peek anyway (dispatcher.go:74-77 semantics).
+    """
+    from ..functions.scalars import parse_rfc3339
+
+    lines = stream_log_lines(spark, path)
+    return (
+        lines.withColumn("event_time", parse_rfc3339(F.get_json_object("value", "$.ts")))
+        .filter(F.col("event_time").isNotNull())
+        .withColumn("line_hash", F.sha2(F.col("value").cast("binary"), 256))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["line_hash"])
+        .drop("line_hash")
+    )
+
+
 def stream_raw_events(spark: SparkSession, path: str) -> DataFrame:
     """ParseStream parity: streaming tag-dispatch, no enrichment."""
     return parse_raw(stream_log_lines(spark, path))

@@ -139,3 +139,56 @@ def test_streaming_unmatched_after_watermark(spark, tmp_path_factory):
     # the scenario loses one precommit vote per height (2 heights)
     assert un.count() == 2
     assert un.filter(F.col("received_time").isNotNull()).count() == 0
+
+
+def test_stream_dedup_lines(spark, tmp_path_factory):
+    """Duplicated input lines collapse to one; downstream normalize parity."""
+    from cometbft_log_etl_spark.operators.normalize import normalize
+    from cometbft_log_etl_spark.sources.logs import parse_raw
+    from cometbft_log_etl_spark.streaming.ingest import stream_dedup_lines
+
+    d = tmp_path_factory.mktemp("dup-logs")
+    sc = build_scenario(heights=3)
+    write_logs(sc, str(d))
+    # Double every line of every file — exact duplicates, same file.
+    for fn in os.listdir(str(d)):
+        p = os.path.join(str(d), fn)
+        with open(p) as f:
+            body = f.read()
+        with open(p, "w") as f:
+            f.write(body + body)
+
+    deduped = stream_dedup_lines(spark, str(d))
+    out = _run_to_memory(deduped, "t_dedup", spark)
+
+    # Lines without a parseable ts carry no event time to watermark on —
+    # stream_dedup_lines drops them (the batch tag-peek drops them later
+    # anyway), so the parity universe is timestamped lines only.
+    batch_lines = spark.read.text(f"{d}/*.log").filter(
+        F.get_json_object("value", "$.ts").isNotNull()
+    )
+    n_distinct = batch_lines.distinct().count()
+    assert out.count() == n_distinct
+    # doubling plus the scenario's naturally repeated lines both collapse
+    assert batch_lines.count() >= 2 * out.count()
+
+    # Stream/batch dedup parity through the SAME downstream transforms.
+    # (Not compared against sc.expected: the scenario deliberately
+    # contains semantically-meaningful duplicate gossip lines — the P7f
+    # duplicate-traffic fixtures — which content dedup collapses.)
+    def _counts(df):
+        norm = normalize(parse_raw(df.select("value", "file_path")))
+        return {
+            r.event_type: r.n
+            for r in norm.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+
+    from pyspark.sql import functions as SF
+
+    batch_ded = (
+        spark.read.text(f"{d}/*.log")
+        .select("value", SF.input_file_name().alias("file_path"))
+        .filter(SF.get_json_object("value", "$.ts").isNotNull())
+        .dropDuplicates(["value"])
+    )
+    assert _counts(out) == _counts(batch_ded)
