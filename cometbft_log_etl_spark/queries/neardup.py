@@ -494,3 +494,67 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 5).select(
         "probe_id", "cand_id", "bucket", F.round("cosine", 9).alias("cosine"), "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# q66 — bounded edit-distance verification tier
+
+
+@register(
+    "q66_edit_distance",
+    tags=("datapipe", "dedup", "levenshtein"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 100 AS size_block,
+         substr(text, 1, 120) AS head
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist,
+       round(1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+                   / greatest(len(a.head), len(b.head)), 9) AS similarity
+FROM d a
+JOIN d b ON a.lang = b.lang AND a.size_block = b.size_block
+        AND a.doc_id < b.doc_id
+WHERE 1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+            / greatest(len(a.head), len(b.head)) >= 0.3
+""",
+)
+def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification on blocked candidate pairs.
+
+    The expensive-but-precise tier that sits AFTER cheap candidate
+    generation (MinHash bands q55 / blocking q57): Levenshtein is
+    O(len²) per pair, so it only ever runs on pairs a blocking key has
+    already bounded, and only on a fixed 120-char prefix — per-pair cost
+    is a constant, making the stage linear in candidate count at 100 TB.
+    Spark and DuckDB implement the identical classic Levenshtein, so the
+    distance is cross-engine exact.
+    """
+    tune_session(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("size_block"),
+        F.substring("text", 1, 120).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.size_block") == F.col("b.size_block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length(F.col("a.head")), F.length(F.col("b.head"))
+    )
+    return (
+        pairs.filter(sim >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("edit_dist"),
+            F.round(sim, 9).alias("similarity"),
+        )
+    )

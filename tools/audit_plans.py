@@ -36,6 +36,15 @@ EXPECTATIONS = {
     "q23_sessionization": {"codegen": True, "max_scan_cols": 6},
     "q26_latency_histogram": {"codegen": True, "max_scan_cols": 6},
     "q59_cosine_topk": {"codegen": True, "broadcasts": 2, "no_smj": True},
+    # one shuffle computes every rollup/cube level (Expand, not a union
+    # of per-level jobs), dims broadcast
+    "q11_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
+    "q12_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
+    # rank-limit pushdown: only k rows per group survive the map side
+    "q15_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
+    # the codegen'd explode+partial-agg staging (the HOF formulation had
+    # no codegen span at all — see _minhash_sigs docstring)
+    "q55_minhash_lsh": {"codegen": True, "max_scan_cols": 2},
 }
 
 
@@ -65,6 +74,9 @@ def audit(spark, sf_dir: str) -> list[str]:
             failures.append(f"{name}: {n_broadcast} broadcast joins (expected >= {want_b})")
         if exp.get("no_smj") and "SortMergeJoin" in plan:
             failures.append(f"{name}: SortMergeJoin appeared where broadcast was expected")
+        for needle in exp.get("contains", ()):
+            if needle not in plan:
+                failures.append(f"{name}: expected physical operator {needle!r} missing")
     return failures
 
 
