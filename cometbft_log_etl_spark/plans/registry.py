@@ -62,11 +62,23 @@ def plugins() -> dict[str, PluginFn]:
 
 
 def run_plugins(events: DataFrame, enabled: list[str] | None = None) -> dict[str, DataFrame]:
-    """Run each enabled plugin; returns the union of their result tables."""
+    """Run each enabled plugin; returns the union of their result tables.
+
+    An enabled-but-unregistered name is warned about and skipped, never
+    fatal — the reference tolerates configured premium/custom plugins
+    that aren't linked into the binary (pkg/pluginloader/loader.go:38-45).
+    """
+    import logging
+
     reg = plugins()
-    names = list(enabled) if enabled is not None else [n for n in DEFAULT_ENABLED if n in reg]
+    names = list(enabled) if enabled is not None else list(DEFAULT_ENABLED)
     out: dict[str, DataFrame] = {}
     for name in names:
+        if name not in reg:
+            logging.getLogger(__name__).warning(
+                "plugin %r not found in registry; continuing without it", name
+            )
+            continue
         for table, df in reg[name](events).items():
             if table in out:
                 raise ValueError(f"plugin {name!r} re-emits table {table!r}")

@@ -238,3 +238,14 @@ def test_tracer_events_union(results):
     assert df.count() == consensus_n + p2p_n
     ts = [r.timestamp for r in df.select("timestamp").limit(2000).collect()]
     assert ts == sorted(ts)
+
+
+def test_unknown_plugin_skipped(spark, tmp_path_factory):
+    """Enabled-but-unregistered plugin names warn and skip, never raise
+    (reference pkg/pluginloader/loader.go:38-45 premium tolerance)."""
+    sc = build_scenario(heights=2)
+    d = tmp_path_factory.mktemp("tolerance-logs")
+    write_logs(sc, str(d))
+    events = etl_events(spark, str(d))
+    out = run_plugins(events, enabled=["vote-latency", "anomaly-detection"])
+    assert set(out) == {"vote_latencies"}
