@@ -31,13 +31,20 @@ def etl_events(
     """
     from pyspark import StorageLevel
 
+    from .session import default_parallelism
+
     tune_session(spark)
     raw = read_raw_events(spark, log_dir)
     if persist_raw:
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     events = normalize(raw)
     ids = file_identities(raw, strict=strict)
-    return attach_metadata(events, ids, strict=strict)
+    out = attach_metadata(events, ids, strict=strict)
+    # The 8-family union multiplies partition count 8× (one set per
+    # branch); every downstream job over the cached events would pay that
+    # task-scheduling tax on each scan. Coalesce (narrow, no shuffle)
+    # back to cluster parallelism: same work in fewer, fuller tasks.
+    return out.coalesce(default_parallelism())
 
 
 def write_events(

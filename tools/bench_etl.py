@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""ETL throughput bench: lines/sec through the full main()-parity
+pipeline (parse → normalize → identity enrichment → all 9 plugins).
+
+The reference processes a log directory single-threaded with full
+in-memory materialization (/root/reference/main.go:46-79); this measures
+the Spark pipeline on the same shape of input at a configurable scale.
+
+Usage: python tools/bench_etl.py [heights] [repeat_files]
+
+`heights` scales lines per node file; `repeat_files` clones the 4-node
+scenario into 4*repeat_files files (more files = more scan parallelism,
+the realistic many-node layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    heights = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from cometbft_log_etl_spark.pipeline import etl_events
+    from cometbft_log_etl_spark.plans.registry import run_plugins
+    from cometbft_log_etl_spark.session import get_spark
+    from tests.fixtures import build_scenario, write_logs
+
+    work = tempfile.mkdtemp(prefix="etl-bench-")
+    try:
+        sc = build_scenario(heights=heights)
+        base = os.path.join(work, "base")
+        write_logs(sc, base)
+        logdir = os.path.join(work, "logs")
+        os.makedirs(logdir)
+        # clone node files so the scan has many input files (node ids stay
+        # distinct per file name; identities are captured per file)
+        for r in range(repeat):
+            for fn in os.listdir(base):
+                shutil.copy(
+                    os.path.join(base, fn), os.path.join(logdir, f"r{r}_{fn}")
+                )
+        n_lines = sum(
+            sum(1 for _ in open(os.path.join(logdir, f))) for f in os.listdir(logdir)
+        )
+
+        spark = get_spark(app_name="bench-etl")
+        t0 = time.time()
+        events = etl_events(spark, logdir).cache()
+        n_events = events.count()
+        t_etl = time.time() - t0
+
+        t1 = time.time()
+        tables = run_plugins(events)
+        counts = {name: df.count() for name, df in tables.items()}
+        t_plugins = time.time() - t1
+
+        print(
+            json.dumps(
+                {
+                    "metric": "etl_pipeline",
+                    "n_lines": n_lines,
+                    "n_events": n_events,
+                    "etl_sec": round(t_etl, 2),
+                    "etl_lines_per_sec": round(n_lines / t_etl),
+                    "plugins_sec": round(t_plugins, 2),
+                    "total_sec": round(t_etl + t_plugins, 2),
+                    "result_rows": sum(counts.values()),
+                    "n_result_tables": len(counts),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
