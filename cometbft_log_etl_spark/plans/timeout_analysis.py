@@ -102,6 +102,13 @@ def _enriched_timeouts(events: DataFrame) -> DataFrame:
 
 
 def _clusters(timeouts: DataFrame) -> DataFrame:
+    # Deliberately a GLOBAL-order window: the reference keeps ONE
+    # currentCluster across all nodes in global time order
+    # (updateTimeoutClusters :180-199 — state is processor-wide, not
+    # per-node). Scale note: this single-partition window only ever sees
+    # scheduled-timeout events (a tiny filtered slice of the corpus), so
+    # the serial section is bounded; a per-node partitioning would be
+    # parallel but computes a DIFFERENT (non-faithful) clustering.
     w = W.orderBy("timestamp")
     flagged = (
         timeouts.withColumn("_prev_ts", F.lag("timestamp").over(w))
