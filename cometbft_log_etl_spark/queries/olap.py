@@ -316,3 +316,66 @@ def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except").alias("op"), "n"
     )
     return inter.unionByName(exc)
+
+
+@register(
+    "q18_approx_quantile",
+    tags=("olap", "approx", "sketch"),
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+ex AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(c, 0.5) AS BIGINT) AS exact_p50,
+         CAST(quantile_disc(c, 0.95) AS BIGINT) AS exact_p95,
+         CAST(approx_quantile(c, 0.5) AS BIGINT) AS ap50,
+         CAST(approx_quantile(c, 0.95) AS BIGINT) AS ap95,
+         count(*) AS n
+  FROM cents GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, exact_p50, exact_p95,
+       abs(CAST(ap50 AS DOUBLE) - exact_p50) / exact_p50 <= 0.05 AS p50_within_5pct,
+       abs(CAST(ap95 AS DOUBLE) - exact_p95) / exact_p95 <= 0.05 AS p95_within_5pct
+FROM ex
+""",
+)
+def q18_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketches under a cross-engine tolerance contract.
+
+    Spark's Greenwald-Khanna sketch and DuckDB's t-digest give different
+    raw estimates, so — like q14's HLL — the hashed columns are the
+    exact discrete quantiles plus booleans asserting each engine's
+    sketch lands within 5% of ITS OWN exact answer. Sketches are the
+    100 TB path: fixed memory, map-side mergeable, one shuffle of
+    sketch state instead of a sort of the column.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.percentile("c", 0.5).cast("bigint").alias("_ep50_raw"),
+        F.percentile("c", 0.95).cast("bigint").alias("_ep95_raw"),
+        F.expr("percentile_approx(c, 0.5)").cast("bigint").alias("_ap50"),
+        F.expr("percentile_approx(c, 0.95)").cast("bigint").alias("_ap95"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").cast("bigint").alias("exact_p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)").cast("bigint").alias("exact_p95"),
+    )
+    return ex.select(
+        "l_returnflag",
+        "n",
+        "exact_p50",
+        "exact_p95",
+        (
+            F.abs(F.col("_ap50").cast("double") - F.col("exact_p50")) / F.col("exact_p50")
+            <= 0.05
+        ).alias("p50_within_5pct"),
+        (
+            F.abs(F.col("_ap95").cast("double") - F.col("exact_p95")) / F.col("exact_p95")
+            <= 0.05
+        ).alias("p95_within_5pct"),
+    )
