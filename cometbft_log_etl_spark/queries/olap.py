@@ -379,3 +379,60 @@ def q18_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("p95_within_5pct"),
     )
+
+
+@register(
+    "q19_correlated_subquery",
+    tags=("olap", "subquery"),
+    oracle="""
+SELECT o_orderkey, o_custkey, price_cents
+FROM (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+         o.o_totalprice
+  FROM orders o
+  WHERE o.o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+    AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+        )
+)
+""",
+)
+def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS in one query.
+
+    Orders priced above 2× their customer's own average that also ship a
+    near-max-quantity item. Catalyst de-correlates both: the scalar
+    subquery becomes an aggregate + join on the correlation key, the
+    EXISTS a left-semi join — no per-row re-execution anywhere, which is
+    what makes correlated predicates viable at 100 TB. (The avg is used
+    only as a same-engine filter threshold, never output, so float
+    aggregation order cannot affect the emitted rows: order-dependent
+    double error is ~1e-12 of the values while thresholds sit far from
+    any order's total.)
+    """
+    tune_session(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, price_cents
+        FROM (
+          SELECT o.o_orderkey, o.o_custkey,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM _sq_orders o
+          WHERE o.o_totalprice > 2 * (
+                  SELECT avg(o2.o_totalprice) FROM _sq_orders o2
+                  WHERE o2.o_custkey = o.o_custkey
+                )
+            AND EXISTS (
+                  SELECT 1 FROM _sq_lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+                )
+        )
+        """
+    )
