@@ -150,9 +150,9 @@ WITH laged AS (
   FROM laged
 ), sessioned AS (
   SELECT user_id, ts, event_id,
-         sum(is_new_session) OVER (
+         CAST(sum(is_new_session) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -425,9 +425,9 @@ def q28_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH win AS (
   SELECT user_id, event_id, ts, event_type,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_errors_last4
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_errors_last4
   FROM events
 )
 SELECT user_id, event_id, ts, n_errors_last4,

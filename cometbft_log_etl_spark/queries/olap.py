@@ -239,8 +239,8 @@ SELECT
   lead(price_cents) OVER w AS next_cents,
   rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
   dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
-  sum(price_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS running_cents
+  CAST(sum(price_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS running_cents
 FROM (
   SELECT o_orderkey, o_custkey, o_orderpriority,
          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

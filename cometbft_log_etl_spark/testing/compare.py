@@ -97,6 +97,23 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareRe
         res.ok = False
         res.errors.append(f"row count mismatch: spark={len(s)} oracle={len(o)}")
         return res
+    # Dtype-family strictness: the driver's value hash renders 1 (BIGINT)
+    # and 1.0 (HUGEINT→float64) differently, so an int column on one side
+    # and a float column on the other hash-mismatches even when every value
+    # is numerically equal (round-1 q16/q23/q29 root cause). Catch that
+    # here instead of coercing through float() below. Skipped for empty
+    # frames (no values → driver hash trivially matches).
+    if len(s):
+        for c in s.columns:
+            ks, ko = _dtype_family(s[c]), _dtype_family(o[c])
+            if ks != ko:
+                res.ok = False
+                res.errors.append(
+                    f"col {c!r} dtype-family mismatch: spark={s[c].dtype} ({ks}) "
+                    f"oracle={o[c].dtype} ({ko}) — driver hash distinguishes int vs float"
+                )
+        if not res.ok:
+            return res
     for c in s.columns:
         sv, ov = s[c], o[c]
         for i in range(len(sv)):
@@ -108,6 +125,18 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareRe
             if len(res.errors) >= 8:
                 return res
     return res
+
+
+def _dtype_family(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the family the driver's hash cares about:
+    all integer widths are one family; float is another; bool, object,
+    and everything else keep their numpy kind."""
+    kind = s.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    return kind
 
 
 def _cell_equal(a, b) -> bool:
