@@ -63,6 +63,7 @@ def asof_attach(
     key_cols: list[str],
     value_col: str,
     ts_col: str = "timestamp",
+    mark_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """As-of enrichment: each target row gets the `value_col` of the
     *latest* mark row with the same key and mark.ts <= target.ts.
@@ -75,7 +76,20 @@ def asof_attach(
     window — one shuffle on the key, no join, scales to any number of
     marks per key. Marks sort before targets on timestamp ties (the
     reference would have processed the mark first).
+
+    When several marks share the same (key, ts) the running-last pick is
+    otherwise arbitrary; pass ``mark_tiebreak_col`` (a unique mark
+    column, e.g. an event id) to deterministically keep the highest one
+    per (key, ts) before the window — callers' oracles must apply the
+    same rule.
     """
+    if mark_tiebreak_col is not None:
+        wt = W.partitionBy(*key_cols, ts_col).orderBy(F.col(mark_tiebreak_col).desc())
+        marks = (
+            marks.withColumn("_tie_rn", F.row_number().over(wt))
+            .filter(F.col("_tie_rn") == 1)
+            .drop("_tie_rn")
+        )
     m = marks.select(
         *key_cols, F.col(ts_col).alias("_ts"), F.lit(0).alias("_is_target"), F.col(value_col).alias("_mark")
     )

@@ -392,7 +392,9 @@ FROM (
          o.o_totalprice
   FROM orders o
   WHERE o.o_totalprice > 2 * (
-          SELECT avg(o2.o_totalprice) FROM orders o2
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(o2.o_totalprice)
+          FROM orders o2
           WHERE o2.o_custkey = o.o_custkey
         )
     AND EXISTS (
@@ -409,11 +411,11 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-max-quantity item. Catalyst de-correlates both: the scalar
     subquery becomes an aggregate + join on the correlation key, the
     EXISTS a left-semi join — no per-row re-execution anywhere, which is
-    what makes correlated predicates viable at 100 TB. (The avg is used
-    only as a same-engine filter threshold, never output, so float
-    aggregation order cannot affect the emitted rows: order-dependent
-    double error is ~1e-12 of the values while thresholds sit far from
-    any order's total.)
+    what makes correlated predicates viable at 100 TB. The per-customer
+    average goes through DECIMAL (exact sum ÷ count, the catalog's dmean
+    rule) so the filter threshold is bit-identical across engines at any
+    scale factor — a native double avg would let partial-aggregation
+    order move rows sitting near the 2× boundary.
     """
     tune_session(spark)
     load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
@@ -426,7 +428,9 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
           FROM _sq_orders o
           WHERE o.o_totalprice > 2 * (
-                  SELECT avg(o2.o_totalprice) FROM _sq_orders o2
+                  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(o2.o_totalprice)
+                  FROM _sq_orders o2
                   WHERE o2.o_custkey = o.o_custkey
                 )
             AND EXISTS (

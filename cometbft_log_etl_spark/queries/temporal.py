@@ -88,7 +88,13 @@ SELECT c.event_id,
        CASE WHEN v.ts IS NOT NULL
             THEN (epoch_us(c.ts) - epoch_us(v.ts)) // 1000 END AS ms_since_view
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+) v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """,
 )
@@ -98,7 +104,10 @@ def q65_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implemented as the union + running-last window (one shuffle on
     user_id, no join) — the same plan plans/_matching.asof_attach uses
     for last-writer-wins step-start lookups; the oracle runs DuckDB's
-    NATIVE ASOF JOIN, making this a two-algorithm cross-check.
+    NATIVE ASOF JOIN, making this a two-algorithm cross-check. Views
+    are deduplicated to one per (user_id, ts) keeping the highest
+    event_id on BOTH sides, so same-timestamp ties cannot make the two
+    algorithms diverge.
     """
     from ..plans._matching import asof_attach
 
@@ -109,10 +118,13 @@ def q65_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id",
+        "event_id",
         F.col("ts").alias("timestamp"),
         F.struct(F.col("ts").alias("vts"), F.col("value").alias("vval")).alias("view_mark"),
     )
-    enriched = asof_attach(clicks, views, ["user_id"], "view_mark")
+    enriched = asof_attach(
+        clicks, views, ["user_id"], "view_mark", mark_tiebreak_col="event_id"
+    )
     return enriched.select(
         "event_id",
         "user_id",

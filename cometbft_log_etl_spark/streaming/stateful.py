@@ -81,40 +81,49 @@ def _match_group(
         return
 
     max_us = 0
-    for pdf in pdfs:
-        for row in pdf.sort_values("timestamp").itertuples(index=False):
-            ev_us = _us(row.timestamp)
-            max_us = max(max_us, ev_us)
-            if row.side == "send":
-                if status == "received":
-                    # out-of-order: receive was waiting (processor.go:79-88)
-                    out.append(
-                        {
-                            "match_key": key[0],
-                            "status": "confirmed",
-                            "sent_time": _ts(ev_us),
-                            "received_time": _ts(recv_us),
-                            "latency_ms": (recv_us - ev_us) // 1000,
-                        }
-                    )
-                    status, sent_us = "confirmed", ev_us
-                else:
-                    status, sent_us, recv_us = "sent", ev_us, None
-            else:  # receive
-                if status in ("sent", "confirmed") and sent_us is not None:
-                    # confirm vs latest prior send; duplicates re-confirm
-                    out.append(
-                        {
-                            "match_key": key[0],
-                            "status": "confirmed",
-                            "sent_time": _ts(sent_us),
-                            "received_time": _ts(ev_us),
-                            "latency_ms": (ev_us - sent_us) // 1000,
-                        }
-                    )
-                    status, recv_us = "confirmed", ev_us
-                else:
-                    status, recv_us = "received", ev_us
+    # A key group can span multiple Arrow chunks; sorting each chunk
+    # independently would replay events out of global timestamp order.
+    # Per-key groups are tiny (one live entry per key), so concatenate
+    # and sort once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    batch = (
+        pd.concat(chunks, ignore_index=True).sort_values("timestamp", kind="mergesort")
+        if chunks
+        else pd.DataFrame(columns=["timestamp", "side"])
+    )
+    for row in batch.itertuples(index=False):
+        ev_us = _us(row.timestamp)
+        max_us = max(max_us, ev_us)
+        if row.side == "send":
+            if status == "received":
+                # out-of-order: receive was waiting (processor.go:79-88)
+                out.append(
+                    {
+                        "match_key": key[0],
+                        "status": "confirmed",
+                        "sent_time": _ts(ev_us),
+                        "received_time": _ts(recv_us),
+                        "latency_ms": (recv_us - ev_us) // 1000,
+                    }
+                )
+                status, sent_us = "confirmed", ev_us
+            else:
+                status, sent_us, recv_us = "sent", ev_us, None
+        else:  # receive
+            if status in ("sent", "confirmed") and sent_us is not None:
+                # confirm vs latest prior send; duplicates re-confirm
+                out.append(
+                    {
+                        "match_key": key[0],
+                        "status": "confirmed",
+                        "sent_time": _ts(sent_us),
+                        "received_time": _ts(ev_us),
+                        "latency_ms": (ev_us - sent_us) // 1000,
+                    }
+                )
+                status, recv_us = "confirmed", ev_us
+            else:
+                status, recv_us = "received", ev_us
 
     state.update((status, sent_us, recv_us))
     # flush pendings idle for 2 minutes of event time
