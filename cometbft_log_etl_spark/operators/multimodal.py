@@ -8,17 +8,28 @@ objects. The decode/resize/frame-sample kernels run per-partition via
 ``mapInPandas`` — the only sane shape for large blobs (no row-at-a-time
 Python, no JVM round-trip per object).
 
-The real decoders (PIL / soundfile / pyav) are NOT in this container,
-so `decode_media_real` raises NotImplementedError at the exact
-integration point; `extract_features` is the deterministic stand-in
-(md5-derived pseudo-metadata) that keeps every piece of Spark-side
-plumbing — schema, batch iteration, column pruning, output shape —
-real and testable.
+Two decode tiers share the mapInPandas shape:
+
+- ``decode_media`` — deterministic md5-derived pseudo-metadata; keeps
+  the plumbing (schema, batch iteration, column pruning, output shape)
+  testable without any codec.
+- ``decode_media_real`` — a REAL container-header decoder
+  (``parse_media_header``): PNG / JPEG / GIF / BMP dimensions and WAV
+  sample-rate/sample-count parsed from the actual bytes, pure Python,
+  no external codec libraries. Full pixel/sample decode (PIL /
+  soundfile / pyav) is still out of scope for this container; the
+  header tier is the production integration point and is exercised on
+  genuine container bytes (see ``encode_*`` round-trip helpers and
+  q67_media_header_decode). Corrupt or unrecognized blobs degrade to
+  ``format='unknown'`` with null fields — a 100 TB job must not die on
+  one bad object.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -90,20 +101,178 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 
 
-def decode_media_real(media: DataFrame) -> DataFrame:
-    """Integration point for real decoders.
+REAL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
 
-    Would dispatch per media_type inside mapInPandas:
-      image → PIL.Image.open(io.BytesIO(b)) → size / resize / thumbnail
-      audio → soundfile.read → sample_rate, duration
-      video → av.open → frame sampling at a stride
-    None of those libraries ship in this environment.
+# JPEG start-of-frame markers that carry dimensions (baseline through
+# lossless, excluding DHT/DAC/RST which share the 0xC0 nibble).
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+_FORMAT_MEDIA_TYPE = {"png": "image", "jpeg": "image", "gif": "image", "bmp": "image", "wav": "audio"}
+
+
+def parse_media_header(b: bytes) -> dict:
+    """Sniff + parse a media container header from real bytes.
+
+    Returns ``{"format", "width", "height", "sample_rate", "n_samples"}``
+    with ``None`` for fields the format doesn't carry, and
+    ``format='unknown'`` (all-null fields) for unrecognized or truncated
+    input — never raises. Parses only headers (O(header) per blob, no
+    pixel decode), which is the right cost model for a metadata pass
+    over a 100 TB lake.
     """
-    raise NotImplementedError(
-        "real media decoders (PIL/soundfile/pyav) are not available in "
-        "this container; use decode_media (deterministic stand-in) — the "
-        "Spark plumbing is identical"
+    out = {"format": "unknown", "width": None, "height": None, "sample_rate": None, "n_samples": None}
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            out["format"] = "png"
+            out["width"] = int.from_bytes(b[16:20], "big")
+            out["height"] = int.from_bytes(b[20:24], "big")
+        elif b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in _JPEG_SOF:
+                    if i + 9 <= len(b):
+                        out["format"] = "jpeg"
+                        out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                        out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                    break
+                if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+                    break
+                if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # bare markers
+                    i += 2
+                    continue
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            out["format"] = "gif"
+            out["width"] = int.from_bytes(b[6:8], "little")
+            out["height"] = int.from_bytes(b[8:10], "little")
+        elif b[:2] == b"BM" and len(b) >= 26:
+            out["format"] = "bmp"
+            out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+            out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i, channels, bits, data_size = 12, None, None, None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                csz = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and csz >= 16:
+                    channels = int.from_bytes(b[i + 10 : i + 12], "little")
+                    out["sample_rate"] = int.from_bytes(b[i + 12 : i + 16], "little")
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif cid == b"data":
+                    data_size = csz
+                i += 8 + csz + (csz & 1)
+            if out["sample_rate"]:
+                out["format"] = "wav"
+                if data_size is not None and channels and bits:
+                    out["n_samples"] = data_size // (channels * (bits // 8))
+    except (IndexError, ValueError):
+        out = {"format": "unknown", "width": None, "height": None, "sample_rate": None, "n_samples": None}
+    return out
+
+
+def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [parse_media_header(bytes(c)) for c in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": [
+                    _FORMAT_MEDIA_TYPE.get(p["format"], "unknown") for p in parsed
+                ],
+                "format": [p["format"] for p in parsed],
+                "n_bytes": pdf["content"].map(len),
+                "width": [p["width"] for p in parsed],
+                "height": [p["height"] for p in parsed],
+                "sample_rate": [p["sample_rate"] for p in parsed],
+                "n_samples": [p["n_samples"] for p in parsed],
+            }
+        )
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """Real header decode: content bytes → sniffed format + dimensions.
+
+    Same Arrow-batched mapInPandas shape as ``decode_media``; the
+    media_type is derived from the sniffed format, not trusted from the
+    input tag. Needs only (doc_id, content) — column pruning drops the
+    rest before the Python worker.
+    """
+    return media.select("doc_id", "content").mapInPandas(
+        _real_features, schema=REAL_FEATURE_SCHEMA
     )
+
+
+# --- Round-trip encoders (minimal but structurally valid containers) ---
+# These exist so the real parser can be exercised on genuine bytes
+# without codec libraries: tests and q67_media_header_decode build
+# containers, then decode them back through the production kernel.
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """Complete, spec-valid 8-bit grayscale PNG (CRC'd chunks, zlib IDAT)."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg(width: int, height: int) -> bytes:
+    """JPEG header skeleton: SOI + JFIF APP0 + SOF0 carrying dims + EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """BMP: file header + BITMAPINFOHEADER (24bpp, no pixel data needed
+    for header parsing; row size recorded as if present)."""
+    row = (width * 3 + 3) & ~3
+    pixel_bytes = row * height
+    header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + info
+
+
+def encode_wav(sample_rate: int, n_samples: int) -> bytes:
+    """PCM16 mono WAV with a zeroed data chunk of n_samples."""
+    data = bytes(n_samples * 2)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def sample_frames(features: DataFrame, stride: int = 24) -> DataFrame:

@@ -13,7 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_media, sample_frames, synthesize_media
+from ..operators.multimodal import (
+    decode_media,
+    decode_media_real,
+    encode_bmp,
+    encode_gif,
+    encode_jpeg,
+    encode_png,
+    encode_wav,
+    sample_frames,
+    synthesize_media,
+)
 from ..session import tune_session
 from ..tables import load
 from . import register
@@ -71,4 +81,58 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("height").cast("double") / F.count(F.lit(1))).alias("avg_height"),
         F.max("n_frames").alias("max_frames"),
         F.sum("n_sampled").alias("total_sampled_frames"),
+    )
+
+
+@register(
+    "q67_media_header_decode",
+    tags=("datapipe", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                       WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 5 <= 3 THEN 'image' ELSE 'audio' END AS media_type,
+       CASE WHEN doc_id % 5 <= 3 THEN doc_id % 64 + 1 END AS width,
+       CASE WHEN doc_id % 5 <= 3 THEN doc_id % 48 + 1 END AS height,
+       CASE WHEN doc_id % 5 = 4 THEN 8000 + (doc_id % 4) * 4000 END AS sample_rate,
+       CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 400 END AS n_samples
+FROM documents
+""",
+)
+def q67_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-header decode, round-tripped through genuine bytes.
+
+    Each document becomes an actual PNG / JPEG / GIF / BMP / WAV blob
+    (spec-valid containers built by operators/multimodal.encode_*, dims
+    a deterministic function of doc_id), then the production
+    decode_media_real kernel sniffs and parses the bytes back. The
+    oracle predicts the same values arithmetically, so a pass proves
+    the byte-level parser — not the synthesizer — is correct. Both the
+    encode and decode steps are Arrow-batched mapInPandas; at lake
+    scale the encode step is replaced by reading the binary column.
+    """
+    import pandas as pd
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        encoders = (
+            lambda d: encode_png(d % 64 + 1, d % 48 + 1),
+            lambda d: encode_jpeg(d % 64 + 1, d % 48 + 1),
+            lambda d: encode_gif(d % 64 + 1, d % 48 + 1),
+            lambda d: encode_bmp(d % 64 + 1, d % 48 + 1),
+            lambda d: encode_wav(8000 + (d % 4) * 4000, 100 + d % 400),
+        )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [encoders[d % 5](int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
+    return decode_media_real(media).select(
+        "doc_id", "format", "media_type", "width", "height", "sample_rate", "n_samples"
     )
