@@ -15,6 +15,15 @@ Scale shape: everything is hash → shuffle-on-short-key → bucket-local
 work. Candidate generation never compares all pairs: MinHash bands,
 blocking keys, and LSH buckets bound the join fan-out; only
 within-bucket pairs are scored.
+
+Degenerate-bucket guard: a boilerplate-heavy corpus (mass-identical
+docs) would put millions of members in ONE bucket and go quadratic
+there regardless of plan shape. Both LSH tiers therefore cap each
+bucket to its ``_BUCKET_CAP`` lowest-id members before pair expansion —
+an explicit, deterministic recall knob mirrored exactly in the DuckDB
+oracles. The cap is a rank-filter, which Spark rewrites to a map-side
+WindowGroupLimit: oversized buckets are truncated before the shuffle,
+so neither memory nor pair count can blow up on one key.
 """
 
 from __future__ import annotations
@@ -38,6 +47,11 @@ _MH_P = 2_147_483_647  # 2^31 - 1
 _MH_A = (1_103_515_245, 1_234_567_891, 987_654_323, 705_234_569,
          452_930_477, 193_877_777, 122_949_829, 98_765_431)
 _MH_B = (12_345, 67_891, 24_681, 13_579, 86_421, 97_531, 11_111, 77_777)
+
+# Max members considered per LSH bucket (deterministic lowest-id keep).
+# Bounds per-bucket pair expansion at C(cap, 2) no matter how skewed the
+# corpus; raise for recall, lower for worst-case cost.
+_BUCKET_CAP = 64
 
 
 def _h32_expr(c: F.Column) -> F.Column:
@@ -104,11 +118,7 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q55_minhash_lsh",
-    headline=True,
-    tags=("datapipe", "dedup", "minhash"),
-    oracle=f"""
+_Q55_ORACLE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
@@ -135,30 +145,39 @@ bh AS (
          md5(CAST(sig[2 * band + 1] AS VARCHAR) || ',' || CAST(sig[2 * band + 2] AS VARCHAR)) AS bucket
   FROM bands
 ),
+bhc AS (
+  -- degenerate-bucket guard: same deterministic lowest-doc_id cap as
+  -- the Spark side (neardup._BUCKET_CAP)
+  SELECT doc_id, sig, band, bucket FROM (
+    SELECT doc_id, sig, band, bucket,
+           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+    FROM bh
+  ) WHERE rn <= {_BUCKET_CAP}
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          count(*) AS n_shared_bands,
          any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
-  FROM bh a JOIN bh b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  FROM bhc a JOIN bhc b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_shared_bands,
        CAST(len(list_filter(generate_series(1, {_MINHASH_K}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
          / {_MINHASH_K} AS est_jaccard
 FROM pairs
-""",
-)
-def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash near-dup candidates via LSH banding.
+"""
 
-    shingle(word-3-gram) → K=8 minhashes → 4 bands of 2 → bucket join.
-    The self-join keys on (band, bucket-hash): at 100 TB the shuffle key
-    is 16 bytes and only same-bucket docs ever meet; the signature
-    agreement fraction estimates Jaccard without touching the text
-    again.
+
+def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Band a (doc_id, sig) frame and expand capped bucket-local pairs.
+
+    One shuffle on (band, bucket); each bucket is truncated to its
+    ``cap`` lowest-doc_id members FIRST (rank-filter → map-side
+    WindowGroupLimit), then pairs are generated inside the bucket
+    array — so a bucket of a million identical docs costs C(cap, 2)
+    pairs, not C(1e6, 2). Returns one row per (doc_a, doc_b) with
+    n_shared_bands and both signatures.
     """
-    tune_session(spark)
-    sigs = _minhash_sigs(load(spark, sf_dir, "documents"))
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -178,11 +197,14 @@ def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket-local pair expansion instead of a self-join: one shuffle on
     # (band, bucket), signatures computed ONCE (a self-join would replay
     # the whole minhash pipeline on both sides), pairs generated inside
-    # each bucket array. Bucket sizes are the LSH design knob — a
-    # pathological all-duplicates corpus makes O(n²) pairs regardless of
-    # plan shape.
+    # each bucket array, capped at `cap` members per bucket (see module
+    # docstring — the degenerate-bucket guard).
+    wrank = W.partitionBy("band", "bucket").orderBy("doc_id")
     members = (
-        banded.groupBy("band", "bucket")
+        banded.withColumn("_rn", F.row_number().over(wrank))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
@@ -200,7 +222,7 @@ def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         members.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .groupBy("doc_a", "doc_b")
@@ -210,6 +232,26 @@ def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("sig_b")).alias("sig_b"),
         )
     )
+
+
+@register(
+    "q55_minhash_lsh",
+    headline=True,
+    tags=("datapipe", "dedup", "minhash"),
+    oracle=_Q55_ORACLE,
+)
+def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup candidates via LSH banding.
+
+    shingle(word-3-gram) → K=8 minhashes → 4 bands of 2 → bucket join.
+    The pair expansion keys on (band, bucket-hash): at 100 TB the
+    shuffle key is 16 bytes and only same-bucket docs ever meet (capped
+    per bucket); the signature agreement fraction estimates Jaccard
+    without touching the text again.
+    """
+    tune_session(spark)
+    sigs = _minhash_sigs(load(spark, sf_dir, "documents"))
+    pairs = lsh_band_pairs(sigs)
     agree = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(_MINHASH_K)),
@@ -391,7 +433,16 @@ def _bucket_sql(src_filter: str, id_alias: str) -> str:
     tags=("datapipe", "similarity", "lsh"),
     oracle=f"""
 WITH pb AS ({_bucket_sql("WHERE vec_id < 3", "probe_id")}),
-cb AS ({_bucket_sql("", "cand_id")}),
+cb_all AS ({_bucket_sql("", "cand_id")}),
+cb AS (
+  -- degenerate-bucket guard: cap candidates per cell, lowest-id keep
+  -- (mirrors the Spark side's neardup._BUCKET_CAP rank filter)
+  SELECT cand_id, bucket FROM (
+    SELECT cand_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY cand_id) AS rn
+    FROM cb_all
+  ) WHERE rn <= {_BUCKET_CAP}
+),
 cand_pairs AS (
   SELECT pb.probe_id, cb.cand_id, pb.bucket
   FROM pb JOIN cb ON pb.bucket = cb.bucket AND pb.probe_id <> cb.cand_id
@@ -429,7 +480,8 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Random-hyperplane signs (±1 weights derived from md5(plane:dim) —
     reproducible, no RNG) bucket every vector into one of 2^8 cells;
-    probes only score candidates in THEIR cell. At 100 TB the exact
+    probes only score candidates in THEIR cell, capped at _BUCKET_CAP
+    per cell (lowest-id keep). At 100 TB the exact
     cosine join touches ~1/256 of the corpus per probe instead of all
     of it; recall grows with multi-probe or more tables, cost with
     plane count — the standard ANN trade.
@@ -463,7 +515,16 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.select(id_alias, code.alias("bucket"))
 
     pb = buckets(elems.filter(F.col("vec_id") < 3), "probe_id")
-    cb = buckets(elems, "cand_id")
+    # Degenerate-bucket guard: cap candidates per cell (lowest-id keep,
+    # rank filter → map-side WindowGroupLimit) so one boilerplate-heavy
+    # cell can't make every probe score millions of candidates.
+    wcap = W.partitionBy("bucket").orderBy("cand_id")
+    cb = (
+        buckets(elems, "cand_id")
+        .withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
+    )
     cand_pairs = F.broadcast(pb).join(cb, "bucket").filter(F.col("probe_id") != F.col("cand_id"))
 
     p, c = elems.alias("p"), elems.alias("c")

@@ -1,0 +1,49 @@
+"""Degenerate-bucket guard: a boilerplate corpus of identical documents
+must produce a BOUNDED pair count (C(cap, 2), not C(n, 2)) through the
+LSH banding tier, and the cap must keep the deterministic lowest-id
+members so the DuckDB oracles can mirror it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.queries.neardup import (
+    _BANDS,
+    _BUCKET_CAP,
+    _minhash_sigs,
+    lsh_band_pairs,
+)
+
+N_DOCS = 1000
+_TEXT = "the same boilerplate sentence repeated across every document in the corpus"
+
+
+def _identical_docs(spark):
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"), F.lit(_TEXT).alias("text")
+    )
+
+
+def test_identical_corpus_pair_count_is_capped(spark):
+    sigs = _minhash_sigs(_identical_docs(spark))
+    pairs = lsh_band_pairs(sigs).cache()
+    try:
+        n_pairs = pairs.count()
+        # identical docs → identical sigs → every band collides; the cap
+        # keeps doc_ids 0..cap-1, so exactly C(cap, 2) distinct pairs,
+        # each seen in all bands — NOT C(1000, 2) = 499500.
+        assert n_pairs == _BUCKET_CAP * (_BUCKET_CAP - 1) // 2
+        assert pairs.agg(F.min("n_shared_bands")).first()[0] == _BANDS
+        assert pairs.agg(F.max(F.greatest("doc_a", "doc_b"))).first()[0] == _BUCKET_CAP - 1
+    finally:
+        pairs.unpersist()
+
+
+def test_cap_keeps_lowest_ids_deterministically(spark):
+    sigs = _minhash_sigs(_identical_docs(spark))
+    kept = (
+        lsh_band_pairs(sigs, cap=8)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+    )
+    assert sorted(r.d for r in kept.collect()) == list(range(8))
