@@ -1,7 +1,10 @@
 """CLI entry point — the reference main() workflow on Spark.
 
 Mirrors /root/reference/main.go:24-81 + internal/config/config.go:24-46:
-`-dir` and `-simulation` are required, plugins are config-selectable
+`-dir` is required; `-simulation` defaults to a generated
+`cometbft_sim_<ts>_<rand>` id exactly like the reference's generated
+database name (internal/storage/mongo.go:99-112) — repeated runs never
+clobber each other. Plugins are config-selectable
 (JSON list here instead of the YAML plugin block), and every enabled
 plugin's result tables land under <out>/<simulation>/ — the
 table-per-collection layout with parquet standing in for MongoDB
@@ -23,7 +26,7 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cometbft_log_etl_spark", description=__doc__)
     ap.add_argument("--dir", required=True, help="directory containing per-node NDJSON .log files")
-    ap.add_argument("--simulation", required=True, help="simulation id (output namespace)")
+    ap.add_argument("--simulation", default=None, help="simulation id (output namespace); generated cometbft_sim_<ts>_<rand> when omitted")
     ap.add_argument("--out", required=True, help="output lake root; tables land under <out>/<simulation>/")
     ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
     ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
@@ -31,12 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     args = ap.parse_args(argv)
 
-    from .pipeline import etl_events, write_events
+    from .pipeline import etl_events, generate_sim_id, write_events
     from .plans.registry import run_plugins
     from .session import get_spark
 
-    spark = get_spark(app_name=f"cometbft-log-etl-{args.simulation}", cpus=args.cpus)
-    out_root = f"{args.out.rstrip('/')}/{args.simulation}"
+    sim_id = args.simulation or generate_sim_id()
+    spark = get_spark(app_name=f"cometbft-log-etl-{sim_id}", cpus=args.cpus)
+    out_root = f"{args.out.rstrip('/')}/{sim_id}"
     enabled = args.plugins.split(",") if args.plugins else None
 
     t0 = time.time()

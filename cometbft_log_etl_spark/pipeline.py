@@ -69,23 +69,41 @@ def write_events(
         df.write.mode("overwrite").parquet(path)
 
 
+def generate_sim_id() -> str:
+    """Generated simulation id, `cometbft_sim_<YYYYMMDDTHHMMSS>_<8 hex>` —
+    parity with the reference's generated database name for runs without
+    an explicit simulation id (internal/storage/mongo.go:99-112)."""
+    import secrets
+    import time
+
+    return f"cometbft_sim_{time.strftime('%Y%m%dT%H%M%S')}_{secrets.token_hex(4)}"
+
+
 def run_pipeline(
     spark: SparkSession,
     log_dir: str,
     out_dir: str | None = None,
     plugins: list[str] | None = None,
     strict: bool = True,
+    sim_id: str | None = None,
 ) -> dict[str, DataFrame]:
     """Full fan-out: normalized events + every enabled plugin's result
-    tables (O5/O6 — the single shared scan becomes `events.cache()`)."""
+    tables (O5/O6 — the single shared scan becomes `events.cache()`).
+
+    With an ``out_dir``, tables land under ``<out_dir>/<sim_id>/`` —
+    the reference's database-per-simulation naming (O4), with a
+    generated `cometbft_sim_…` id when none is passed, so repeated runs
+    never clobber each other.
+    """
     from .plans.registry import run_plugins
 
     events = etl_events(spark, log_dir, strict=strict).cache()
     results: dict[str, DataFrame] = {"events": events}
     results.update(run_plugins(events, enabled=plugins))
     if out_dir is not None:
-        write_events(events, out_dir)
+        root = f"{out_dir.rstrip('/')}/{sim_id or generate_sim_id()}"
+        write_events(events, root)
         for name, df in results.items():
             if name != "events":
-                df.write.mode("overwrite").parquet(f"{out_dir.rstrip('/')}/{name}")
+                df.write.mode("overwrite").parquet(f"{root}/{name}")
     return results

@@ -106,3 +106,34 @@ def test_strict_identity_failure(spark, tmp_path):
     raw = read_raw_events(spark, str(bad))
     with pytest.raises(MissingIdentityError):
         file_identities(raw, strict=True)
+
+
+def test_generated_sim_id_pattern():
+    import re
+
+    from cometbft_log_etl_spark.pipeline import generate_sim_id
+
+    a, b = generate_sim_id(), generate_sim_id()
+    pat = r"^cometbft_sim_\d{8}T\d{6}_[0-9a-f]{8}$"
+    assert re.fullmatch(pat, a) and re.fullmatch(pat, b)
+    assert a != b  # repeated runs never clobber each other
+
+
+def test_pipeline_writes_generated_sim_dir(spark, log_dir, tmp_path):
+    """O4 parity: run_pipeline without an explicit sim_id writes a
+    uniquely-named cometbft_sim_* result set (reference
+    internal/storage/mongo.go:99-112)."""
+    import os
+    import re
+
+    from cometbft_log_etl_spark.pipeline import run_pipeline
+
+    d, _ = log_dir
+    out = str(tmp_path / "lake")
+    results = run_pipeline(spark, d, out_dir=out, plugins=["vote-latency"])
+    subdirs = os.listdir(out)
+    assert len(subdirs) == 1
+    assert re.fullmatch(r"cometbft_sim_\d{8}T\d{6}_[0-9a-f]{8}", subdirs[0])
+    written = set(os.listdir(os.path.join(out, subdirs[0])))
+    assert "events" in written
+    assert {n for n in results if n != "events"} <= written
