@@ -41,6 +41,23 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # ETL-path headline: the full parse→normalize→plugins pipeline on a
+    # fixed generated scenario (4 nodes × 4 clones, 120 heights ≈ 50k
+    # lines). Reported under its own key so `value`/`queries` stay
+    # directly comparable with earlier rounds; no warm pass — the ETL
+    # path runs once per simulation in production, so first-run codegen
+    # is part of its real cost.
+    etl: dict | None
+    try:
+        from tools.bench_etl import run_etl_bench
+
+        etl = run_etl_bench(spark, heights=120, repeat=4)
+        print(f"# etl_pipeline: {etl['total_sec']}s ({etl['n_lines']} lines)", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — bench must still emit the query line
+        print(f"# etl_pipeline failed: {exc}", file=sys.stderr)
+        etl = None
+
     print(
         json.dumps(
             {
@@ -49,6 +66,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl": etl,
             }
         )
     )

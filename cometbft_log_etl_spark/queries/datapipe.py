@@ -369,8 +369,8 @@ def q59_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product is computed as an exploded position-join + exact
     decimal sum (order-independent, so the shuffled aggregation is
     bit-stable); at scale the probe side is small → broadcast, and the
-    candidate side streams. The LSH-bucketed scale path lives in
-    datapipe/similarity.py.
+    candidate side streams. The LSH-bucketed scale path is
+    q58_ann_lsh (queries/neardup.py).
     """
     tune_session(spark)
     probe = _exploded_embeddings(spark, sf_dir, "probe_id", F.col("vec_id") < 5)

@@ -10,7 +10,8 @@ Usage: python tools/bench_etl.py [heights] [repeat_files]
 
 `heights` scales lines per node file; `repeat_files` clones the 4-node
 scenario into 4*repeat_files files (more files = more scan parallelism,
-the realistic many-node layout).
+the realistic many-node layout). bench.py embeds a fixed smaller config
+per round via `run_etl_bench`.
 """
 
 from __future__ import annotations
@@ -25,13 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    heights = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-
+def run_etl_bench(spark, heights: int, repeat: int) -> dict:
+    """Run the full pipeline on a generated scenario; return metrics."""
     from cometbft_log_etl_spark.pipeline import etl_events
     from cometbft_log_etl_spark.plans.registry import run_plugins
-    from cometbft_log_etl_spark.session import get_spark
     from tests.fixtures import build_scenario, write_logs
 
     work = tempfile.mkdtemp(prefix="etl-bench-")
@@ -52,7 +50,6 @@ def main() -> None:
             sum(1 for _ in open(os.path.join(logdir, f))) for f in os.listdir(logdir)
         )
 
-        spark = get_spark(app_name="bench-etl")
         t0 = time.time()
         events = etl_events(spark, logdir).cache()
         n_events = events.count()
@@ -62,24 +59,30 @@ def main() -> None:
         tables = run_plugins(events)
         counts = {name: df.count() for name, df in tables.items()}
         t_plugins = time.time() - t1
+        events.unpersist()
 
-        print(
-            json.dumps(
-                {
-                    "metric": "etl_pipeline",
-                    "n_lines": n_lines,
-                    "n_events": n_events,
-                    "etl_sec": round(t_etl, 2),
-                    "etl_lines_per_sec": round(n_lines / t_etl),
-                    "plugins_sec": round(t_plugins, 2),
-                    "total_sec": round(t_etl + t_plugins, 2),
-                    "result_rows": sum(counts.values()),
-                    "n_result_tables": len(counts),
-                }
-            )
-        )
+        return {
+            "n_lines": n_lines,
+            "n_events": n_events,
+            "etl_sec": round(t_etl, 2),
+            "etl_lines_per_sec": round(n_lines / t_etl),
+            "plugins_sec": round(t_plugins, 2),
+            "total_sec": round(t_etl + t_plugins, 2),
+            "result_rows": sum(counts.values()),
+            "n_result_tables": len(counts),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    heights = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from cometbft_log_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-etl")
+    print(json.dumps({"metric": "etl_pipeline", **run_etl_bench(spark, heights, repeat)}))
 
 
 if __name__ == "__main__":
