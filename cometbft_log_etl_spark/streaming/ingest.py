@@ -23,8 +23,17 @@ from ..operators.normalize import normalize
 from ..sources.logs import parse_raw, read_raw_events
 
 
-def stream_log_lines(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.text(f"{path.rstrip('/')}/*.log").select(
+def stream_log_lines(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source line stream. ``max_files_per_trigger`` bounds each
+    micro-batch (files are taken oldest-modification-first) — production
+    backpressure control, and what lets tests drive multi-batch
+    watermark/timeout behavior deterministically from a static dir."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(f"{path.rstrip('/')}/*.log").select(
         F.col("value"), F.input_file_name().alias("file_path")
     )
 
@@ -56,18 +65,27 @@ def stream_dedup_lines(spark: SparkSession, path: str, watermark: str = "1 minut
     )
 
 
-def stream_raw_events(spark: SparkSession, path: str) -> DataFrame:
+def stream_raw_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """ParseStream parity: streaming tag-dispatch, no enrichment."""
-    return parse_raw(stream_log_lines(spark, path))
+    return parse_raw(stream_log_lines(spark, path, max_files_per_trigger))
 
 
-def stream_normalized(spark: SparkSession, path: str) -> DataFrame:
+def stream_normalized(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming normalized events (no metadata — dispatcher.go:101-121
     emits bare parsed events)."""
-    return normalize(stream_raw_events(spark, path))
+    return normalize(stream_raw_events(spark, path, max_files_per_trigger))
 
 
-def stream_events(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Full-pipeline parity on a stream: normalized + identity-stamped.
 
     The identity table is one row per file — a static batch aggregate
@@ -82,4 +100,6 @@ def stream_events(spark: SparkSession, path: str, strict: bool = True) -> DataFr
     table.
     """
     ids = file_identities(read_raw_events(spark, path), strict=strict)
-    return stream_normalized(spark, path).join(F.broadcast(ids), "file_path", "left")
+    return stream_normalized(spark, path, max_files_per_trigger).join(
+        F.broadcast(ids), "file_path", "left"
+    )
