@@ -118,8 +118,9 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-_Q55_ORACLE = f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE chain: shingle → minhash sig → bands → capped buckets →
+# candidate pairs. q55 selects the pairs; q68 builds components on top.
+_Q55_CTES = f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3
@@ -160,7 +161,10 @@ pairs AS (
          any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
   FROM bhc a JOIN bhc b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+_Q55_ORACLE = f"""
+WITH {_Q55_CTES}
 SELECT doc_a, doc_b, n_shared_bands,
        CAST(len(list_filter(generate_series(1, {_MINHASH_K}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
          / {_MINHASH_K} AS est_jaccard
@@ -618,4 +622,101 @@ def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("edit_dist"),
             F.round(sim, 9).alias("similarity"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — near-dup cluster resolution (connected components over LSH pairs)
+
+_CLUSTER_JACCARD = 0.5  # est_jaccard threshold for a dedup edge
+
+
+@register(
+    "q68_neardup_clusters",
+    tags=("datapipe", "dedup", "clustering"),
+    oracle=f"""
+WITH RECURSIVE {_Q55_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  WHERE CAST(len(list_filter(generate_series(1, {_MINHASH_K}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+          / {_MINHASH_K} >= {_CLUSTER_JACCARD}
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.doc_id, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+),
+labeled AS (
+  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT l.doc_id, l.cluster_id,
+       CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+       l.doc_id = l.cluster_id AS is_representative
+FROM labeled l
+""",
+)
+def q68_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: LSH candidate pairs → connected
+    components → per-doc cluster id (min doc_id in component) +
+    keep/drop decision (representative = lowest id).
+
+    This is the step that turns pairwise near-dup evidence into actual
+    dedup decisions. Components are computed with Hash-Min label
+    propagation — each iteration is one shuffle (labels joined to the
+    symmetrized edge list, min-aggregated), iterated to fixpoint with
+    localCheckpoint to cut lineage. Iteration count is the component
+    diameter, which for near-dup graphs is tiny (boilerplate families
+    are dense cliques, diameter ≈ 1-2); at 100 TB this is the standard
+    distributed CC formulation (edges never leave their hash
+    partitions; no driver-side graph). The DuckDB oracle computes the
+    same components independently via a recursive transitive-closure
+    CTE, so the two algorithms cross-check.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_band_pairs(_minhash_sigs(docs))
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    edges = (
+        pairs.filter((agree.cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    while True:
+        neighbor_min = (
+            labels.join(sym, labels["doc_id"] == sym["a"])
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+
+    wsize = W.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wsize).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
