@@ -9,7 +9,7 @@ is the md5-hex-prefix integer (see q42_hash_codecs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..session import tune_session
@@ -456,4 +456,295 @@ def q60_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_norm"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q69–q73: filtering / sampling / packing / contamination — the rest of
+# the training-data curation loop.
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q69_pii_scrub",
+    tags=("datapipe", "text", "pii"),
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      WHEN doc_id % 3 = 1
+                      THEN ' call +12-345-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       len(text) - len(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS n_chars_removed
+FROM aug
+""",
+)
+def q69_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email/phone → typed placeholders).
+
+    The corpus is synthetic word-soup, so deterministic PII is injected
+    per doc_id IN BOTH ENGINES (pure string concat) and the real regex
+    machinery — count + global replace — runs over the augmented text.
+    Fully columnar (JVM regex in codegen, no UDF); at 100 TB this is a
+    map-only pass, no shuffle at all.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" call +12-345-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        (F.length("text") - F.length(scrubbed)).alias("n_chars_removed"),
+    )
+
+
+@register(
+    "q70_repetition_ratio",
+    tags=("datapipe", "text", "quality"),
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 9) AS dup_gram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.5 AS is_repetitive
+FROM stats
+""",
+)
+def q70_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate word-2-gram fraction.
+
+    Boilerplate and generation loops show up as a high duplicate-n-gram
+    fraction. Grams are EXPLODED to rows (codegen string concat) and
+    reduced with count + count(DISTINCT) — partial-aggregatable, one
+    shuffle on doc_id; no per-row array materialization survives the
+    exchange. The fraction is exact integer arithmetic divided once in
+    DOUBLE, so both engines agree bit-for-bit.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+        )
+    )
+    stats = (
+        t.select("doc_id", gram.alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct(F.col("g")).alias("n_distinct"),
+        )
+    )
+    dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return stats.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(dup, 9).alias("dup_gram_frac"),
+        (dup > 0.5).alias("is_repetitive"),
+    )
+
+
+@register(
+    "q71_stratified_sample",
+    tags=("datapipe", "sampling"),
+    oracle=f"""
+WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 30 END AS rate_pct,
+         {_SQL_H32.format(expr="'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM rated WHERE bucket < rate_pct
+""",
+)
+def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via a
+    salted portable hash, not RNG.
+
+    Domain/language mixing for a training corpus must be reproducible
+    and cluster-order-independent: hash(doc_id) mod 100 against a
+    per-stratum rate gives exact, re-runnable sampling with NO shuffle
+    (map-only filter — at 100 TB the sample never materializes the
+    dropped rows anywhere). Rates: en 10%, zh 50%, default 30%.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 10).when(F.col("lang") == "zh", 50).otherwise(30)
+    )
+    bucket = _h32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.select("doc_id", "lang", rate.alias("rate_pct"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_PACK_CAPACITY = 2048  # tokens per packed training sequence
+
+
+@register(
+    "q72_sequence_packing",
+    tags=("datapipe", "packing", "window"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+placed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {_PACK_CAPACITY}, 9) AS fill_ratio
+FROM placed
+GROUP BY lang, bin_id
+""",
+)
+def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-capacity bins by
+    cumulative offset, per language stream.
+
+    The pretraining packing shape: docs are laid out in deterministic
+    (lang, doc_id) order and a doc starts the bin its cumulative offset
+    falls into — pure window arithmetic, no sequential state. Each lang
+    partition packs independently (the window never goes global, so at
+    100 TB parallelism = number of streams; sub-partition by
+    (lang, shard) for more). Capacity 2048 whitespace tokens.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    cum = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    placed = toks.withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(cum) - F.col("n_tokens")) / _PACK_CAPACITY).cast("bigint"),
+    )
+    return placed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / _PACK_CAPACITY, 9).alias("fill_ratio"),
+    )
+
+
+@register(
+    "q73_contamination_screen",
+    tags=("datapipe", "contamination"),
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT
+         {_SQL_H32.format(expr="sh")} AS h
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+                                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                                      string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                                      string_split(text, ' ')[i+4])) AS sh
+    FROM documents WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 5
+  )
+),
+cand AS (
+  SELECT doc_id, {_SQL_H32.format(expr="sh")} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+                                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                                      string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                                      string_split(text, ' ')[i+4])) AS sh
+    FROM documents WHERE doc_id >= 20 AND len(string_split(text, ' ')) >= 5
+  )
+)
+SELECT c.doc_id,
+       count(DISTINCT c.h) AS n_shared_shingles
+FROM cand c JOIN bench b ON c.h = b.h
+GROUP BY c.doc_id
+""",
+)
+def q73_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag corpus docs sharing any
+    5-token shingle with a held-out benchmark set (here: doc_id < 20).
+
+    The eval-leakage check every pretraining corpus needs. The
+    benchmark side collapses to DISTINCT shingle hashes — small by
+    construction — and broadcasts; candidates stream through a hash
+    semi-join keyed on an 8-byte hash, then count their distinct hits.
+    At 100 TB the corpus is touched once, map-side, with one shuffle on
+    doc_id for the final count.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        t = df.select("doc_id", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 5
+        )
+        sh = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", i + k) for k in range(5)],
+                ),
+            )
+        )
+        return t.select("doc_id", sh.alias("sh")).select("doc_id", _h32(F.col("sh")).alias("h"))
+
+    bench = shingles(docs.filter(F.col("doc_id") < 20)).select("h").distinct()
+    cand = shingles(docs.filter(F.col("doc_id") >= 20))
+    return (
+        cand.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_shingles"))
     )
