@@ -182,21 +182,22 @@ def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
     pairs, not C(1e6, 2). Returns one row per (doc_a, doc_b) with
     n_shared_bands and both signatures.
     """
+    # The bucket key is the band's raw sig pair, NOT a hash of it: two
+    # docs collide iff the pair values are equal, which is exactly the
+    # oracle's md5-of-pair equality — but 16 bytes of longs beats a
+    # 32-char digest as a shuffle key and skips a per-row md5.
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_BANDS - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.element_at("sig", b * 2 + 1),
-                        F.element_at("sig", b * 2 + 2),
-                    ).cast("binary")
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.struct(
+            F.element_at("sig", F.col("band") * 2 + 1).alias("s1"),
+            F.element_at("sig", F.col("band") * 2 + 2).alias("s2"),
+        ).alias("bucket"),
     )
     # Bucket-local pair expansion instead of a self-join: one shuffle on
     # (band, bucket), signatures computed ONCE (a self-join would replay
