@@ -45,6 +45,15 @@ EXPECTATIONS = {
     # the codegen'd explode+partial-agg staging (the HOF formulation had
     # no codegen span at all — see _minhash_sigs docstring)
     "q55_minhash_lsh": {"codegen": True, "max_scan_cols": 2},
+    # degenerate-bucket guard must stay a MAP-SIDE limit: the Partial
+    # WindowGroupLimit truncates oversized buckets before the shuffle
+    "q58_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"]},
+    # PII scrub and stratified sampling are map-only passes: any
+    # Exchange would mean a shuffle crept into a linear scan
+    "q69_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q71_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    # contamination screen: bench side must broadcast, corpus side streams
+    "q73_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
 }
 
 
@@ -77,6 +86,9 @@ def audit(spark, sf_dir: str) -> list[str]:
         for needle in exp.get("contains", ()):
             if needle not in plan:
                 failures.append(f"{name}: expected physical operator {needle!r} missing")
+        for needle in exp.get("contains_not", ()):
+            if needle in plan:
+                failures.append(f"{name}: forbidden physical operator {needle!r} present")
     return failures
 
 
