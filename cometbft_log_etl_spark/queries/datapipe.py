@@ -128,28 +128,13 @@ def q52_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q53_quality_score",
-    tags=("datapipe", "text"),
-    oracle="""
-WITH feat AS (
-  SELECT doc_id, lang, n_chars,
-         len(string_split(text, ' ')) AS n_tokens,
-         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
-  FROM documents
-)
-SELECT doc_id, lang, n_chars, n_tokens, n_uniq_tokens,
-       CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
-       CASE WHEN n_tokens < 30 THEN 'short'
-            WHEN CAST(n_uniq_tokens AS DOUBLE) / n_tokens < 0.35 THEN 'repetitive'
-            ELSE 'ok' END AS quality_band
-FROM feat
-""",
-)
-def q53_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features: length, lexical diversity, band."""
-    tune_session(spark)
-    docs = load(spark, sf_dir, "documents")
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Pure quality-feature transform (length, lexical diversity, band).
+
+    Projection/filter only — works identically on a batch DataFrame and
+    a streaming one (see streaming/curation.py), the same
+    batch/stream-parity-by-construction pattern as the log path
+    (streaming/ingest.py)."""
     toks = F.split("text", " ")
     feat = docs.select(
         "doc_id",
@@ -171,6 +156,30 @@ def q53_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("quality_band"),
     )
+
+
+@register(
+    "q53_quality_score",
+    tags=("datapipe", "text"),
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens, n_uniq_tokens,
+       CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+       CASE WHEN n_tokens < 30 THEN 'short'
+            WHEN CAST(n_uniq_tokens AS DOUBLE) / n_tokens < 0.35 THEN 'repetitive'
+            ELSE 'ok' END AS quality_band
+FROM feat
+""",
+)
+def q53_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, lexical diversity, band."""
+    tune_session(spark)
+    return quality_features(load(spark, sf_dir, "documents"))
 
 
 @register(

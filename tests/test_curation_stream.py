@@ -1,0 +1,37 @@
+"""Batch/stream parity for the curation transforms: the streaming
+quality pass must produce EXACTLY the batch q53 rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.queries import catalog
+from cometbft_log_etl_spark.streaming.curation import stream_exact_dedup, stream_quality
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_quality_matches_batch(spark, sf_dir):
+    _run_stream(stream_quality(spark, sf_dir), "t_quality")
+    got = spark.table("t_quality")
+    want = catalog()["q53_quality_score"].fn(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_exact_dedup_counts(spark, sf_dir):
+    _run_stream(stream_exact_dedup(spark, sf_dir), "t_dedup")
+    got = spark.table("t_dedup")
+    want = catalog()["q50_exact_dedup"].fn(spark, sf_dir)
+    # one surviving row per distinct content hash
+    assert got.count() == want.count()
+    assert got.select(F.count_distinct("text_hash")).first()[0] == got.count()

@@ -108,3 +108,25 @@ def test_decode_media_real_spark(spark):
     assert got[2].format == "wav" and got[2].sample_rate == 16000 and got[2].n_samples == 320
     assert got[2].media_type == "audio"
     assert got[3].format == "unknown" and got[3].width is None and got[3].media_type == "unknown"
+
+
+def test_parse_media_header_never_raises():
+    """The decoder must degrade gracefully on arbitrary bytes — a 100 TB
+    job cannot die on one corrupt blob. Fuzz with hypothesis, including
+    prefixes that look like real magic numbers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM", b"RIFF"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(magics + [b""]),
+        body=st.binary(max_size=64),
+    )
+    def run(prefix, body):
+        out = parse_media_header(prefix + body)
+        assert set(out) == {"format", "width", "height", "sample_rate", "n_samples"}
+        assert isinstance(out["format"], str)
+
+    run()
