@@ -721,3 +721,151 @@ def q68_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wsize).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+# --------------------------------------------------------------------------
+# q74 — IVF ANN: inverted-file index with deterministic seed centroids
+
+_IVF_SEED_STEP = 37  # every 37th vector seeds a cell (no RNG, no k-means)
+_IVF_NPROBE = 2  # cells searched per probe
+
+
+@register(
+    "q74_ann_ivf",
+    tags=("datapipe", "similarity", "ivf"),
+    oracle=f"""
+WITH elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+cent AS (SELECT vec_id AS cent_id, pos, x FROM elems WHERE vec_id % {_IVF_SEED_STEP} = 0),
+vc AS (
+  SELECT e.vec_id, c.cent_id,
+         CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (nv.nrm * nc.nrm) AS cos
+  FROM elems e
+  JOIN cent c ON c.pos = e.pos
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN norms nc ON nc.vec_id = c.cent_id
+  GROUP BY e.vec_id, c.cent_id, nv.nrm, nc.nrm
+),
+ranked_cells AS (
+  SELECT vec_id, cent_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS cell_rank
+  FROM vc
+),
+assign AS (SELECT vec_id, cent_id AS cell_id FROM ranked_cells WHERE cell_rank = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cent_id AS cell_id FROM ranked_cells
+  WHERE vec_id < 3 AND cell_rank <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT pc.probe_id, a.vec_id AS cand_id, pc.cell_id
+  FROM probe_cells pc JOIN assign a ON a.cell_id = pc.cell_id
+  WHERE a.vec_id <> pc.probe_id
+),
+dots AS (
+  SELECT cd.probe_id, cd.cand_id, cd.cell_id,
+         CAST(sum(CAST(p.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (np.nrm * nc.nrm) AS cosine
+  FROM cand cd
+  JOIN elems p ON p.vec_id = cd.probe_id
+  JOIN elems c ON c.vec_id = cd.cand_id AND c.pos = p.pos
+  JOIN norms np ON np.vec_id = cd.probe_id
+  JOIN norms nc ON nc.vec_id = cd.cand_id
+  GROUP BY cd.probe_id, cd.cand_id, cd.cell_id, np.nrm, nc.nrm
+)
+SELECT probe_id, cand_id, cell_id, round(cosine, 9) AS cosine, rank FROM (
+  SELECT probe_id, cand_id, cell_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM dots
+) WHERE rank <= 5
+""",
+)
+def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: inverted-file cells from
+    deterministic seed centroids (every 37th vector — reproducible, no
+    RNG/k-means iteration), nprobe=2 cell search.
+
+    The other standard ANN family next to LSH (q58): every vector is
+    assigned to its nearest centroid cell (argmax cosine, centroid-id
+    tie-break); a probe scores only vectors in its nprobe nearest
+    cells. At 100 TB the centroid set stays small and BROADCASTS, the
+    assignment is one map-side join + per-vector agg, and the inverted
+    file is just a (cell_id → members) partitioning of the corpus —
+    recall grows with nprobe, cost with cell count, the standard IVF
+    trade. All dot products go through DECIMAL sums so Spark and DuckDB
+    agree bit-for-bit.
+    """
+    tune_session(spark)
+    from .datapipe import _exploded_embeddings
+
+    elems = _exploded_embeddings(spark, sf_dir, "vec_id")
+    norms = elems.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
+    )
+    cent = (
+        elems.filter(F.col("vec_id") % _IVF_SEED_STEP == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("pos").alias("cpos"), F.col("x").alias("cx"))
+    )
+    vnorm = norms.select(F.col("vec_id").alias("vid"), F.col("nrm").alias("vnrm"))
+    cnorm = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("cnrm"))
+    vc = (
+        elems.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(28,12)")).cast("double").alias("dot"))
+        .join(F.broadcast(vnorm), F.col("vid") == F.col("vec_id"))
+        .join(F.broadcast(cnorm), F.col("cid") == F.col("cent_id"))
+        .select("vec_id", "cent_id", (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("cos"))
+    )
+    ranked_cells = vc.withColumn(
+        "cell_rank",
+        F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")),
+    )
+    assign = ranked_cells.filter(F.col("cell_rank") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell_id")
+    )
+    probe_cells = ranked_cells.filter(
+        (F.col("vec_id") < 3) & (F.col("cell_rank") <= _IVF_NPROBE)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("cent_id").alias("cell_id"))
+    cand = (
+        F.broadcast(probe_cells)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), "cell_id")
+    )
+    p, c = elems.alias("p"), elems.alias("c")
+    dots = (
+        F.broadcast(cand)
+        .join(p, F.col("p.vec_id") == F.col("probe_id"))
+        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
+        .groupBy("probe_id", "cand_id", "cell_id")
+        .agg(F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"))
+    )
+    pnorm = norms.select(F.col("vec_id").alias("pid"), F.col("nrm").alias("pnrm"))
+    scored = (
+        dots.join(F.broadcast(pnorm), F.col("pid") == F.col("probe_id"))
+        .join(
+            F.broadcast(norms.select(F.col("vec_id").alias("ncid"), F.col("nrm").alias("ncnrm"))),
+            F.col("ncid") == F.col("cand_id"),
+        )
+        .select(
+            "probe_id",
+            "cand_id",
+            "cell_id",
+            (F.col("dot") / (F.col("pnrm") * F.col("ncnrm"))).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "cand_id")),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "probe_id", "cand_id", "cell_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )
