@@ -757,3 +757,54 @@ def q73_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_shared_shingles"))
     )
+
+
+_CHUNK_TOKENS = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
+
+
+@register(
+    "q75_doc_chunking",
+    tags=("datapipe", "chunking"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(t[start:start + {_CHUNK_TOKENS} - 1]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(t[start:start + {_CHUNK_TOKENS} - 1], ' ')) AS chunk_hash
+FROM starts
+""",
+)
+def q75_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: 64-token chunks at a
+    48-token stride (16-token overlap).
+
+    The pretraining/RAG chunker as a pure columnar explode — chunk
+    starts come from an integer sequence, the chunk text is an array
+    slice + join, and only the md5 fingerprint leaves the operator (the
+    chunk text itself never shuffles). Map-only at any scale; chunk
+    counts follow document length, so no key can skew the stage.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    exploded = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(_CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), F.lit(_CHUNK_TOKENS))
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )
