@@ -1,0 +1,72 @@
+"""Driver-environment regressions: queries must be correct under a
+session the driver built (non-UTC timezone, no pre-tuning), and the
+approximate similarity tiers must actually find near neighbours."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.queries import catalog
+from cometbft_log_etl_spark.testing.compare import run_compare
+
+# Timestamp-heavy + iterative + new queries: the ones with the most to
+# lose if tune_session stops being called inside every query fn.
+_TZ_SENSITIVE = [
+    "q16_window_battery",
+    "q23_sessionization",
+    "q43_datetime_funcs",
+    "q64_time_bucket_rollup",
+    "q65_asof_enrich",
+    "q68_neardup_clusters",
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_query_survives_hostile_session_timezone(spark, sf_dir, name):
+    """The driver hands queries a session it configured; a non-UTC
+    session timezone must not change results (every query fn calls
+    tune_session internally — this guards that contract)."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+        res = run_compare(spark, catalog()[name], sf_dir)
+        assert res.ok, str(res)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
+    """q58 (LSH) and q74 (IVF) are approximations of q59's exact
+    brute-force cosine ranking — on the fixed test corpus their top
+    results must overlap the exact top-k for the shared probes
+    (deterministic data → deterministic recall; this is a quality
+    floor, not a tolerance)."""
+    cat = catalog()
+    exact = (
+        cat["q59_cosine_topk"].fn(spark, sf_dir)
+        .filter(F.col("probe_id") < 3)
+        .filter(F.col("rank") <= 5)
+    )
+    exact_pairs = {(r.probe_id, r.cand_id) for r in exact.collect()}
+    assert exact_pairs, "brute-force tier returned nothing"
+
+    # IVF routes by actual cosine-to-centroid, so on any corpus it must
+    # recover a meaningful share of the exact top-5.
+    ivf = {(r.probe_id, r.cand_id) for r in cat["q74_ann_ivf"].fn(spark, sf_dir).collect()}
+    recall = len(exact_pairs & ivf) / len(exact_pairs)
+    assert recall >= 0.2, f"q74 recall@5 = {recall:.2f} — cell routing broken?"
+
+    # Single-table 8-plane LSH has near-zero recall on this high-entropy
+    # synthetic corpus (expected — recall needs multi-probe/more tables);
+    # assert internal consistency instead: candidates exist and ranks
+    # follow cosine order within each probe.
+    lsh = cat["q58_ann_lsh"].fn(spark, sf_dir).collect()
+    assert lsh, "LSH tier returned no candidates"
+    by_probe: dict = {}
+    for r in lsh:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for rows in by_probe.values():
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
