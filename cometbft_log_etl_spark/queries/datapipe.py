@@ -808,3 +808,56 @@ def q75_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
     )
+
+
+@register(
+    "q76_mixture_weights",
+    tags=("datapipe", "sampling", "mixing"),
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(CAST(n_tokens AS DOUBLE), 0.7), 9) AS raw_w
+  FROM counts
+)
+SELECT source, n_docs, n_tokens,
+       round(raw_w / sum(raw_w) OVER (), 9) AS mix_weight,
+       CAST(round(10000 * raw_w / sum(raw_w) OVER ()) AS BIGINT) AS sample_budget
+FROM weighted
+""",
+)
+def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing: per-source sampling weights
+    w ∝ tokens^0.7 and a 10k-doc sample budget.
+
+    The data-mixing step that decides how much of each domain a
+    training run sees: sub-linear temperature (alpha = 0.7) upweights
+    small domains relative to their raw share. One tiny aggregate per
+    source plus an unpartitioned window over the handful of source rows
+    — the global window is over domains, not documents, so it stays
+    trivially small at any corpus size. pow() is rounded before the
+    normalization so both engines divide identical doubles.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    weighted = counts.withColumn(
+        "raw_w", F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)), 9)
+    )
+    total = W.partitionBy()
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw_w") / F.sum("raw_w").over(total), 9).alias("mix_weight"),
+        F.round(F.lit(10000) * F.col("raw_w") / F.sum("raw_w").over(total))
+        .cast("bigint")
+        .alias("sample_budget"),
+    )
