@@ -495,3 +495,167 @@ def q30_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_entries",
         )
     )
+
+
+@register(
+    "q31_interval_join",
+    tags=("window", "session", "rangejoin"),
+    oracle="""
+WITH laged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                OR event_id - prev_event_id > 50
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM laged
+), sessioned AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sessioned
+  GROUP BY user_id, session_id
+  HAVING count(*) >= 3
+),
+errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts,
+       count(*) AS n_concurrent_sessions,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_concurrent_users
+FROM errors e
+JOIN sessions s
+  ON e.ts >= s.session_start AND e.ts <= s.session_end
+ AND s.user_id <> e.user_id
+GROUP BY e.event_id, e.user_id, e.ts
+""",
+)
+def q31_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join, bucketized: each error event → the count of
+    OTHER users' sessions whose [start, end] contains its timestamp.
+
+    The reference has no range join (SURVEY §2.7); Spark's naive plan
+    for an inequality-only join is BroadcastNestedLoopJoin — a
+    scan-per-row cartesian that dies at scale. The classic rewrite used
+    here: quantize time into fixed 1-hour buckets, EXPLODE each session
+    over the buckets it spans, map each event to its single bucket,
+    EQUI-join on the bucket key, then apply the exact range predicate.
+    One hash shuffle on (bucket); fan-out per session = its duration in
+    buckets (bounded), and the plan contains a real hash join —
+    tools/audit_plans.py asserts no nested-loop/cartesian appears.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))
+    seq_gap = F.col("event_id") - F.lag("event_id").over(order)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(order).isNull() | (gap_us > 1_800_000_000) | (seq_gap > 50),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .drop("n_events")
+    )
+
+    BUCKET_US = 3_600_000_000  # 1 hour
+    s_bucketed = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros("session_start") / BUCKET_US).cast("bigint"),
+                (F.unix_micros("session_end") / BUCKET_US).cast("bigint"),
+            )
+        ),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("user_id").alias("e_user"),
+        "ts",
+        (F.unix_micros("ts") / BUCKET_US).cast("bigint").alias("bucket"),
+    )
+    joined = errors.join(s_bucketed, "bucket").filter(
+        (F.col("ts") >= F.col("session_start"))
+        & (F.col("ts") <= F.col("session_end"))
+        & (F.col("user_id") != F.col("e_user"))
+    )
+    # a session spans one bucket per hour, and an event sits in exactly
+    # one bucket, so no (event, session) pair can match twice — counts
+    # need no dedup
+    return joined.groupBy("event_id", F.col("e_user").alias("user_id"), "ts").agg(
+        F.count(F.lit(1)).alias("n_concurrent_sessions"),
+        F.count_distinct("user_id").alias("n_concurrent_users"),
+    )
+
+
+@register(
+    "q32_event_paths",
+    tags=("window", "paths"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+),
+paths AS (
+  SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path, count(*) AS n_occurrences
+  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_occurrences, rank FROM (
+  SELECT path, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+  FROM paths
+) WHERE rank <= 20
+""",
+)
+def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step event paths (user-journey mining): consecutive
+    event-type triples per user, counted corpus-wide, top 20.
+
+    Two lead() calls over one (user_id, ts) window build the triples —
+    a single shuffle serves both offsets; the global top-20 ranks a
+    tiny aggregate (distinct path strings), so the unpartitioned window
+    runs over dozens of rows regardless of corpus size, with a
+    deterministic path-string tiebreak.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(order).alias("t2"),
+        F.lead("event_type", 2).over(order).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    ranked = paths.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy().orderBy(F.col("n_occurrences").desc(), "path")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 20)

@@ -54,6 +54,11 @@ EXPECTATIONS = {
     "q71_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     # contamination screen: bench side must broadcast, corpus side streams
     "q73_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
+    # the bucketized range join must plan as a HASH join on the bucket
+    # key — a nested-loop/cartesian here is the exact failure mode the
+    # rewrite exists to prevent
+    "q31_interval_join": {"codegen": True, "max_scan_cols": 4,
+                          "contains_not": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
 }
 
 
