@@ -440,3 +440,63 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q33_ntile_deciles",
+    tags=("olap", "window", "ntile"),
+    oracle="""
+WITH priced AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+tiled AS (
+  SELECT o_orderkey, o_custkey, price_cents,
+         ntile(10) OVER w AS decile,
+         round(percent_rank() OVER w, 9) AS pct_rank,
+         round(cume_dist() OVER w, 9) AS cume
+  FROM priced
+  WINDOW w AS (ORDER BY price_cents, o_orderkey)
+)
+SELECT decile,
+       count(*) AS n_orders,
+       min(price_cents) AS min_cents,
+       max(price_cents) AS max_cents,
+       min(pct_rank) AS min_pct_rank,
+       max(cume) AS max_cume
+FROM tiled
+GROUP BY decile
+""",
+)
+def q33_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile analysis: ntile / percent_rank / cume_dist in one global
+    ordering, folded to 10 summary rows.
+
+    Completes the window-function family (q16 covers lag/lead/rank).
+    The ordering key (price_cents, o_orderkey) is unique, so tile
+    boundaries and both distribution functions are deterministic in
+    both engines. The global window is the documented scale caveat of
+    exact ntile — a single ordered pass; at 100 TB use bucketized
+    approx percentiles (q26's two-pass shape) instead of exact deciles.
+    """
+    tune_session(spark)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = W.orderBy("price_cents", "o_orderkey")
+    tiled = orders.select(
+        "price_cents",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price_cents").alias("min_cents"),
+        F.max("price_cents").alias("max_cents"),
+        F.min("pct_rank").alias("min_pct_rank"),
+        F.max("cume").alias("max_cume"),
+    )
