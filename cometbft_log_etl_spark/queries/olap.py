@@ -500,3 +500,44 @@ def q33_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pct_rank").alias("min_pct_rank"),
         F.max("cume").alias("max_cume"),
     )
+
+
+@register(
+    "q34_unpivot_melt",
+    tags=("olap", "unpivot"),
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+""",
+)
+def q34_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag aggregates → long (flag, metric,
+    value) triples.
+
+    The reshape that feeds metric-per-row reporting sinks. Spark's
+    native unpivot() (stack under the hood) runs in the same projection
+    as the aggregate — no extra shuffle; the wide side is an
+    already-reduced aggregate so the explode factor (3×) applies to
+    group rows, not data rows.
+    """
+    tune_session(spark)
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(28,6)")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
