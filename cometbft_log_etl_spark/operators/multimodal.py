@@ -111,6 +111,7 @@ REAL_FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.LongType()),
         T.StructField("sample_rate", T.LongType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("orientation", T.LongType()),
     ]
 )
 
@@ -126,14 +127,16 @@ _FORMAT_MEDIA_TYPE = {"png": "image", "jpeg": "image", "gif": "image", "bmp": "i
 def parse_media_header(b: bytes) -> dict:
     """Sniff + parse a media container header from real bytes.
 
-    Returns ``{"format", "width", "height", "sample_rate", "n_samples"}``
-    with ``None`` for fields the format doesn't carry, and
-    ``format='unknown'`` (all-null fields) for unrecognized or truncated
-    input — never raises. Parses only headers (O(header) per blob, no
-    pixel decode), which is the right cost model for a metadata pass
-    over a 100 TB lake.
+    Returns ``{"format", "width", "height", "sample_rate", "n_samples",
+    "orientation"}`` with ``None`` for fields the format doesn't carry
+    (orientation comes from a JPEG EXIF APP1 IFD0 tag 0x0112, honoring
+    TIFF byte order), and ``format='unknown'`` (all-null fields) for
+    unrecognized or truncated input — never raises. Parses only headers
+    (O(header) per blob, no pixel decode), which is the right cost
+    model for a metadata pass over a 100 TB lake.
     """
-    out = {"format": "unknown", "width": None, "height": None, "sample_rate": None, "n_samples": None}
+    out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
+           "n_samples": None, "orientation": None}
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
             out["format"] = "png"
@@ -156,7 +159,10 @@ def parse_media_header(b: bytes) -> dict:
                 if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # bare markers
                     i += 2
                     continue
-                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                    out["orientation"] = _exif_orientation(b[i + 10 : i + 2 + seg_len])
+                i += 2 + seg_len
         elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             out["format"] = "gif"
             out["width"] = int.from_bytes(b[6:8], "little")
@@ -182,8 +188,35 @@ def parse_media_header(b: bytes) -> dict:
                 if data_size is not None and channels and bits:
                     out["n_samples"] = data_size // (channels * (bits // 8))
     except (IndexError, ValueError):
-        out = {"format": "unknown", "width": None, "height": None, "sample_rate": None, "n_samples": None}
+        out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
+               "n_samples": None, "orientation": None}
     return out
+
+
+def _exif_orientation(tiff: bytes):
+    """Orientation (tag 0x0112) from an EXIF TIFF blob, or None."""
+    if len(tiff) < 14:
+        return None
+    if tiff[:4] == b"II*\x00":
+        endian = "little"
+    elif tiff[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        return None
+    ifd = int.from_bytes(tiff[4:8], endian)
+    if ifd + 2 > len(tiff):
+        return None
+    n_entries = int.from_bytes(tiff[ifd : ifd + 2], endian)
+    for e in range(n_entries):
+        off = ifd + 2 + e * 12
+        if off + 12 > len(tiff):
+            return None
+        tag = int.from_bytes(tiff[off : off + 2], endian)
+        if tag == 0x0112:
+            # type SHORT: the value sits in the first 2 bytes of the
+            # 4-byte value field, in TIFF byte order
+            return int.from_bytes(tiff[off + 8 : off + 10], endian)
+    return None
 
 
 def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -201,6 +234,7 @@ def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "height": [p["height"] for p in parsed],
                 "sample_rate": [p["sample_rate"] for p in parsed],
                 "n_samples": [p["n_samples"] for p in parsed],
+                "orientation": [p["orientation"] for p in parsed],
             }
         )
 
@@ -245,11 +279,23 @@ def encode_png(width: int, height: int) -> bytes:
     )
 
 
-def encode_jpeg(width: int, height: int) -> bytes:
-    """JPEG header skeleton: SOI + JFIF APP0 + SOF0 carrying dims + EOI."""
+def encode_jpeg(width: int, height: int, orientation: int | None = None) -> bytes:
+    """JPEG header skeleton: SOI + JFIF APP0 [+ EXIF APP1 orientation]
+    + SOF0 carrying dims + EOI."""
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    app1 = b""
+    if orientation is not None:
+        # little-endian TIFF, one IFD0 entry: tag 0x0112 SHORT=orientation
+        tiff = (
+            b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        payload = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
-    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + app1 + sof0 + b"\xff\xd9"
 
 
 def encode_gif(width: int, height: int) -> bytes:

@@ -95,7 +95,8 @@ SELECT doc_id,
        CASE WHEN doc_id % 5 <= 3 THEN doc_id % 64 + 1 END AS width,
        CASE WHEN doc_id % 5 <= 3 THEN doc_id % 48 + 1 END AS height,
        CASE WHEN doc_id % 5 = 4 THEN 8000 + (doc_id % 4) * 4000 END AS sample_rate,
-       CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 400 END AS n_samples
+       CASE WHEN doc_id % 5 = 4 THEN 100 + doc_id % 400 END AS n_samples,
+       CASE WHEN doc_id % 5 = 1 THEN doc_id % 8 + 1 END AS orientation
 FROM documents
 """,
 )
@@ -119,7 +120,7 @@ def q67_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         encoders = (
             lambda d: encode_png(d % 64 + 1, d % 48 + 1),
-            lambda d: encode_jpeg(d % 64 + 1, d % 48 + 1),
+            lambda d: encode_jpeg(d % 64 + 1, d % 48 + 1, orientation=d % 8 + 1),
             lambda d: encode_gif(d % 64 + 1, d % 48 + 1),
             lambda d: encode_bmp(d % 64 + 1, d % 48 + 1),
             lambda d: encode_wav(8000 + (d % 4) * 4000, 100 + d % 400),
@@ -134,5 +135,6 @@ def q67_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema="doc_id long, content binary")
     return decode_media_real(media).select(
-        "doc_id", "format", "media_type", "width", "height", "sample_rate", "n_samples"
+        "doc_id", "format", "media_type", "width", "height", "sample_rate",
+        "n_samples", "orientation",
     )

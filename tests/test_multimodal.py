@@ -126,7 +126,30 @@ def test_parse_media_header_never_raises():
     )
     def run(prefix, body):
         out = parse_media_header(prefix + body)
-        assert set(out) == {"format", "width", "height", "sample_rate", "n_samples"}
+        assert set(out) == {"format", "width", "height", "sample_rate", "n_samples", "orientation"}
         assert isinstance(out["format"], str)
 
     run()
+
+
+def test_exif_orientation_round_trip():
+    """EXIF orientation survives the encode→parse round trip in both
+    TIFF byte orders; JPEGs without APP1 yield None."""
+    import struct
+
+    for o in (1, 3, 6, 8):
+        got = parse_media_header(encode_jpeg(100, 50, orientation=o))
+        assert (got["format"], got["width"], got["height"], got["orientation"]) == ("jpeg", 100, 50, o)
+    assert parse_media_header(encode_jpeg(100, 50))["orientation"] is None
+    # hand-build a BIG-endian EXIF (encoder emits little-endian only)
+    tiff = (
+        b"MM\x00*" + struct.pack(">I", 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 5, 0)
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 50, 100, 1) + b"\x01\x11\x00"
+    got = parse_media_header(b"\xff\xd8" + app1 + sof0 + b"\xff\xd9")
+    assert got["orientation"] == 5 and got["width"] == 100
