@@ -43,6 +43,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Spark 4.x may read tz-naive parquet timestamps as TIMESTAMP_NTZ when
+    # spark.sql.parquet.inferTimestampNTZ.enabled can't be unset (immutable
+    # conf on driver-handed sessions). Our semantics are naive == UTC
+    # instant; the cast is exact under the UTC session tz that tune_session
+    # pins.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
