@@ -20,7 +20,7 @@ Two decode tiers share the mapInPandas shape:
   soundfile / pyav) is still out of scope for this container; the
   header tier is the production integration point and is exercised on
   genuine container bytes (see ``encode_*`` round-trip helpers and
-  q67_media_header_decode). Corrupt or unrecognized blobs degrade to
+  q36_media_header_decode). Corrupt or unrecognized blobs degrade to
   ``format='unknown'`` with null fields — a 100 TB job must not die on
   one bad object.
 """
@@ -254,7 +254,7 @@ def decode_media_real(media: DataFrame) -> DataFrame:
 
 # --- Round-trip encoders (minimal but structurally valid containers) ---
 # These exist so the real parser can be exercised on genuine bytes
-# without codec libraries: tests and q67_media_header_decode build
+# without codec libraries: tests and q36_media_header_decode build
 # containers, then decode them back through the production kernel.
 
 

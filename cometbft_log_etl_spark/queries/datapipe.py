@@ -339,7 +339,7 @@ def q63_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q59_cosine_topk",
+    "q04_cosine_topk",
     headline=True,
     tags=("datapipe", "similarity"),
     oracle=f"""
@@ -372,7 +372,7 @@ FROM (
 WHERE rank <= 10
 """,
 )
-def q59_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline.
 
     The dot product is computed as an exploded position-join + exact
@@ -423,7 +423,7 @@ def q59_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q60_embedding_stats",
+    "q49_embedding_stats",
     tags=("datapipe", "similarity"),
     oracle=f"""
 WITH elems AS ({_SQL_EXPLODE.format(id_alias="vec_id", where="")}),
@@ -441,7 +441,7 @@ FROM embeddings emb JOIN norms n ON emb.vec_id = n.vec_id
 GROUP BY emb.label
 """,
 )
-def q60_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding health stats (dimension check + mean L2 norm)."""
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -690,7 +690,7 @@ def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q73_contamination_screen",
+    "q38_contamination_screen",
     tags=("datapipe", "contamination"),
     oracle=f"""
 WITH bench AS (
@@ -721,7 +721,7 @@ FROM cand c JOIN bench b ON c.h = b.h
 GROUP BY c.doc_id
 """,
 )
-def q73_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: flag corpus docs sharing any
     5-token shingle with a held-out benchmark set (here: doc_id < 20).
 

@@ -19,7 +19,7 @@ from . import register
 
 
 @register(
-    "q45_collect_set_agg",
+    "q68_collect_set_agg",
     tags=("agg", "collect"),
     oracle="""
 SELECT user_id,
@@ -30,7 +30,7 @@ FROM events
 GROUP BY user_id
 """,
 )
-def q45_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q68_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set collection per key — connected-peers sets (P7d,
     /root/reference/ossplugins/network-latency/processor.go:399-447),
     canonicalized to a sorted CSV string."""
@@ -44,7 +44,7 @@ def q45_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q46_map_style_agg",
+    "q73_map_style_agg",
     tags=("agg", "map"),
     oracle="""
 WITH counts AS (
@@ -58,7 +58,7 @@ FROM counts
 GROUP BY user_id
 """,
 )
-def q46_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q73_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-key count map per key — TimeoutsByStep / StepDurations maps
     (P5/P8, /root/reference/ossplugins/consensus-timing/processor.go:14-15,
     /root/reference/ossplugins/timeout-analysis/processor.go:29-30). The
@@ -78,7 +78,7 @@ def q46_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q47_pivot_counts",
+    "q74_pivot_counts",
     tags=("agg", "pivot"),
     oracle="""
 SELECT user_id,
@@ -91,7 +91,7 @@ FROM events
 GROUP BY user_id
 """,
 )
-def q47_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot to fixed per-kind columns — the per-message-type stat
     fan-out in network-latency (P7b MessageTypes map keyed by a known
     vocabulary) as an explicit-values pivot."""

@@ -85,7 +85,7 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q67_media_header_decode",
+    "q36_media_header_decode",
     tags=("datapipe", "multimodal"),
     oracle="""
 SELECT doc_id,
@@ -100,7 +100,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q67_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container-header decode, round-tripped through genuine bytes.
 
     Each document becomes an actual PNG / JPEG / GIF / BMP / WAV blob

@@ -633,7 +633,7 @@ _CLUSTER_JACCARD = 0.5  # est_jaccard threshold for a dedup edge
 
 
 @register(
-    "q68_neardup_clusters",
+    "q37_neardup_clusters",
     tags=("datapipe", "dedup", "clustering"),
     oracle=f"""
 WITH RECURSIVE {_Q55_CTES},
@@ -657,7 +657,7 @@ SELECT l.doc_id, l.cluster_id,
 FROM labeled l
 """,
 )
-def q68_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster resolution: LSH candidate pairs → connected
     components → per-doc cluster id (min doc_id in component) +
     keep/drop decision (representative = lowest id).
@@ -731,7 +731,7 @@ _IVF_NPROBE = 2  # cells searched per probe
 
 
 @register(
-    "q74_ann_ivf",
+    "q39_ann_ivf",
     tags=("datapipe", "similarity", "ivf"),
     oracle=f"""
 WITH elems AS (
@@ -788,7 +788,7 @@ SELECT probe_id, cand_id, cell_id, round(cosine, 9) AS cosine, rank FROM (
 ) WHERE rank <= 5
 """,
 )
-def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: inverted-file cells from
     deterministic seed centroids (every 37th vector — reproducible, no
     RNG/k-means iteration), nprobe=2 cell search.

@@ -77,7 +77,7 @@ def q11_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q12_cube_native",
+    "q60_cube_native",
     tags=("olap", "cube"),
     oracle=f"""
 SELECT
@@ -92,7 +92,7 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01'
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q12_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native CUBE over two dimensions — all 4 grouping sets, one shuffle."""
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem").filter(
@@ -282,7 +282,7 @@ def q16_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q17_set_ops",
+    "q64_set_ops",
     tags=("olap", "setops"),
     oracle="""
 WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -296,7 +296,7 @@ SELECT 'except' AS op, count(*) AS n FROM (
 )
 """,
 )
-def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q64_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT — the set operators the reference never grew
     (SURVEY.md §2.7 'No intersect/except'). Both compile to join-based
     plans (left-semi / left-anti over distinct keys)."""
@@ -443,7 +443,7 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q33_ntile_deciles",
+    "q67_ntile_deciles",
     tags=("olap", "window", "ntile"),
     oracle="""
 WITH priced AS (
@@ -469,7 +469,7 @@ FROM tiled
 GROUP BY decile
 """,
 )
-def q33_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q67_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile analysis: ntile / percent_rank / cume_dist in one global
     ordering, folded to 10 summary rows.
 

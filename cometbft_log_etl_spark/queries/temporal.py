@@ -23,7 +23,7 @@ _RESOLUTIONS = (60, 300, 3600)  # seconds
 
 
 @register(
-    "q64_time_bucket_rollup",
+    "q48_time_bucket_rollup",
     tags=("temporal", "rollup", "window"),
     oracle=f"""
 WITH r AS (
@@ -45,7 +45,7 @@ FROM b
 GROUP BY resolution_s, bucket_start, event_type
 """,
 )
-def q64_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution time-bucket rollup (1 min / 5 min / 1 h).
 
     The resolution explode happens BEFORE the aggregation so all
@@ -76,7 +76,7 @@ def q64_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q65_asof_enrich",
+    "q35_asof_enrich",
     tags=("temporal", "asof", "join"),
     oracle="""
 SELECT c.event_id,
@@ -98,7 +98,7 @@ ASOF LEFT JOIN (
   ON c.user_id = v.user_id AND c.ts >= v.ts
 """,
 )
-def q65_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the user's latest view at-or-before it.
 
     Implemented as the union + running-last window (one shuffle on

@@ -16,9 +16,9 @@ _TZ_SENSITIVE = [
     "q16_window_battery",
     "q23_sessionization",
     "q43_datetime_funcs",
-    "q64_time_bucket_rollup",
-    "q65_asof_enrich",
-    "q68_neardup_clusters",
+    "q48_time_bucket_rollup",
+    "q35_asof_enrich",
+    "q37_neardup_clusters",
 ]
 
 
@@ -44,7 +44,7 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
     floor, not a tolerance)."""
     cat = catalog()
     exact = (
-        cat["q59_cosine_topk"].fn(spark, sf_dir)
+        cat["q04_cosine_topk"].fn(spark, sf_dir)
         .filter(F.col("probe_id") < 3)
         .filter(F.col("rank") <= 5)
     )
@@ -53,7 +53,7 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
 
     # IVF routes by actual cosine-to-centroid, so on any corpus it must
     # recover a meaningful share of the exact top-5.
-    ivf = {(r.probe_id, r.cand_id) for r in cat["q74_ann_ivf"].fn(spark, sf_dir).collect()}
+    ivf = {(r.probe_id, r.cand_id) for r in cat["q39_ann_ivf"].fn(spark, sf_dir).collect()}
     recall = len(exact_pairs & ivf) / len(exact_pairs)
     assert recall >= 0.2, f"q74 recall@5 = {recall:.2f} — cell routing broken?"
 

@@ -35,11 +35,11 @@ EXPECTATIONS = {
     "q21_fifo_pairing": {"codegen": True, "max_scan_cols": 6},
     "q23_sessionization": {"codegen": True, "max_scan_cols": 6},
     "q26_latency_histogram": {"codegen": True, "max_scan_cols": 6},
-    "q59_cosine_topk": {"codegen": True, "broadcasts": 2, "no_smj": True},
+    "q04_cosine_topk": {"codegen": True, "broadcasts": 2, "no_smj": True},
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
     "q11_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
-    "q12_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
+    "q60_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
     # rank-limit pushdown: only k rows per group survive the map side
     "q15_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
@@ -53,7 +53,7 @@ EXPECTATIONS = {
     "q69_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     "q71_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     # contamination screen: bench side must broadcast, corpus side streams
-    "q73_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
+    "q38_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
     # the bucketized range join must plan as a HASH join on the bucket
     # key — a nested-loop/cartesian here is the exact failure mode the
     # rewrite exists to prevent
