@@ -185,9 +185,11 @@ def parse_media_header(b: bytes) -> dict:
                 i += 8 + csz + (csz & 1)
             if out["sample_rate"]:
                 out["format"] = "wav"
-                if data_size is not None and channels and bits:
+                # bits < 8 (e.g. 4-bit ADPCM) would make the divisor 0;
+                # leave n_samples null rather than raise into the task.
+                if data_size is not None and channels and bits and bits >= 8:
                     out["n_samples"] = data_size // (channels * (bits // 8))
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, ZeroDivisionError):
         out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
                "n_samples": None, "orientation": None}
     return out

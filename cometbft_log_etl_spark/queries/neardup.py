@@ -807,21 +807,23 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe import _exploded_embeddings
 
     elems = _exploded_embeddings(spark, sf_dir, "vec_id")
-    norms = elems.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
-    )
     cent = (
         elems.filter(F.col("vec_id") % _IVF_SEED_STEP == 0)
         .select(F.col("vec_id").alias("cent_id"), F.col("pos").alias("cpos"), F.col("x").alias("cx"))
     )
-    vnorm = norms.select(F.col("vec_id").alias("vid"), F.col("nrm").alias("vnrm"))
-    cnorm = norms.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("cnrm"))
+    # Norms are folded into the per-(vec, centroid) aggregation: within a
+    # group every position of both vectors appears exactly once, so
+    # sum(x*x) / sum(cx*cx) ARE the squared norms, via the same decimal
+    # expression as the oracle's `norms` CTE (exact, order-insensitive) —
+    # no corpus-sized norms table to build, shuffle, or broadcast.
     vc = (
         elems.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
         .groupBy("vec_id", "cent_id")
-        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(28,12)")).cast("double").alias("dot"))
-        .join(F.broadcast(vnorm), F.col("vid") == F.col("vec_id"))
-        .join(F.broadcast(cnorm), F.col("cid") == F.col("cent_id"))
+        .agg(
+            F.sum((F.col("x") * F.col("cx")).cast("decimal(28,12)")).cast("double").alias("dot"),
+            F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("vnrm"),
+            F.sqrt(F.sum((F.col("cx") * F.col("cx")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+        )
         .select("vec_id", "cent_id", (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("cos"))
     )
     ranked_cells = vc.withColumn(
@@ -841,25 +843,23 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("vec_id").alias("cand_id"), "cell_id")
     )
     p, c = elems.alias("p"), elems.alias("c")
-    dots = (
+    # Same norm-folding as vc: probe/candidate norms come out of the group
+    # itself, so scoring needs no join against a corpus-sized norms table.
+    scored = (
         F.broadcast(cand)
         .join(p, F.col("p.vec_id") == F.col("probe_id"))
         .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
         .groupBy("probe_id", "cand_id", "cell_id")
-        .agg(F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"))
-    )
-    pnorm = norms.select(F.col("vec_id").alias("pid"), F.col("nrm").alias("pnrm"))
-    scored = (
-        dots.join(F.broadcast(pnorm), F.col("pid") == F.col("probe_id"))
-        .join(
-            F.broadcast(norms.select(F.col("vec_id").alias("ncid"), F.col("nrm").alias("ncnrm"))),
-            F.col("ncid") == F.col("cand_id"),
+        .agg(
+            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
+            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
+            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
         )
         .select(
             "probe_id",
             "cand_id",
             "cell_id",
-            (F.col("dot") / (F.col("pnrm") * F.col("ncnrm"))).alias("cosine"),
+            (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"),
         )
     )
     ranked = scored.withColumn(

@@ -9,10 +9,45 @@ construction, exactly like the log path (streaming/ingest.py, S7).
 
 from __future__ import annotations
 
+import atexit
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.datapipe import quality_features
+
+# Staged symlink dirs, one per source path per process: reused across
+# calls (a re-created stream points at the same dir) and removed at
+# interpreter exit — the staging lifecycle is the process lifecycle,
+# matching the memory-sink test streams that read them.
+_STAGED_DIRS: dict[str, str] = {}
+
+
+def _cleanup_staged() -> None:
+    for d in _STAGED_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED_DIRS.clear()
+
+
+atexit.register(_cleanup_staged)
+
+
+def _stage_dir(path: str) -> str:
+    staged = _STAGED_DIRS.get(path)
+    if staged is not None and os.path.isdir(staged):
+        return staged
+    tag = hashlib.sha1(path.encode()).hexdigest()[:12]
+    staged = os.path.join(tempfile.gettempdir(), f"stream-docs-{tag}-{os.getpid()}")
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, "documents.parquet")
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    _STAGED_DIRS[path] = staged
+    return staged
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22,16 +57,13 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     A real lake ingests documents as files arriving in a directory; the
     testdata table is one parquet FILE, and Spark's file source requires
     a directory, so it is staged via symlink into a scratch dir — the
-    stand-in for the arrival directory, zero data copied.
+    stand-in for the arrival directory, zero data copied. The scratch
+    dir is per-source-path, reused across calls, and removed at process
+    exit (no per-call tempdir leak).
     """
-    import os
-    import tempfile
-
     path = f"{sf_dir.rstrip('/')}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    staged = tempfile.mkdtemp(prefix="stream-docs-")
-    os.symlink(path, os.path.join(staged, "documents.parquet"))
-    return spark.readStream.schema(schema).parquet(staged)
+    return spark.readStream.schema(schema).parquet(_stage_dir(path))
 
 
 def stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,15 +73,38 @@ def stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup by content hash with bounded state.
+    """Streaming exact dedup by content hash — exact, UNBOUNDED state.
 
-    `dropDuplicates` on the md5 keyed state would grow forever; at lake
-    scale you either watermark it (needs an event-time column — the
-    documents table has none, so tests use dropDuplicates) or compact
-    periodically. First occurrence wins, matching q50's min-doc_id keep
-    for id-ordered arrival.
+    `dropDuplicates` keeps one state entry per distinct hash forever:
+    correct at any horizon but the state store grows with the corpus.
+    Use this for bounded backfills; for a continuous lake ingest use
+    `stream_exact_dedup_bounded`, which trades cross-horizon exactness
+    for watermark-evicted state. First occurrence wins, matching q50's
+    min-doc_id keep for id-ordered arrival.
     """
     docs = stream_documents(spark, sf_dir)
     return docs.withColumn(
         "text_hash", F.md5(F.col("text").cast("binary"))
     ).dropDuplicates(["text_hash"])
+
+
+def stream_exact_dedup_bounded(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with genuinely bounded state.
+
+    The documents table carries no event time, so ingestion time is the
+    event time (standard for arrival-order lake dedup). A watermark on
+    it lets `dropDuplicatesWithinWatermark` evict hash state older than
+    the horizon — state is bounded by arrival rate × horizon regardless
+    of corpus size. Duplicates farther apart than the horizon both
+    survive (the standard windowed-dedup trade; run a periodic batch
+    q50 compaction to catch them).
+    """
+    docs = stream_documents(spark, sf_dir)
+    return (
+        docs.withColumn("ingest_ts", F.current_timestamp())
+        .withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

@@ -1,0 +1,82 @@
+"""Environment-drift canary: analysis-time resolution of the ENTIRE
+catalog under a hostile, driver-style session.
+
+Round 3 died on an analysis-level break (Spark 4.x flipped tz-naive
+parquet timestamps to TIMESTAMP_NTZ, which unix_micros rejects) that
+only surfaced for the five timestamp queries the driver happened to
+run. This canary builds the logical plan of ALL catalog queries —
+`df.schema` forces full analysis but executes nothing — under session
+confs reset to Spark defaults, so the next engine/testdata drift fails
+here in seconds instead of in the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cometbft_log_etl_spark.queries import catalog
+
+# Confs the driver does NOT set for us: flip them back to Spark-default
+# values so the canary proves every query fn restores its own
+# correctness environment via tune_session / tables.load.
+_HOSTILE = {
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.session.timeZone": "America/New_York",
+}
+
+# Queries whose *construction* executes jobs (eager localCheckpoint in
+# the iterative connected-components loop). Analysis is still covered —
+# building the loop body analyzes every iteration's plan.
+_EAGER = {"q37_neardup_clusters"}
+
+
+def test_all_catalog_queries_resolve_under_hostile_session(spark, sf_dir):
+    originals = {}
+    for k, v in _HOSTILE.items():
+        originals[k] = spark.conf.get(k, None)
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    try:
+        failures = []
+        for name, qdef in catalog().items():
+            # re-hostilize: each query fn's tune_session un-sets these,
+            # so the NEXT query must survive a freshly hostile session
+            # (the driver runs queries in arbitrary order).
+            for k, v in _HOSTILE.items():
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
+            try:
+                df = qdef.fn(spark, sf_dir)
+                n_fields = len(df.schema.fields)  # forces analysis
+                if n_fields == 0:
+                    failures.append(f"{name}: empty schema")
+            except Exception as exc:  # noqa: BLE001 — canary reports all
+                failures.append(f"{name}: {type(exc).__name__}: {exc}")
+        assert not failures, "analysis-time drift:\n" + "\n".join(failures)
+    finally:
+        for k, v in originals.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass
+
+
+def test_canary_is_fast(spark, sf_dir):
+    """The canary must stay cheap enough to run every round: plan-only
+    resolution for the non-eager catalog, well under the 60 s budget."""
+    import time
+
+    t0 = time.monotonic()
+    for name, qdef in catalog().items():
+        if name in _EAGER:
+            continue
+        _ = qdef.fn(spark, sf_dir).schema
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"canary took {elapsed:.1f}s — no longer plan-only?"

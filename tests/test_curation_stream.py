@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cometbft_log_etl_spark.queries import catalog
-from cometbft_log_etl_spark.streaming.curation import stream_exact_dedup, stream_quality
+from cometbft_log_etl_spark.streaming.curation import (
+    stream_exact_dedup,
+    stream_exact_dedup_bounded,
+    stream_quality,
+)
 
 
 def _run_stream(df, name):
@@ -35,3 +39,31 @@ def test_stream_exact_dedup_counts(spark, sf_dir):
     # one surviving row per distinct content hash
     assert got.count() == want.count()
     assert got.select(F.count_distinct("text_hash")).first()[0] == got.count()
+
+
+def test_stream_exact_dedup_bounded_counts(spark, sf_dir):
+    """Within one micro-batch every duplicate is inside the watermark
+    horizon, so the bounded variant matches the exact one here — the
+    difference is state eviction across batches, not semantics."""
+    _run_stream(stream_exact_dedup_bounded(spark, sf_dir), "t_dedup_b")
+    got = spark.table("t_dedup_b")
+    want = catalog()["q50_exact_dedup"].fn(spark, sf_dir)
+    assert got.count() == want.count()
+    assert got.select(F.count_distinct("text_hash")).first()[0] == got.count()
+
+
+def test_staged_dir_reused_not_leaked(spark, sf_dir):
+    """Repeated stream construction must reuse one staging dir per
+    source path instead of leaking a fresh mkdtemp per call."""
+    from cometbft_log_etl_spark.streaming import curation
+
+    before = dict(curation._STAGED_DIRS)
+    for _ in range(3):
+        curation.stream_documents(spark, sf_dir)
+    path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    assert path in curation._STAGED_DIRS
+    # one dir for this path, stable across calls
+    after = curation._STAGED_DIRS
+    assert len([p for p in after if p == path]) == 1
+    if path in before:
+        assert before[path] == after[path]

@@ -70,6 +70,27 @@ def test_parse_media_header(blob, want):
     assert (got["format"], got["width"], got["height"], got["sample_rate"], got["n_samples"]) == want
 
 
+def test_parse_wav_adpcm_sub_byte_bits():
+    """4-bit ADPCM (bits-per-sample < 8) must degrade to a null
+    n_samples, not divide by zero inside the mapInPandas task."""
+    import struct
+
+    def wav_with_bits(bits: int) -> bytes:
+        data = bytes(64)
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, bits)  # IMA ADPCM
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for bits in (0, 1, 4, 7):
+        got = parse_media_header(wav_with_bits(bits))
+        assert got["format"] == "wav" and got["sample_rate"] == 8000
+        assert got["n_samples"] is None
+    # 8-bit PCM still computes
+    got = parse_media_header(wav_with_bits(8))
+    assert got["n_samples"] == 64
+
+
 def test_png_is_spec_valid_for_stdlib():
     """The PNG encoder produces chunks a strict reader accepts (CRCs,
     zlib IDAT) — guards against the round-trip passing only because

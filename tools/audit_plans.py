@@ -59,6 +59,12 @@ EXPECTATIONS = {
     # rewrite exists to prevent
     "q31_interval_join": {"codegen": True, "max_scan_cols": 4,
                           "contains_not": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    # IVF ANN: the only explicit broadcast hints allowed are the centroid
+    # set and the probe-derived tables (cent appears twice in the hint
+    # tree via plan reuse). A 5th hint means a corpus-derived table
+    # (e.g. a per-vector norms build) got broadcast again — the exact
+    # 100 TB failure the norm-folding rewrite removed.
+    "q39_ann_ivf": {"codegen": True, "max_scan_cols": 2, "max_hint_broadcasts": 4},
 }
 
 
@@ -73,6 +79,14 @@ def audit(spark, sf_dir: str) -> list[str]:
         # AQE settles on the final plan with codegen stages compiled
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        hint_cap = exp.get("max_hint_broadcasts")
+        if hint_cap is not None:
+            n_hints = df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+            if n_hints > hint_cap:
+                failures.append(
+                    f"{name}: {n_hints} explicit broadcast hints (cap {hint_cap}) — "
+                    "a corpus-derived table is being broadcast"
+                )
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
         widest = max((len(s.split(",")) for s in scans), default=0)
         n_broadcast = plan.count("BroadcastHashJoin")
