@@ -39,7 +39,14 @@ def etl_events(
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     events = normalize(raw)
     ids = file_identities(raw, strict=strict)
-    out = attach_metadata(events, ids, strict=strict)
+    # attach_metadata's own strict check scans the JOINED events — which
+    # executes the whole 8-family normalize once more just to verify an
+    # invariant that already holds here by construction: `ids` contains
+    # every file_path in `raw` (it is a groupBy over raw), events derive
+    # from the same raw, and strict file_identities above already
+    # rejected null identities. Skip the redundant event-side execution;
+    # callers joining foreign identity tables keep the strict path.
+    out = attach_metadata(events, ids, strict=False)
     # The 8-family union multiplies partition count 8× (one set per
     # branch); every downstream job over the cached events would pay that
     # task-scheduling tax on each scan. Coalesce (narrow, no shuffle)

@@ -61,25 +61,40 @@ def plugins() -> dict[str, PluginFn]:
     return dict(_PLUGINS)
 
 
-def run_plugins(events: DataFrame, enabled: list[str] | None = None) -> dict[str, DataFrame]:
+def run_plugins(
+    events: DataFrame, enabled: list[str] | None = None, max_workers: int = 4
+) -> dict[str, DataFrame]:
     """Run each enabled plugin; returns the union of their result tables.
 
     An enabled-but-unregistered name is warned about and skipped, never
     fatal — the reference tolerates configured premium/custom plugins
     that aren't linked into the binary (pkg/pluginloader/loader.go:38-45).
+
+    Plugins are pure plan builders (no execution), but building nine
+    deep plan trees is driver-side work — hundreds of py4j round-trips
+    each — so independent plugins build on a small thread pool (py4j
+    releases the GIL on socket I/O). Result ordering stays deterministic:
+    tables merge in `names` order regardless of completion order.
     """
     import logging
+    from concurrent.futures import ThreadPoolExecutor
 
     reg = plugins()
     names = list(enabled) if enabled is not None else list(DEFAULT_ENABLED)
-    out: dict[str, DataFrame] = {}
+    known = [n for n in names if n in reg]
     for name in names:
         if name not in reg:
             logging.getLogger(__name__).warning(
                 "plugin %r not found in registry; continuing without it", name
             )
-            continue
-        for table, df in reg[name](events).items():
+    if max_workers > 1 and len(known) > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            built = dict(zip(known, pool.map(lambda n: reg[n](events), known)))
+    else:
+        built = {n: reg[n](events) for n in known}
+    out: dict[str, DataFrame] = {}
+    for name in known:
+        for table, df in built[name].items():
             if table in out:
                 raise ValueError(f"plugin {name!r} re-emits table {table!r}")
             out[table] = df

@@ -57,6 +57,11 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
 
         t1 = time.time()
         tables = run_plugins(events)
+        # Counts stay SERIAL on purpose: several result tables share
+        # persisted intermediates (network-latency's matched/unmatched
+        # split), and concurrent first-touch jobs would each compute the
+        # unfilled cache — measured 2-3x slower than letting the first
+        # count populate it for the rest.
         counts = {name: df.count() for name, df in tables.items()}
         t_plugins = time.time() - t1
         events.unpersist()
