@@ -861,3 +861,419 @@ def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sample_budget"),
     )
+
+
+# --------------------------------------------------------------------------
+# q77-q81 — retrieval / language-model / vocab operators for the curation
+# loop: TF-IDF, BM25, bigram-LM likelihood, shingle novelty, vocab coverage.
+
+
+@register(
+    "q77_tfidf_terms",
+    tags=("datapipe", "text", "retrieval"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 9) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  WHERE tf.doc_id < 50
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+""",
+)
+def q77_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most distinctive terms per document (scored docs
+    bounded to doc_id < 50; statistics from the whole corpus).
+
+    Scale shape: term frequencies and document frequencies are two
+    key-partitioned aggregations (shuffle keys are terms — vocab-sized,
+    not corpus-sized, after the map-side partial agg); the tf-df join is
+    a shuffle join on the term key; N is a single-row broadcast. The
+    top-3 rank filter compiles to a WindowGroupLimit, so only 3 rows
+    per doc survive the map side of the final window. idf doubles are
+    rounded before ranking so both engines order identical values.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    ranked = scored.withColumn(
+        "term_rank",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+        ),
+    )
+    return ranked.filter(F.col("term_rank") <= 3).select(
+        "doc_id", "term", "tf", "df", "tfidf", "term_rank"
+    )
+
+
+_BM25_QUERY = ("query", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q78_bm25_search",
+    tags=("datapipe", "text", "retrieval"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+qtf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {tuple(_BM25_QUERY)!r} GROUP BY doc_id, term
+),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY term
+),
+contrib AS (
+  SELECT qtf.doc_id, qtf.term,
+         round(ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+               * (qtf.tf * ({_BM25_K1} + 1.0))
+               / (qtf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 9) AS c
+  FROM qtf
+  JOIN qdf ON qtf.term = qdf.term
+  JOIN dl ON dl.doc_id = qtf.doc_id
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS bm25,
+         count(*) AS n_query_terms_hit
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_query_terms_hit, doc_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS doc_rank
+  FROM per_doc
+) WHERE doc_rank <= 10
+""",
+)
+def q78_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance search: top-10 documents for a fixed query term
+    set (k1=1.2, b=0.75) — the retrieval scorer behind contamination
+    screens and data-selection heuristics.
+
+    Scale shape: per-doc lengths are one map-side-combinable aggregate;
+    the query-term postings list (qtf) is pre-filtered to the query's
+    terms BEFORE any shuffle, so the scored relation is |query| × docs-
+    containing-term, not the corpus; corpus-level stats (N, avgdl) and
+    per-term df are single-row/|query|-row broadcasts. The final global
+    top-10 ranks the per-doc scores — bounded by docs matching at least
+    one query term; add a score threshold pre-filter at 100 TB.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtf = (
+        tok.filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_query_terms_hit"),
+    )
+    ranked = per_doc.withColumn(
+        "doc_rank",
+        F.row_number().over(W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")),
+    )
+    return ranked.filter(F.col("doc_rank") <= 10).select(
+        "doc_id", "bm25", "n_query_terms_hit", "doc_rank"
+    )
+
+
+@register(
+    "q79_bigram_lm_score",
+    tags=("datapipe", "text", "lm"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM base
+),
+big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+),
+c2 AS (
+  SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, count(*) AS n1 FROM big GROUP BY w1
+),
+lp AS (
+  SELECT big.doc_id,
+         round(ln(CAST(c2.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE)), 9) AS logp
+  FROM big
+  JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+  JOIN c1 ON big.w1 = c1.w1
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+         AS avg_logprob
+FROM lp
+WHERE doc_id < 100
+GROUP BY doc_id
+""",
+)
+def q79_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model likelihood scoring: train MLE bigram
+    probabilities P(w2|w1) = c(w1,w2)/c(w1) on the corpus, score each
+    document by its mean bigram log-probability — the perplexity-proxy
+    quality filter (fluent text scores high, gibberish low).
+
+    Scale shape: bigrams are built COLUMNARLY (zip_with over the token
+    array — no posexplode self-join), so the only shuffles are the two
+    count aggregations (bigram- and unigram-vocabulary-sized after
+    map-side partial agg) and the key-partitioned joins back onto the
+    bigram stream. Frequent-context keys (stopword w1) are exactly the
+    AQE skew-join case. Per-bigram log-probs are rounded, summed through
+    decimal, divided once — bit-equal across engines.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    big = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    lp = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n12").cast("double") / F.col("n1").cast("double")), 9
+            ).alias("logp"),
+        )
+    )
+    return (
+        lp.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_SHINGLE_K = 5
+
+
+@register(
+    "q80_shingle_novelty",
+    tags=("datapipe", "dedup", "text"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_SHINGLE_K - 1})) AS i
+  FROM base
+),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i:i + {_SHINGLE_K - 1}], ' ') AS shingle
+  FROM idx
+),
+owner AS (
+  SELECT shingle, min(doc_id) AS owner_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN owner.owner_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN owner.owner_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 9) AS novelty
+FROM sh JOIN owner ON sh.shingle = owner.shingle
+GROUP BY sh.doc_id
+""",
+)
+def q80_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level novelty: the fraction of a document's 5-gram
+    shingles FIRST seen in that document (min-doc_id ownership) — the
+    containment-dedup signal that catches partial copies, boilerplate,
+    and quote-heavy near-duplicates that whole-document hashing misses.
+
+    Scale shape: shingles build columnarly (transform over an index
+    sequence, then one explode); ownership is a single shuffle grouped
+    on the 32-byte md5 of the shingle (never the shingle text — q50's
+    short-shuffle-key rationale); the ownership join is key-partitioned
+    on the same hash, so it reuses the shuffle partitioning. Output is
+    one row per document.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    k = _SHINGLE_K
+    sh = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("sh_hash"))
+    )
+    owner = sh.groupBy("sh_hash").agg(F.min("doc_id").alias("owner_doc"))
+    novel = (F.col("owner_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(owner, "sh_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 9).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+_VOCAB_TOP_K = 200
+
+
+@register(
+    "q81_vocab_coverage",
+    tags=("datapipe", "text", "tokenizer"),
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+),
+total AS (SELECT sum(n) AS total_tokens FROM counts),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS vocab_rank
+  FROM counts
+)
+SELECT vocab_rank, token, n,
+       round(CAST(sum(n) OVER (ORDER BY vocab_rank) AS DOUBLE)
+             / total.total_tokens, 9) AS cum_coverage
+FROM ranked CROSS JOIN total
+WHERE vocab_rank <= {_VOCAB_TOP_K}
+""",
+)
+def q81_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-{k} corpus vocabulary by frequency
+    with cumulative token coverage — the "how big must the tokenizer
+    vocab be to cover X% of the stream" curve.
+
+    Scale shape: token counting is one map-side-combinable aggregation
+    whose shuffle is vocab-sized; the rank and running-coverage windows
+    run over the AGGREGATED vocabulary (bounded by distinct tokens, not
+    corpus size), with the rank filter compiling to a WindowGroupLimit
+    so only top-k rows reach the final single partition. Integer
+    cumulative sums divide the broadcast total once, rounded — exact in
+    both engines.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    ranked = counts.withColumn(
+        "vocab_rank", F.row_number().over(W.partitionBy().orderBy(F.col("n").desc(), "token"))
+    ).filter(F.col("vocab_rank") <= _VOCAB_TOP_K)
+    cum = W.partitionBy().orderBy("vocab_rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ranked.join(F.broadcast(total)).select(
+        "vocab_rank",
+        "token",
+        "n",
+        F.round(
+            F.sum("n").over(cum).cast("double") / F.col("total_tokens"), 9
+        ).alias("cum_coverage"),
+    )

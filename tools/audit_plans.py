@@ -65,6 +65,12 @@ EXPECTATIONS = {
     # (e.g. a per-vector norms build) got broadcast again — the exact
     # 100 TB failure the norm-folding rewrite removed.
     "q39_ann_ivf": {"codegen": True, "max_scan_cols": 2, "max_hint_broadcasts": 4},
+    # retrieval/LM family: token explodes must stay 2-column scans and
+    # the tf-idf top-3 must keep its map-side rank limit
+    "q77_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    "q79_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
+    "q80_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
+    "q81_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
 }
 
 
