@@ -6,6 +6,7 @@ codecs, and date/time arithmetic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -193,4 +194,104 @@ def q44_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("type_or_err"),
         F.greatest("value", F.lit(100.0)).alias("val_floor100"),
         F.least("value", F.lit(100.0)).alias("val_cap100"),
+    )
+
+
+@register(
+    "q82_vote_parse",
+    tags=("scalar", "textparse", "c14"),
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type = 'click' THEN 'prevote' ELSE 'precommit' END
+         AS vote_type,
+       event_id // 7 + 1 AS height,
+       event_id % 4 AS round,
+       upper(substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS block_hash,
+       upper(substr(md5(CAST(user_id AS VARCHAR) || 'p'), 1, 8)) AS ps_hash,
+       event_id % 100 AS ps_total,
+       event_id % 64 AS validator_index,
+       upper(substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+         AS validator_address,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 's'), 1, 16)) AS signature,
+       epoch_us(ts) AS ts_us
+FROM events
+WHERE event_id < 300
+""",
+)
+def q82_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 vote-string parse attested against ground truth: render the
+    canonical cometbft `[Vote Vote{...}]` string from events columns
+    JVM-side, parse it back with the PRODUCTION parser
+    (functions/blocktext.parse_vote_string, mirroring
+    /root/reference/lib/parse.go:110-221) in an Arrow-batched UDF, and
+    emit the extracted fields; the oracle computes the expected fields
+    directly from the same source columns, so any parser drift (field
+    order, zero-pad stripping, paren type names, RFC3339 fractions)
+    hash-mismatches.
+
+    Scale shape: the render is pure JVM string formatting; the parse is
+    the imperative kernel the reference also pays, Arrow-batched and
+    map-only (no shuffle at all — audit-gated elsewhere via the PII
+    pattern).
+    """
+    from ..functions.blocktext import parse_vote_string
+
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    eid = F.col("event_id")
+    md5s = lambda c: F.upper(F.md5(c.cast("string").cast("binary")))  # noqa: E731
+    vote_str = F.format_string(
+        "[Vote Vote{%d:%s %d/%02d/SIGNED_MSG_TYPE_%s(%s) %s %s %012d %s @ %s}]",
+        eid % 64,
+        F.substring(md5s(eid), 1, 12),
+        F.expr("event_id div 7 + 1"),
+        eid % 4,
+        F.when(F.col("event_type") == "click", "PREVOTE").otherwise("PRECOMMIT"),
+        F.when(F.col("event_type") == "click", "Prevote").otherwise("Precommit"),
+        F.substring(md5s(F.col("user_id")), 1, 8),
+        F.substring(md5s(F.concat(F.col("user_id").cast("string"), F.lit("p"))), 1, 8),
+        eid % 100,
+        F.substring(md5s(F.concat(eid.cast("string"), F.lit("s"))), 1, 16),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+    )
+    out_schema = (
+        "vote_type string, height long, round long, block_hash string,"
+        " ps_hash string, ps_total long, validator_index long,"
+        " validator_address string, signature string, ts_us long"
+    )
+
+    @F.pandas_udf(out_schema)
+    def parse_votes(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            d = parse_vote_string(v)
+            rows.append(
+                {
+                    "vote_type": d["type"],
+                    "height": d["height"],
+                    "round": d["round"],
+                    "block_hash": d["block_id"]["hash"],
+                    "ps_hash": d["block_id"]["part_set_header"]["hash"],
+                    "ps_total": d["block_id"]["part_set_header"]["total"],
+                    "validator_index": d["validator_index"],
+                    "validator_address": d["validator_address"],
+                    "signature": d["signature"],
+                    "ts_us": int(d["timestamp"].timestamp() * 1_000_000),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parsed = ev.select("event_id", parse_votes(vote_str).alias("v"))
+    return parsed.select(
+        "event_id",
+        F.col("v.vote_type").alias("vote_type"),
+        F.col("v.height").alias("height"),
+        F.col("v.round").alias("round"),
+        F.col("v.block_hash").alias("block_hash"),
+        F.col("v.ps_hash").alias("ps_hash"),
+        F.col("v.ps_total").alias("ps_total"),
+        F.col("v.validator_index").alias("validator_index"),
+        F.col("v.validator_address").alias("validator_address"),
+        F.col("v.signature").alias("signature"),
+        F.col("v.ts_us").alias("ts_us"),
     )

@@ -71,6 +71,9 @@ EXPECTATIONS = {
     "q79_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
     "q80_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
     "q81_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
+    # vote-string render+parse is a pure map pass: any Exchange means a
+    # shuffle crept into the Arrow kernel pipeline
+    "q82_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
 }
 
 
