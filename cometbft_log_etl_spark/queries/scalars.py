@@ -295,3 +295,135 @@ def q82_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.signature").alias("signature"),
         F.col("v.ts_us").alias("ts_us"),
     )
+
+
+@register(
+    "q83_block_parse",
+    tags=("scalar", "textparse", "c9"),
+    oracle="""
+SELECT event_id,
+       'chain-' || CAST(user_id % 10 AS VARCHAR) AS chain_id,
+       event_id // 5 + 1 AS height,
+       epoch_us(ts) AS time_us,
+       upper(substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS last_hash,
+       event_id % 50 AS last_total,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 'q'), 1, 8)) AS last_ps_hash,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 'v'), 1, 8)) AS validators_hash,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 'a'), 1, 8)) AS app_hash,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 'pr'), 1, 12)) AS proposer,
+       2 AS n_txs,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 't1'), 1, 16)) AS tx0,
+       event_id // 5 AS commit_height,
+       event_id % 3 AS commit_round,
+       upper(substr(md5(CAST(event_id AS VARCHAR) || 'va'), 1, 12)) AS sig_validator,
+       2 AS sig_flag,
+       epoch_us(ts) AS sig_ts_us
+FROM events
+WHERE event_id < 200
+""",
+)
+def q83_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 block-string parse attested against ground truth: render the
+    full multi-line cometbft `Block{Header{...} Data{...}
+    EvidenceData{...} Commit{...}}#H` text from events columns JVM-side
+    (14 header fields, tx lines, CommitSig lines, }#hash closers —
+    the StringIndented shape of /root/reference/lib/parse.go:223-516),
+    parse it back with the PRODUCTION recursive-descent kernel
+    (functions/blocktext.parse_block_udf), and emit scalar fields from
+    every section; the oracle computes the expectations directly from
+    the same source columns. Exercises header dispatch-by-name, BlockID
+    `hash:total:psh` splitting, tx hex extraction, and CommitSig regex
+    + RFC3339 parsing in one hash-checked pass.
+
+    Scale shape: render is JVM string formatting; the parse is the
+    Arrow-batched imperative kernel, map-only (plan-gated: no Exchange).
+    """
+    from ..functions.blocktext import parse_block_udf
+
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    eid = F.col("event_id")
+    md5s = lambda c: F.upper(F.md5(c.cast("string").cast("binary")))  # noqa: E731
+    tag = lambda suffix, n: F.substring(  # noqa: E731
+        md5s(F.concat(eid.cast("string"), F.lit(suffix))), 1, n
+    )
+    ts_str = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    block_str = F.format_string(
+        "Block{\n"
+        "  Header{\n"
+        "    Version:        {1 2}\n"
+        "    ChainID:        %s\n"
+        "    Height:         %d\n"
+        "    Time:           %s\n"
+        "    LastBlockID:    %s:%d:%s\n"
+        "    LastCommit:     %s\n"
+        "    Data:           %s\n"
+        "    Validators:     %s\n"
+        "    NextValidators: %s\n"
+        "    App:            %s\n"
+        "    Consensus:      %s\n"
+        "    Results:        %s\n"
+        "    Evidence:       %s\n"
+        "    Proposer:       %s\n"
+        "  }#HH\n"
+        "  Data{\n"
+        "    %s (8 bytes)\n"
+        "    %s (8 bytes)\n"
+        "  }#DH\n"
+        "  EvidenceData{\n"
+        "  }#EH\n"
+        "  Commit{\n"
+        "    Height:     %d\n"
+        "    Round:      %d\n"
+        "    BlockID:    %s:%d:%s\n"
+        "    Signatures:\n"
+        "    CommitSig{%s by %s on 2 @ %s}\n"
+        "  }#CH\n"
+        "}#BH",
+        F.concat(F.lit("chain-"), (F.col("user_id") % 10).cast("string")),
+        F.expr("event_id div 5 + 1"),
+        ts_str,
+        F.substring(md5s(eid), 1, 8),
+        eid % 50,
+        tag("q", 8),
+        tag("lc", 8),
+        tag("d", 8),
+        tag("v", 8),
+        tag("nv", 8),
+        tag("a", 8),
+        tag("c", 8),
+        tag("r", 8),
+        tag("e", 8),
+        tag("pr", 12),
+        tag("t1", 16),
+        tag("t2", 16),
+        F.expr("event_id div 5"),
+        eid % 3,
+        F.substring(md5s(eid), 1, 8),
+        eid % 50,
+        tag("q", 8),
+        tag("cs", 16),
+        tag("va", 12),
+        ts_str,
+    )
+    b = parse_block_udf(block_str)
+    parsed = ev.select("event_id", b.alias("b"))
+    return parsed.select(
+        "event_id",
+        F.col("b.header.chain_id").alias("chain_id"),
+        F.col("b.header.height").alias("height"),
+        F.unix_micros("b.header.time").alias("time_us"),
+        F.col("b.header.last_block_id.hash").alias("last_hash"),
+        F.col("b.header.last_block_id.part_set_header.total").alias("last_total"),
+        F.col("b.header.last_block_id.part_set_header.hash").alias("last_ps_hash"),
+        F.col("b.header.validators_hash").alias("validators_hash"),
+        F.col("b.header.app_hash").alias("app_hash"),
+        F.col("b.header.proposer_address").alias("proposer"),
+        F.size("b.data.txs").alias("n_txs"),
+        F.col("b.data.txs")[0].alias("tx0"),
+        F.col("b.last_commit.height").alias("commit_height"),
+        F.col("b.last_commit.round").alias("commit_round"),
+        F.col("b.last_commit.signatures")[0]["validator_address"].alias("sig_validator"),
+        F.col("b.last_commit.signatures")[0]["block_id_flag"].alias("sig_flag"),
+        F.unix_micros(F.col("b.last_commit.signatures")[0]["timestamp"]).alias("sig_ts_us"),
+    )

@@ -74,6 +74,7 @@ EXPECTATIONS = {
     # vote-string render+parse is a pure map pass: any Exchange means a
     # shuffle crept into the Arrow kernel pipeline
     "q82_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
+    "q83_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
 }
 
 
