@@ -427,3 +427,70 @@ def q83_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.last_commit.signatures")[0]["block_id_flag"].alias("sig_flag"),
         F.unix_micros(F.col("b.last_commit.signatures")[0]["timestamp"]).alias("sig_ts_us"),
     )
+
+
+@register(
+    "q84_varint_codec",
+    tags=("scalar", "codec", "d1"),
+    oracle="""
+WITH src AS (
+  SELECT event_id, (event_id * event_id * 131) % 268435455 AS v
+  FROM events WHERE event_id < 300
+)
+SELECT event_id, v,
+       CASE
+         WHEN v < 128 THEN printf('%02x', v)
+         WHEN v < 16384 THEN
+           printf('%02x%02x', (v % 128) + 128, v // 128)
+         WHEN v < 2097152 THEN
+           printf('%02x%02x%02x', (v % 128) + 128,
+                  ((v // 128) % 128) + 128, v // 16384)
+         ELSE
+           printf('%02x%02x%02x%02x', (v % 128) + 128,
+                  ((v // 128) % 128) + 128,
+                  ((v // 16384) % 128) + 128, v // 2097152)
+       END AS varint_hex,
+       CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+            WHEN v < 2097152 THEN 3 ELSE 4 END AS n_bytes,
+       v AS v_decoded
+FROM src
+""",
+)
+def q84_varint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 protowire varint codec attested against independent
+    arithmetic: encode values derived from events columns with the
+    PRODUCTION encoder (functions/protowire._write_varint — the same
+    bytes every channel-routed proto decode walks), decode them back
+    with the production reader, and compare the hex bytes against the
+    oracle's 7-bit-group CASE arithmetic — little-endian group order,
+    continuation bits, and minimal length all hash-checked (a pure
+    round-trip would miss a shared encoder/decoder misunderstanding;
+    this pins the wire format itself).
+
+    Scale shape: map-only Arrow kernel, no shuffle (plan-gated).
+    """
+    from ..functions.protowire import _read_varint, _write_varint
+
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    v = (F.col("event_id") * F.col("event_id") * 131) % 268435455
+
+    @F.pandas_udf("varint_hex string, n_bytes long, v_decoded long")
+    def codec(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for n in vals:
+            buf = _write_varint(int(n))
+            decoded, end = _read_varint(buf, 0)
+            rows.append(
+                {"varint_hex": buf.hex(), "n_bytes": end, "v_decoded": decoded}
+            )
+        return pd.DataFrame(rows)
+
+    out = ev.select("event_id", v.alias("v"), codec(v).alias("c"))
+    return out.select(
+        "event_id",
+        "v",
+        F.col("c.varint_hex").alias("varint_hex"),
+        F.col("c.n_bytes").alias("n_bytes"),
+        F.col("c.v_decoded").alias("v_decoded"),
+    )

@@ -75,6 +75,7 @@ EXPECTATIONS = {
     # shuffle crept into the Arrow kernel pipeline
     "q82_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
     "q83_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
+    "q84_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
 }
 
 
