@@ -19,6 +19,10 @@ _TZ_SENSITIVE = [
     "q48_time_bucket_rollup",
     "q35_asof_enrich",
     "q37_neardup_clusters",
+    # render→parse attestations format and re-parse RFC3339 strings:
+    # a session-tz leak would shift both ts_us columns
+    "q82_vote_parse",
+    "q83_block_parse",
 ]
 
 
