@@ -1190,8 +1190,13 @@ def q80_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
     k = _SHINGLE_K
+    # guard: Spark's sequence(1, n) DESCENDS for n <= 0 and slice with a
+    # 0/negative start throws, so a sub-k-token document would kill the
+    # task; the oracle's generate_series(1, n<=0) is simply empty, and
+    # filtering matches that (the doc emits no shingle rows).
     sh = (
         docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= k)
         .select(
             "doc_id",
             F.explode(

@@ -816,6 +816,10 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(x*x) / sum(cx*cx) ARE the squared norms, via the same decimal
     # expression as the oracle's `norms` CTE (exact, order-insensitive) —
     # no corpus-sized norms table to build, shuffle, or broadcast.
+    # PRECONDITION: fixed-dimension embeddings (cosine between ragged
+    # vectors is undefined; the pos-equality join would then cover only
+    # the dimension intersection, unlike a full-vector norms table).
+    # q49_embedding_stats' dimension check is the screen for violations.
     vc = (
         elems.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
         .groupBy("vec_id", "cent_id")

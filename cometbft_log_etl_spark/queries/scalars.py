@@ -6,11 +6,16 @@ codecs, and date/time arithmetic.
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune_session
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US = timedelta(microseconds=1)
 from ..tables import load
 from . import register
 
@@ -276,7 +281,11 @@ def q82_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "validator_index": d["validator_index"],
                     "validator_address": d["validator_address"],
                     "signature": d["signature"],
-                    "ts_us": int(d["timestamp"].timestamp() * 1_000_000),
+                    # exact integer micros: .timestamp()*1e6 goes through a
+                    # double and drops ulps for epoch seconds >= 2^31
+                    "ts_us": (
+                        d["timestamp"] - _EPOCH
+                    ) // _US,
                 }
             )
         return pd.DataFrame(rows)
