@@ -137,3 +137,16 @@ def test_pipeline_writes_generated_sim_dir(spark, log_dir, tmp_path):
     written = set(os.listdir(os.path.join(out, subdirs[0])))
     assert "events" in written
     assert {n for n in results if n != "events"} <= written
+
+
+def test_bench_etl_smoke(spark):
+    """The per-round bench harness must stay runnable: a break here
+    (plugin threading, the two-phase materialization, fixture drift)
+    would otherwise only surface as a crashed BENCH_r{N}.json."""
+    from tools.bench_etl import run_etl_bench
+
+    r = run_etl_bench(spark, heights=10, repeat=1)
+    assert r["n_lines"] > 0 and r["n_events"] > 0
+    assert r["n_result_tables"] == 15
+    assert r["result_rows"] > 0
+    assert r["etl_sec"] > 0 and r["plugins_sec"] > 0
