@@ -385,32 +385,25 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _exploded_embeddings(spark, sf_dir, "probe_id", F.col("vec_id") < 5)
     cand = _exploded_embeddings(spark, sf_dir, "cand_id")
     prod = F.col("p.x") * F.col("c.x")
-    dots = (
+    # Norms are FOLDED into the per-(probe, cand) aggregation — the q39
+    # pattern (queries/neardup.py q39_ann_ivf): within a group every
+    # position of both vectors appears exactly once, so sum(p.x²) /
+    # sum(c.x²) ARE the squared norms, via the same decimal terms as the
+    # oracle's `norms` CTE (decimal addition is exact, so fold order
+    # can't change the result). The ONLY broadcast is the small probe
+    # side; no corpus-sized table is ever built or broadcast.
+    # PRECONDITION: fixed-dimension embeddings (q49's check screens).
+    scored = (
         F.broadcast(probe.alias("p"))
         .join(cand.alias("c"), F.col("p.pos") == F.col("c.pos"))
         .filter(F.col("p.probe_id") != F.col("c.cand_id"))
         .groupBy("p.probe_id", "c.cand_id")
-        .agg(F.sum(prod.cast("decimal(28,12)")).cast("double").alias("dot"))
-    )
-    # Norms fold over the array in place — no explode, no shuffle. The
-    # decimal terms are identical to the oracle's exploded SUM and decimal
-    # addition is exact, so the fold order can't change the result.
-    norms = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.sqrt(
-            F.aggregate(
-                "embedding",
-                F.lit(0).cast("decimal(28,12)"),
-                lambda acc, x: (
-                    acc + (x.cast("double") * x.cast("double")).cast("decimal(28,12)")
-                ).cast("decimal(28,12)"),
-            ).cast("double")
-        ).alias("nrm"),
-    )
-    scored = (
-        dots.join(F.broadcast(norms).alias("np"), F.col("np.vec_id") == F.col("probe_id"))
-        .join(F.broadcast(norms).alias("nc"), F.col("nc.vec_id") == F.col("cand_id"))
-        .select("probe_id", "cand_id", (F.col("dot") / (F.col("np.nrm") * F.col("nc.nrm"))).alias("cosine"))
+        .agg(
+            F.sum(prod.cast("decimal(28,12)")).cast("double").alias("dot"),
+            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
+            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+        )
+        .select("probe_id", "cand_id", (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
     )
     from pyspark.sql import Window as W
 

@@ -338,13 +338,23 @@ def q56_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q57_ngram_jaccard",
     tags=("datapipe", "dedup", "jaccard"),
-    oracle="""
-WITH g AS (
+    oracle=f"""
+WITH g_all AS (
   SELECT doc_id, lang, n_chars // 100 AS size_block,
          list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
                                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
   FROM documents
   WHERE len(string_split(text, ' ')) >= 2
+),
+g AS (
+  -- degenerate-block guard: same deterministic lowest-doc_id cap as the
+  -- Spark side (neardup._BUCKET_CAP) — a hot (lang, size_block) cell
+  -- must not go quadratic
+  SELECT doc_id, lang, size_block, grams FROM (
+    SELECT doc_id, lang, size_block, grams,
+           row_number() OVER (PARTITION BY lang, size_block ORDER BY doc_id) AS rn
+    FROM g_all
+  ) WHERE rn <= {_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS n_common,
@@ -362,6 +372,11 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on (lang, n_chars/100) bounds the self-join: only
     same-language, similar-length docs are compared — the standard
     budget control that keeps pairwise similarity feasible at scale.
+    Block sizes are data-dependent, so each block is additionally capped
+    to its ``_BUCKET_CAP`` lowest-doc_id members before pair expansion
+    (rank-filter → map-side WindowGroupLimit, the same degenerate-bucket
+    guard as q55/q58): a boilerplate-heavy (lang, size) cell costs at
+    most C(cap, 2) pairs instead of C(n, 2).
     |A∪B| is |A|+|B|−|A∩B| over distinct gram sets.
     """
     tune_session(spark)
@@ -373,11 +388,18 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         )
     )
-    g = docs.filter(F.size(toks) >= 2).select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("size_block"),
-        grams.alias("grams"),
+    wblock = W.partitionBy("lang", "size_block").orderBy("doc_id")
+    g = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("size_block"),
+            grams.alias("grams"),
+        )
+        .withColumn("_rn", F.row_number().over(wblock))
+        .filter(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
     )
     a, b = g.alias("a"), g.alias("b")
     joined = a.join(
@@ -533,24 +555,29 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_pairs = F.broadcast(pb).join(cb, "bucket").filter(F.col("probe_id") != F.col("cand_id"))
 
     p, c = elems.alias("p"), elems.alias("c")
-    dots = (
+    # Norms are FOLDED into the per-(probe, cand) aggregation — the q39
+    # pattern (see q39_ann_ivf below): within a group every position of
+    # both vectors appears exactly once, so sum(p.x²) / sum(c.x²) ARE the
+    # squared norms, via the same decimal expression as the oracle's
+    # `norms` CTE (exact, order-insensitive). No corpus-sized norms table
+    # to build, shuffle, or — the 100 TB driver-killer — broadcast.
+    # PRECONDITION: fixed-dimension embeddings (q49's dimension check is
+    # the screen), same as q39.
+    scored = (
         F.broadcast(cand_pairs)
         .join(p, F.col("p.vec_id") == F.col("probe_id"))
         .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
         .groupBy("probe_id", "cand_id", "bucket")
-        .agg(F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"))
-    )
-    norms = elems.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("nrm")
-    )
-    scored = (
-        dots.join(F.broadcast(norms).alias("np"), F.col("np.vec_id") == F.col("probe_id"))
-        .join(F.broadcast(norms).alias("nc"), F.col("nc.vec_id") == F.col("cand_id"))
+        .agg(
+            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
+            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
+            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+        )
         .select(
             "probe_id",
             "cand_id",
             "bucket",
-            (F.col("dot") / (F.col("np.nrm") * F.col("nc.nrm"))).alias("cosine"),
+            (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"),
         )
     )
     ranked = scored.withColumn(
@@ -569,57 +596,51 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q66_edit_distance",
     tags=("datapipe", "dedup", "levenshtein"),
-    oracle="""
-WITH d AS (
-  SELECT doc_id, lang, n_chars // 100 AS size_block,
-         substr(text, 1, 120) AS head
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    oracle=f"""
+WITH {_Q55_CTES},
+heads AS (SELECT doc_id, substr(text, 1, 120) AS head FROM documents)
+SELECT p.doc_a, p.doc_b,
        levenshtein(a.head, b.head) AS edit_dist,
        round(1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
                    / greatest(len(a.head), len(b.head)), 9) AS similarity
-FROM d a
-JOIN d b ON a.lang = b.lang AND a.size_block = b.size_block
-        AND a.doc_id < b.doc_id
+FROM pairs p
+JOIN heads a ON a.doc_id = p.doc_a
+JOIN heads b ON b.doc_id = p.doc_b
 WHERE 1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
             / greatest(len(a.head), len(b.head)) >= 0.3
 """,
 )
 def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verification on blocked candidate pairs.
+    """Edit-distance near-dup verification tier over LSH candidates.
 
-    The expensive-but-precise tier that sits AFTER cheap candidate
-    generation (MinHash bands q55 / blocking q57): Levenshtein is
-    O(len²) per pair, so it only ever runs on pairs a blocking key has
-    already bounded, and only on a fixed 120-char prefix — per-pair cost
-    is a constant, making the stage linear in candidate count at 100 TB.
+    The expensive-but-precise tier composed on top of cheap candidate
+    generation: the input pairs ARE q55's MinHash/LSH band candidates
+    (``lsh_band_pairs`` — bucketed, degenerate-bucket-capped, never
+    all-pairs), so the Levenshtein stage is linear in candidate count by
+    construction, not by data-dependent luck. Each pair is scored on a
+    fixed 120-char prefix, making per-pair cost a constant at 100 TB.
     Spark and DuckDB implement the identical classic Levenshtein, so the
-    distance is cross-engine exact.
+    distance is cross-engine exact; the oracle recomputes the same LSH
+    candidate set via the shared q55 CTE chain.
     """
     tune_session(spark)
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("size_block"),
-        F.substring("text", 1, 120).alias("head"),
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_band_pairs(_minhash_sigs(docs)).select("doc_a", "doc_b")
+    heads = docs.select("doc_id", F.substring("text", 1, 120).alias("head"))
+    pairs = cand.join(
+        heads.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")), "doc_a"
+    ).join(
+        heads.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")), "doc_b"
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.size_block") == F.col("b.size_block"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    lev = F.levenshtein(F.col("head_a"), F.col("head_b"))
     sim = F.lit(1.0) - lev.cast("double") / F.greatest(
-        F.length(F.col("a.head")), F.length(F.col("b.head"))
+        F.length(F.col("head_a")), F.length(F.col("head_b"))
     )
     return (
         pairs.filter(sim >= 0.3)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             lev.alias("edit_dist"),
             F.round(sim, 9).alias("similarity"),
         )
@@ -630,6 +651,52 @@ def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q68 — near-dup cluster resolution (connected components over LSH pairs)
 
 _CLUSTER_JACCARD = 0.5  # est_jaccard threshold for a dedup edge
+
+# Iteration backstop for Hash-Min label propagation. Convergence takes
+# O(component diameter) rounds; near-dup graphs are dense cliques
+# (diameter 1-2), so 30 rounds ≫ anything a real corpus produces. A
+# pathological chain graph (diameter > cap) fails LOUD instead of
+# spinning the cluster forever or silently emitting half-propagated
+# labels.
+_CC_MAX_ITERS = 30
+
+
+def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Hash-Min connected components to fixpoint, bounded at max_iters.
+
+    ``labels`` is (doc_id, cluster_id) seeded with cluster_id = doc_id;
+    ``sym`` is the symmetrized edge list (a, b). Each iteration is one
+    shuffle (labels joined to edges, min-aggregated) + localCheckpoint
+    to cut lineage; no driver-side graph state. Raises RuntimeError if
+    the fixpoint isn't reached within ``max_iters`` — wrong labels are
+    worse than a failed job.
+    """
+    for it in range(1, max_iters + 1):
+        neighbor_min = (
+            labels.join(sym, labels["doc_id"] == sym["a"])
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            print(f"[hash_min_components] converged after {it} iteration(s)")
+            return labels
+    raise RuntimeError(
+        f"hash_min_components: no fixpoint after {max_iters} iterations — "
+        "component diameter exceeds the bound; raise max_iters if the "
+        "graph is legitimately this deep"
+    )
 
 
 @register(
@@ -693,26 +760,7 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
-    while True:
-        neighbor_min = (
-            labels.join(sym, labels["doc_id"] == sym["a"])
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
+    labels = hash_min_components(labels, sym)
 
     wsize = W.partitionBy("cluster_id")
     return labels.select(

@@ -47,3 +47,29 @@ def test_cap_keeps_lowest_ids_deterministically(spark):
         .distinct()
     )
     assert sorted(r.d for r in kept.collect()) == list(range(8))
+
+
+def test_hash_min_components_converges_on_path_graph(spark):
+    import pytest
+
+    from cometbft_log_etl_spark.queries.neardup import hash_min_components
+
+    # Path graph 0-1-2-...-19: worst case for Hash-Min (diameter 19;
+    # min-label propagation still finishes in O(log·diam)-ish rounds
+    # because labels leapfrog through already-lowered neighbors).
+    n = 20
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+    )
+    out = hash_min_components(labels, sym, max_iters=30).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+
+    # The bound is a hard backstop: too few iterations fails LOUD
+    # instead of returning half-propagated labels.
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        hash_min_components(labels, sym, max_iters=2)
