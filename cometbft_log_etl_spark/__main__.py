@@ -4,8 +4,9 @@ Mirrors /root/reference/main.go:24-81 + internal/config/config.go:24-46:
 `-dir` is required; `-simulation` defaults to a generated
 `cometbft_sim_<ts>_<rand>` id exactly like the reference's generated
 database name (internal/storage/mongo.go:99-112) — repeated runs never
-clobber each other. Plugins are config-selectable
-(JSON list here instead of the YAML plugin block), and every enabled
+clobber each other. Plugins are config-selectable — either a comma
+list (`--plugins`) or the reference's YAML plugin block
+(`--config config.yaml`, internal/config/config.go:48-63) — and every enabled
 plugin's result tables land under <out>/<simulation>/ — the
 table-per-collection layout with parquet standing in for MongoDB
 (SURVEY.md §2.5 O2-O4).
@@ -29,6 +30,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--simulation", default=None, help="simulation id (output namespace); generated cometbft_sim_<ts>_<rand> when omitted")
     ap.add_argument("--out", required=True, help="output lake root; tables land under <out>/<simulation>/")
     ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
+    ap.add_argument("--config", default=None, help="YAML config path with the reference's plugins block (ignored when --plugins is given)")
     ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
     ap.add_argument("--partition-by-date", action="store_true", help="hive-partition events on event_date")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
@@ -41,7 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     sim_id = args.simulation or generate_sim_id()
     spark = get_spark(app_name=f"cometbft-log-etl-{sim_id}", cpus=args.cpus)
     out_root = f"{args.out.rstrip('/')}/{sim_id}"
-    enabled = args.plugins.split(",") if args.plugins else None
+    if args.plugins:
+        enabled = args.plugins.split(",")
+    else:
+        from .config import enabled_plugin_names
+
+        enabled = enabled_plugin_names(args.config)
 
     t0 = time.time()
     events = etl_events(spark, args.dir, strict=not args.no_strict).cache()

@@ -119,7 +119,7 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
 
 
 # Shared CTE chain: shingle → minhash sig → bands → capped buckets →
-# candidate pairs. q55 selects the pairs; q68 builds components on top.
+# candidate pairs. q55 selects the pairs; q37 builds components on top.
 _Q55_CTES = f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
@@ -424,7 +424,7 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q58 — LSH-bucketed ANN (the scale path next to q59's brute force)
+# q58 — LSH-bucketed ANN (the scale path next to q04's brute force)
 
 _PLANES = 8
 
@@ -648,7 +648,7 @@ def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q68 — near-dup cluster resolution (connected components over LSH pairs)
+# q37 — near-dup cluster resolution (connected components over LSH pairs)
 
 _CLUSTER_JACCARD = 0.5  # est_jaccard threshold for a dedup edge
 
@@ -772,7 +772,7 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q74 — IVF ANN: inverted-file index with deterministic seed centroids
+# q39 — IVF ANN: inverted-file index with deterministic seed centroids
 
 _IVF_SEED_STEP = 37  # every 37th vector seeds a cell (no RNG, no k-means)
 _IVF_NPROBE = 2  # cells searched per probe

@@ -39,6 +39,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ→TIMESTAMP cast below is only exact under a UTC session tz.
+    # Pin it here rather than trusting every caller's tune_session
+    # discipline — a non-UTC session would silently shift instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":

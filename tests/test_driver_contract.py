@@ -41,7 +41,7 @@ def test_query_survives_hostile_session_timezone(spark, sf_dir, name):
 
 
 def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
-    """q58 (LSH) and q74 (IVF) are approximations of q59's exact
+    """q58 (LSH) and q39 (IVF) are approximations of q04's exact
     brute-force cosine ranking — on the fixed test corpus their top
     results must overlap the exact top-k for the shared probes
     (deterministic data → deterministic recall; this is a quality
@@ -59,7 +59,7 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
     # recover a meaningful share of the exact top-5.
     ivf = {(r.probe_id, r.cand_id) for r in cat["q39_ann_ivf"].fn(spark, sf_dir).collect()}
     recall = len(exact_pairs & ivf) / len(exact_pairs)
-    assert recall >= 0.2, f"q74 recall@5 = {recall:.2f} — cell routing broken?"
+    assert recall >= 0.2, f"q39_ann_ivf recall@5 = {recall:.2f} — cell routing broken?"
 
     # Single-table 8-plane LSH has near-zero recall on this high-entropy
     # synthetic corpus (expected — recall needs multi-probe/more tables);

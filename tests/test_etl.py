@@ -150,3 +150,19 @@ def test_bench_etl_smoke(spark):
     assert r["n_result_tables"] == 15
     assert r["result_rows"] > 0
     assert r["etl_sec"] > 0 and r["plugins_sec"] > 0
+
+
+def test_normalize_preserves_file_path_verbatim(spark, log_dir):
+    # etl_events calls attach_metadata(strict=False) on the argument that
+    # normalize passes file_path through untouched; this is the cheap,
+    # executed form of that invariant (no 8-family re-execution): every
+    # file produces events, no event has a rewritten/null path.
+    from cometbft_log_etl_spark.operators.normalize import normalize
+
+    d, _ = log_dir
+    raw = read_raw_events(spark, d)
+    ev = normalize(raw)
+    raw_paths = {r.file_path for r in raw.select("file_path").distinct().collect()}
+    ev_paths = {r.file_path for r in ev.select("file_path").distinct().collect()}
+    assert ev_paths == raw_paths
+    assert None not in ev_paths
