@@ -4,7 +4,7 @@ deduplication, text analysis, and embedding similarity search.
 These go beyond the reference's own surface (BASELINE.json north star):
 the operators a 100 TB LLM-data pipeline needs, built Spark-first.
 Determinism rules as in queries/_det.py; the portable cross-engine hash
-is the md5-hex-prefix integer (see q42_hash_codecs).
+is the md5-hex-prefix integer (see q82_hash_codecs).
 """
 
 from __future__ import annotations
@@ -296,7 +296,7 @@ def q62_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q63_rolling_fingerprint",
+    "q06_rolling_fingerprint",
     tags=("datapipe", "dedup", "fingerprint"),
     oracle=f"""
 WITH tok AS (
@@ -317,7 +317,7 @@ FROM fp
 GROUP BY fingerprint
 """,
 )
-def q63_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     the word-hash sequence (seed 7, base 31, mod 2^31−1) — unlike the
     set-based MinHash/SimHash signatures, word ORDER changes the
@@ -462,7 +462,7 @@ def q49_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q69–q73: filtering / sampling / packing / contamination — the rest of
+# q08/q10/q11/q13/q38: filtering / sampling / packing / contamination — the rest of
 # the training-data curation loop.
 
 _EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
@@ -470,7 +470,7 @@ _PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
 
 
 @register(
-    "q69_pii_scrub",
+    "q08_pii_scrub",
     tags=("datapipe", "text", "pii"),
     oracle=f"""
 WITH aug AS (
@@ -492,7 +492,7 @@ SELECT doc_id,
 FROM aug
 """,
 )
-def q69_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (email/phone → typed placeholders).
 
     The corpus is synthetic word-soup, so deterministic PII is injected
@@ -537,7 +537,7 @@ def q69_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q70_repetition_ratio",
+    "q10_repetition_ratio",
     tags=("datapipe", "text", "quality"),
     oracle="""
 WITH grams AS (
@@ -556,7 +556,7 @@ SELECT doc_id, n_grams, n_distinct,
 FROM stats
 """,
 )
-def q70_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: duplicate word-2-gram fraction.
 
     Boilerplate and generation loops show up as a high duplicate-n-gram
@@ -596,7 +596,7 @@ def q70_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q71_stratified_sample",
+    "q11_stratified_sample",
     tags=("datapipe", "sampling"),
     oracle=f"""
 WITH rated AS (
@@ -608,7 +608,7 @@ WITH rated AS (
 SELECT doc_id, lang, bucket FROM rated WHERE bucket < rate_pct
 """,
 )
-def q71_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep rates via a
     salted portable hash, not RNG.
 
@@ -635,7 +635,7 @@ _PACK_CAPACITY = 2048  # tokens per packed training sequence
 
 
 @register(
-    "q72_sequence_packing",
+    "q13_sequence_packing",
     tags=("datapipe", "packing", "window"),
     oracle=f"""
 WITH toks AS (
@@ -656,7 +656,7 @@ FROM placed
 GROUP BY lang, bin_id
 """,
 )
-def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to fixed token-capacity bins by
     cumulative offset, per language stream.
 
@@ -757,7 +757,7 @@ _CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
 
 
 @register(
-    "q75_doc_chunking",
+    "q14_doc_chunking",
     tags=("datapipe", "chunking"),
     oracle=f"""
 WITH toks AS (
@@ -775,7 +775,7 @@ SELECT doc_id,
 FROM starts
 """,
 )
-def q75_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking: 64-token chunks at a
     48-token stride (16-token overlap).
 
@@ -804,7 +804,7 @@ def q75_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q76_mixture_weights",
+    "q15_mixture_weights",
     tags=("datapipe", "sampling", "mixing"),
     oracle="""
 WITH counts AS (
@@ -823,7 +823,7 @@ SELECT source, n_docs, n_tokens,
 FROM weighted
 """,
 )
-def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing: per-source sampling weights
     w ∝ tokens^0.7 and a 10k-doc sample budget.
 
@@ -857,12 +857,12 @@ def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q77-q81 — retrieval / language-model / vocab operators for the curation
+# q16/q18/q19/q41 — retrieval / language-model / vocab operators for the curation
 # loop: TF-IDF, BM25, bigram-LM likelihood, shingle novelty, vocab coverage.
 
 
 @register(
-    "q77_tfidf_terms",
+    "q16_tfidf_terms",
     tags=("datapipe", "text", "retrieval"),
     oracle="""
 WITH tok AS (
@@ -889,7 +889,7 @@ SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
 ) WHERE term_rank <= 3
 """,
 )
-def q77_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 most distinctive terms per document (scored docs
     bounded to doc_id < 50; statistics from the whole corpus).
 
@@ -940,7 +940,7 @@ _BM25_B = 0.75
 
 
 @register(
-    "q78_bm25_search",
+    "q18_bm25_search",
     tags=("datapipe", "text", "retrieval"),
     oracle=f"""
 WITH tok AS (
@@ -984,7 +984,7 @@ SELECT doc_id, bm25, n_query_terms_hit, doc_rank FROM (
 ) WHERE doc_rank <= 10
 """,
 )
-def q78_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance search: top-10 documents for a fixed query term
     set (k1=1.2, b=0.75) — the retrieval scorer behind contamination
     screens and data-selection heuristics.
@@ -1045,7 +1045,7 @@ def q78_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q79_bigram_lm_score",
+    "q19_bigram_lm_score",
     tags=("datapipe", "text", "lm"),
     oracle="""
 WITH base AS (
@@ -1079,7 +1079,7 @@ WHERE doc_id < 100
 GROUP BY doc_id
 """,
 )
-def q79_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model likelihood scoring: train MLE bigram
     probabilities P(w2|w1) = c(w1,w2)/c(w1) on the corpus, score each
     document by its mean bigram log-probability — the perplexity-proxy
@@ -1139,7 +1139,7 @@ _SHINGLE_K = 5
 
 
 @register(
-    "q80_shingle_novelty",
+    "q40_shingle_novelty",
     tags=("datapipe", "dedup", "text"),
     oracle=f"""
 WITH base AS (
@@ -1167,7 +1167,7 @@ FROM sh JOIN owner ON sh.shingle = owner.shingle
 GROUP BY sh.doc_id
 """,
 )
-def q80_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-level novelty: the fraction of a document's 5-gram
     shingles FIRST seen in that document (min-doc_id ownership) — the
     containment-dedup signal that catches partial copies, boilerplate,
@@ -1220,7 +1220,7 @@ _VOCAB_TOP_K = 200
 
 
 @register(
-    "q81_vocab_coverage",
+    "q41_vocab_coverage",
     tags=("datapipe", "text", "tokenizer"),
     oracle=f"""
 WITH tok AS (
@@ -1242,7 +1242,7 @@ FROM ranked CROSS JOIN total
 WHERE vocab_rank <= {_VOCAB_TOP_K}
 """,
 )
-def q81_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: the top-{k} corpus vocabulary by frequency
     with cumulative token coverage — the "how big must the tokenizer
     vocab be to cover X% of the stream" curve.

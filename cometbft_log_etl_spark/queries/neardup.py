@@ -590,11 +590,11 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q66 — bounded edit-distance verification tier
+# q07 — bounded edit-distance verification tier
 
 
 @register(
-    "q66_edit_distance",
+    "q07_edit_distance",
     tags=("datapipe", "dedup", "levenshtein"),
     oracle=f"""
 WITH {_Q55_CTES},
@@ -610,7 +610,7 @@ WHERE 1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
             / greatest(len(a.head), len(b.head)) >= 0.3
 """,
 )
-def q66_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification tier over LSH candidates.
 
     The expensive-but-precise tier composed on top of cheap candidate

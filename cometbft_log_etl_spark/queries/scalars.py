@@ -21,7 +21,7 @@ from . import register
 
 
 @register(
-    "q40_json_extract",
+    "q80_json_extract",
     tags=("scalar", "json"),
     oracle="""
 SELECT event_id,
@@ -32,7 +32,7 @@ FROM events
 WHERE event_type = 'purchase'
 """,
 )
-def q40_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured field access — the `_msg` tag peek (S3,
     /root/reference/internal/parser/dispatcher.go:69-97) is exactly
     get_json_object before full parse."""
@@ -48,7 +48,7 @@ def q40_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q41_string_funcs",
+    "q81_string_funcs",
     tags=("scalar", "string"),
     oracle="""
 SELECT doc_id,
@@ -66,7 +66,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q41_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q81_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface — split (C1), regexp_extract (C4/C13/C14),
     substring_index peer-id split (C10, /root/reference/lib/format.go:57-62),
     case conversion (C11), contains (S4)."""
@@ -89,7 +89,7 @@ def q41_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q42_hash_codecs",
+    "q82_hash_codecs",
     tags=("scalar", "binary", "hash"),
     oracle="""
 SELECT event_id,
@@ -102,7 +102,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q42_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash/codec surface — sha2 composite keys (P7a uses sha256 of raw
     bytes, /root/reference/ossplugins/network-latency/processor.go:697-707),
     base64/hex codecs (C6/C8 msgBytes decode). The md5-prefix hash bucket
@@ -126,7 +126,7 @@ def q42_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q43_datetime_funcs",
+    "q83_datetime_funcs",
     tags=("scalar", "datetime"),
     oracle="""
 SELECT event_id,
@@ -141,7 +141,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q43_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time surface — RFC3339 timestamp handling (C12,
     /root/reference/lib/time.go:5-13) and the ms-latency arithmetic used by
     every latency plugin (P1-P3, P7)."""
@@ -164,7 +164,7 @@ def q43_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q44_case_when_battery",
+    "q84_case_when_battery",
     tags=("scalar", "conditional"),
     oracle="""
 SELECT event_id,
@@ -181,7 +181,7 @@ FROM events
 WHERE event_id < 500
 """,
 )
-def q44_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/COALESCE/NULLIF surface — step-name formatting (C11,
     /root/reference/lib/format.go:49-55 is a finite-vocabulary CASE) and
     channel naming (D3, /root/reference/types/channels.go:17-47)."""
@@ -203,7 +203,7 @@ def q44_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q82_vote_parse",
+    "q42_vote_parse",
     tags=("scalar", "textparse", "c14"),
     oracle="""
 SELECT event_id,
@@ -223,7 +223,7 @@ FROM events
 WHERE event_id < 300
 """,
 )
-def q82_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14 vote-string parse attested against ground truth: render the
     canonical cometbft `[Vote Vote{...}]` string from events columns
     JVM-side, parse it back with the PRODUCTION parser
@@ -307,7 +307,7 @@ def q82_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q83_block_parse",
+    "q43_block_parse",
     tags=("scalar", "textparse", "c9"),
     oracle="""
 SELECT event_id,
@@ -331,7 +331,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q83_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 block-string parse attested against ground truth: render the
     full multi-line cometbft `Block{Header{...} Data{...}
     EvidenceData{...} Commit{...}}#H` text from events columns JVM-side
@@ -439,7 +439,7 @@ def q83_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q84_varint_codec",
+    "q44_varint_codec",
     tags=("scalar", "codec", "d1"),
     oracle="""
 WITH src AS (
@@ -465,7 +465,7 @@ SELECT event_id, v,
 FROM src
 """,
 )
-def q84_varint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_varint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 protowire varint codec attested against independent
     arithmetic: encode values derived from events columns with the
     PRODUCTION encoder (functions/protowire._write_varint — the same

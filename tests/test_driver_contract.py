@@ -13,16 +13,16 @@ from cometbft_log_etl_spark.testing.compare import run_compare
 # Timestamp-heavy + iterative + new queries: the ones with the most to
 # lose if tune_session stops being called inside every query fn.
 _TZ_SENSITIVE = [
-    "q16_window_battery",
+    "q77_window_battery",
     "q23_sessionization",
-    "q43_datetime_funcs",
+    "q83_datetime_funcs",
     "q48_time_bucket_rollup",
     "q35_asof_enrich",
     "q37_neardup_clusters",
     # render→parse attestations format and re-parse RFC3339 strings:
     # a session-tz leak would shift both ts_us columns
-    "q82_vote_parse",
-    "q83_block_parse",
+    "q42_vote_parse",
+    "q43_block_parse",
 ]
 
 

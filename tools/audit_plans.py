@@ -41,10 +41,10 @@ EXPECTATIONS = {
     "q04_cosine_topk": {"codegen": True, "broadcasts": 1, "no_smj": True, "max_hint_broadcasts": 1},
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
-    "q11_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
+    "q71_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
     "q60_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
     # rank-limit pushdown: only k rows per group survive the map side
-    "q15_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
+    "q76_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
     # no codegen span at all — see _minhash_sigs docstring)
     "q55_minhash_lsh": {"codegen": True, "max_scan_cols": 2},
@@ -57,13 +57,13 @@ EXPECTATIONS = {
     "q58_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
     # blocked/tiered similarity: both must keep their degenerate-block
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
-    # q66 inherits q55's bucket cap via lsh_band_pairs)
+    # q07 inherits q55's bucket cap via lsh_band_pairs)
     "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"]},
-    "q66_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
+    "q07_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
-    "q69_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
-    "q71_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q08_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q11_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     # contamination screen: bench side must broadcast, corpus side streams
     "q38_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
     # the bucketized range join must plan as a HASH join on the bucket
@@ -79,15 +79,15 @@ EXPECTATIONS = {
     "q39_ann_ivf": {"codegen": True, "max_scan_cols": 2, "max_hint_broadcasts": 4},
     # retrieval/LM family: token explodes must stay 2-column scans and
     # the tf-idf top-3 must keep its map-side rank limit
-    "q77_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
-    "q79_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
-    "q80_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
-    "q81_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
+    "q16_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    "q19_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
+    "q40_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
+    "q41_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
     # vote-string render+parse is a pure map pass: any Exchange means a
     # shuffle crept into the Arrow kernel pipeline
-    "q82_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
-    "q83_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
-    "q84_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
+    "q42_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
+    "q43_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
+    "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
 }
 
 
