@@ -17,6 +17,31 @@ from cometbft_log_etl_spark.queries import headline_queries
 from cometbft_log_etl_spark.session import get_spark
 
 
+def plan_fingerprint(df) -> tuple[str, int]:
+    """(stable hash of the executed plan shape, exchange count).
+
+    Round-over-round timing drift splits into two causes: the plan
+    changed, or the environment changed. The fingerprint hashes the
+    executed plan with instance-specific noise stripped (expression ids,
+    plan ids, codegen stage ids, paths, statistics), so equal
+    fingerprints + moved timings = environment drift, while a changed
+    fingerprint points at the plan. The exchange count is the shuffle
+    budget — the number a 100 TB review reads first.
+    """
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = re.sub(r"#\d+[A-Za-z]*", "#", plan)          # expression ids
+    norm = re.sub(r"\[plan_id=\d+\]", "", norm)          # exchange plan ids
+    norm = re.sub(r"\[id=#\]", "", norm)                 # codegen stage ids
+    norm = re.sub(r"\(\d+\)", "", norm)                  # codegen ordinals
+    norm = re.sub(r"(file|dbfs|s3a?):[^\s,\]\)]+", "<path>", norm)
+    norm = re.sub(r"Statistics\([^)]*\)", "", norm)
+    norm = re.sub(r"\s+", " ", norm)
+    return hashlib.md5(norm.encode()).hexdigest()[:12], plan.count("Exchange")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -33,11 +58,14 @@ def main() -> None:
         qdef.fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    fingerprints: dict[str, str] = {}
+    n_exchanges: dict[str, int] = {}
     for name, qdef in qs.items():
         t0 = time.time()
         df = qdef.fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        fingerprints[name], n_exchanges[name] = plan_fingerprint(df)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -65,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans_fingerprint": fingerprints,
+                "n_exchanges": n_exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "etl": etl,
             }

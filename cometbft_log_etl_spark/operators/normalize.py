@@ -269,8 +269,115 @@ def _p2p_events(raw: DataFrame) -> DataFrame:
     )
 
 
+_NONP2P_KINDS = (
+    "entering_new_round",
+    "entering_step",
+    "propose_step_our_turn",
+    "propose_step_not_our_turn",
+    "received_proposal",
+    "received_complete_proposal_block",
+    "committed_block",
+    "scheduled_timeout",
+)
+
+
+def _consensus_events(raw: DataFrame) -> DataFrame:
+    """C1-C5, C9 shell, timeouts — all seven non-P2P families in ONE
+    columnar pass.
+
+    Semantically identical to unioning the seven per-family converters
+    above (they remain the readable per-family reference and are
+    asserted equivalent in tests/test_etl.py), but planned as a single
+    projection+filter over raw: one scan instead of seven, one
+    whole-stage-codegen pipeline instead of seven, no 7-way union
+    multiplying partition counts. At 100 TB — where raw may not fit any
+    cache — this is the difference between reading the parse output once
+    and reading it seven times. CASE branches evaluate lazily per row,
+    so e.g. only received_proposal rows pay the 8-group proposal regex.
+    """
+    k = F.col("kind")
+    is_nr = k == "entering_new_round"
+    is_es = k == "entering_step"
+    is_ps = k.isin("propose_step_our_turn", "propose_step_not_our_turn")
+    is_rp = k == "received_proposal"
+    is_cp = k == "received_complete_proposal_block"
+    is_cb = k == "committed_block"
+    is_st = k == "scheduled_timeout"
+
+    ph, pr, ps = parse_round_info("j.previous")
+    ch, cr, cs = parse_round_info("j.current")
+    target = target_step_expr(F.col("tag"))
+    p = F.col("j.proposal")
+    g = lambda i: F.regexp_extract(p, _PROPOSAL_RE, i)  # noqa: E731
+    ts = parse_rfc3339("j.ts")
+
+    event_type = (
+        F.when(is_nr, F.lit("entering_new_round"))
+        .when(is_es, F.concat(F.lit("entering_"), target, F.lit("_step")))
+        .when(is_ps, F.lit("propose_step"))
+        .when(is_rp, F.lit("received_proposal"))
+        .when(is_cp, F.lit("received_complete_proposal_block"))
+        .when(is_cb, F.lit("committed_block"))
+        .when(is_st, F.lit("scheduled_timeout"))
+    )
+    # Per-family validity (drop-on-malformed, app.go:87-91): same
+    # predicates as the per-family converters' filters.
+    valid = ts.isNotNull() & (
+        F.when(is_nr, ph.isNotNull() & pr.isNotNull() & ps.isNotNull())
+        .when(
+            is_es,
+            target.isNotNull()
+            & (target != "propose")
+            & ch.isNotNull()
+            & cr.isNotNull()
+            & cs.isNotNull(),
+        )
+        .when(is_rp, (g(1) != "") & g(1).cast("long").isNotNull())
+        .otherwise(F.lit(True))
+    )
+    return (
+        raw.filter(k.isin(*_NONP2P_KINDS))
+        .filter(valid)
+        .select(
+            "file_path",
+            event_type.alias("event_type"),
+            ts.alias("timestamp"),
+            F.when(is_es, ch).when(is_rp, g(1).cast("long")).otherwise(F.col("j.height")).alias("height"),
+            F.when(is_es, cr)
+            .when(is_rp, g(2).cast("long"))
+            .when(is_nr | is_ps | is_st, F.col("j.round"))
+            .alias("round"),
+            F.when(is_nr | is_ps | is_rp, F.col("j.proposer")).alias("proposer"),
+            F.when(is_nr, ph).alias("prev_height"),
+            F.when(is_nr, pr).alias("prev_round"),
+            F.when(is_nr, ps).alias("prev_step"),
+            F.when(is_es, cs).alias("curr_step"),
+            F.when(is_ps, k == "propose_step_our_turn").alias("is_our_turn"),
+            F.when(is_rp, g(3)).alias("bid_hash"),
+            F.when(is_rp, g(4).cast("long")).alias("ps_total"),
+            F.when(is_rp, g(5)).alias("ps_hash"),
+            F.when(is_rp, g(6).cast("long")).alias("pol_round"),
+            F.when(is_rp, g(7)).alias("signature"),
+            F.when(is_rp, parse_rfc3339(g(8))).alias("proposal_ts"),
+            F.when(is_cp, F.col("j.hash")).alias("block_hash"),
+            F.when(is_cb, F.col("j.block")).alias("block_raw"),
+            F.when(is_st, F.col("j.step")).alias("step"),
+            F.when(is_st, F.col("j.dur")).alias("dur"),
+            F.when(is_st, go_duration_ms(F.col("j.dur"))).alias("duration_ms"),
+        )
+    )
+
+
 def normalize(raw: DataFrame) -> DataFrame:
-    """All converters unioned into the wide normalized events DataFrame."""
+    """All converters in the wide normalized events DataFrame: the
+    single-pass consensus projection unioned with the P2P decode branch
+    (which runs the Arrow protobuf kernel only over payload rows)."""
+    return _consensus_events(raw).unionByName(_p2p_events(raw), allowMissingColumns=True)
+
+
+def normalize_unioned(raw: DataFrame) -> DataFrame:
+    """The per-family union formulation — kept as the readable reference
+    implementation; tests assert it matches `normalize` row-for-row."""
     families = [
         _new_round(raw),
         _entering_steps(raw),

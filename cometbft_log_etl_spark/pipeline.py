@@ -22,9 +22,10 @@ def etl_events(
 ) -> DataFrame:
     """Parse + normalize + enrich a directory of CometBFT node logs.
 
-    The normalize step unions 8 converter families over the same parsed
-    lines; without persistence each branch re-reads and re-parses the
-    JSON (8 full scans — measured 3.5× slower end-to-end). MEMORY_AND_DISK
+    The normalize step is two branches over the same parsed lines (the
+    single-pass consensus projection + the P2P decode branch); with
+    file_identities that is three consumers of raw — without
+    persistence each re-reads and re-parses the JSON. MEMORY_AND_DISK
     spills rather than OOMs at scale; for corpora where even spilled
     caching is unwanted, stage `read_raw_events` to parquet once and
     run `normalize` off that instead (same plan shape, columnar input).
@@ -47,8 +48,8 @@ def etl_events(
     # rejected null identities. Skip the redundant event-side execution;
     # callers joining foreign identity tables keep the strict path.
     out = attach_metadata(events, ids, strict=False)
-    # The 8-family union multiplies partition count 8× (one set per
-    # branch); every downstream job over the cached events would pay that
+    # The 2-branch union doubles partition count (one set per branch);
+    # every downstream job over the cached events would pay that
     # task-scheduling tax on each scan. Coalesce (narrow, no shuffle)
     # back to cluster parallelism: same work in fewer, fuller tasks.
     return out.coalesce(default_parallelism())

@@ -166,3 +166,22 @@ def test_normalize_preserves_file_path_verbatim(spark, log_dir):
     ev_paths = {r.file_path for r in ev.select("file_path").distinct().collect()}
     assert ev_paths == raw_paths
     assert None not in ev_paths
+
+
+def test_single_pass_normalize_matches_union_formulation(spark, log_dir):
+    # normalize() plans the seven non-P2P families as ONE projection;
+    # normalize_unioned() is the readable per-family union. They must be
+    # row-identical (schema, types, and values) on the full scenario.
+    from cometbft_log_etl_spark.operators.normalize import normalize, normalize_unioned
+
+    d, _ = log_dir
+    raw = read_raw_events(spark, d).cache()
+    try:
+        a, b = normalize(raw), normalize_unioned(raw)
+        assert a.schema == b.schema
+        cols = a.columns
+        rows_a = sorted(map(tuple, a.select(cols).collect()))
+        rows_b = sorted(map(tuple, b.select(cols).collect()))
+        assert rows_a == rows_b
+    finally:
+        raw.unpersist()
