@@ -429,10 +429,10 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = 8
 
 
-def _bucket_sql(src_filter: str, id_alias: str) -> str:
-    """Per-vector LSH bucket: sign bits of 8 md5-derived ±1 hyperplanes."""
+def _bucket_sql(src_filter: str, id_alias: str, nplanes: int = _PLANES) -> str:
+    """Per-vector LSH bucket: sign bits of md5-derived ±1 hyperplanes."""
     bit_exprs = []
-    for j in range(_PLANES):
+    for j in range(nplanes):
         plane_hash = _SQL_H32.format(e="'%d:' || CAST(pos AS VARCHAR)" % j)
         bit_exprs.append(
             "CAST(sum(CAST(round(x, 9) * "
@@ -440,7 +440,7 @@ def _bucket_sql(src_filter: str, id_alias: str) -> str:
             f"AS DECIMAL(28,12))) AS DOUBLE) > 0 AS b{j}"
         )
     bits = ",\n         ".join(bit_exprs)
-    code = " + ".join(f"(CASE WHEN b{j} THEN {1 << j} ELSE 0 END)" for j in range(_PLANES))
+    code = " + ".join(f"(CASE WHEN b{j} THEN {1 << j} ELSE 0 END)" for j in range(nplanes))
     return f"""
   SELECT {id_alias}, {code} AS bucket FROM (
     SELECT {id_alias},
@@ -920,4 +920,163 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("rank") <= 5).select(
         "probe_id", "cand_id", "cell_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# q85 — embedding-cosine near-duplicate pairs (the dedup-by-embedding tier)
+
+_ND_PLANES = 4  # coarser cells than q58's 8: near-dup wants recall over speed
+_ND_COSINE = 0.35  # dedup-edge threshold (tuned to the synthetic corpus)
+
+
+@register(
+    "q85_embedding_neardup",
+    tags=("datapipe", "dedup", "embedding"),
+    oracle=f"""
+WITH b AS ({_bucket_sql("", "vec_id", nplanes=_ND_PLANES)}),
+capped AS (
+  -- degenerate-bucket guard: lowest-vec_id keep, as everywhere else
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM b
+  ) WHERE rn <= {_BUCKET_CAP}
+),
+elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket
+  FROM capped a JOIN capped b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, c.bucket,
+         CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN elems ea ON ea.vec_id = c.vec_a
+  JOIN elems eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+  GROUP BY c.vec_a, c.vec_b, c.bucket
+)
+SELECT d.vec_a, d.vec_b, d.bucket,
+       round(d.dot / (na.nrm * nb.nrm), 9) AS cosine,
+       d.vec_a AS keep_vec_id
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / (na.nrm * nb.nrm) >= {_ND_COSINE}
+""",
+)
+def q85_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: the dedup tier that works on
+    semantics rather than surface text (paraphrases, translations, OCR
+    variants that MinHash/SimHash miss).
+
+    Plan shape — the most shuffle-lean of the similarity family:
+
+    1. bucket + norm are computed MAP-SIDE per row (indexed-lambda
+       higher-order folds over the embedding array — no explode, no
+       per-vector aggregation shuffle);
+    2. ONE shuffle groups capped buckets (rank-filter → map-side
+       WindowGroupLimit first, so a degenerate cell carries at most
+       ``_BUCKET_CAP`` members);
+    3. pairs are expanded inside each bucket's member array and scored
+       in place with a ``zip_with`` decimal dot-product fold — candidate
+       pairs never leave their bucket, so there is NO pairwise join, no
+       position-explode, and no corpus-sized table anywhere.
+
+    Fewer planes than q58 (4 → 16 cells): dedup wants same-cell recall
+    for moderately-similar vectors, and the cap already bounds cell
+    cost. All arithmetic is decimal-folded exactly like the oracle's
+    exploded SUM (decimal addition is order-insensitive), so the hash
+    check is exact. Emits a ``keep_vec_id`` (lowest id) per edge — feed
+    into hash_min_components for cluster-level dedup decisions.
+    """
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(28,12)")
+
+    zero = F.lit(0).cast("decimal(28,12)")
+
+    def dfold(arr: F.Column) -> F.Column:
+        return F.aggregate(arr, zero, lambda acc, v: dec(acc + v)).cast("double")
+
+    def weight(j: int, i: F.Column) -> F.Column:
+        return _h32_expr(F.concat_ws("", F.lit(f"{j}:"), i.cast("string"))) % 2 * 2 - 1
+
+    bits = [
+        (
+            dfold(
+                F.transform(
+                    "embedding",
+                    lambda x, i: dec(F.round(x.cast("double"), 9) * weight(j, i)),
+                )
+            )
+            > 0
+        )
+        for j in range(_ND_PLANES)
+    ]
+    bucket = sum(
+        [F.when(b, F.lit(1 << j)).otherwise(F.lit(0)) for j, b in enumerate(bits)], F.lit(0)
+    )
+    nrm = F.sqrt(dfold(F.transform("embedding", lambda x: dec(x.cast("double") * x.cast("double")))))
+    staged = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        bucket.alias("bucket"),
+        nrm.alias("nrm"),
+    )
+    wcap = W.partitionBy("bucket").orderBy("vec_id")
+    members = (
+        staged.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["vec_id"].alias("vec_a"),
+                    b["vec_id"].alias("vec_b"),
+                    F.aggregate(
+                        F.zip_with(
+                            a["emb"], b["emb"], lambda x, y: dec(x.cast("double") * y.cast("double"))
+                        ),
+                        zero,
+                        lambda acc, v: dec(acc + v),
+                    )
+                    .cast("double")
+                    .alias("dot"),
+                    a["nrm"].alias("nrm_a"),
+                    b["nrm"].alias("nrm_b"),
+                ),
+            ),
+        )
+    )
+    cosine = F.col("p.dot") / (F.col("p.nrm_a") * F.col("p.nrm_b"))
+    return (
+        members.select("bucket", F.explode(pair_arr).alias("p"))
+        .filter(cosine >= _ND_COSINE)
+        .select(
+            F.col("p.vec_a").alias("vec_a"),
+            F.col("p.vec_b").alias("vec_b"),
+            "bucket",
+            F.round(cosine, 9).alias("cosine"),
+            F.col("p.vec_a").alias("keep_vec_id"),
+        )
     )

@@ -60,6 +60,13 @@ EXPECTATIONS = {
     # q07 inherits q55's bucket cap via lsh_band_pairs)
     "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"]},
     "q07_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
+    # embedding near-dup scores pairs INSIDE capped buckets (zip_with
+    # folds over member arrays) — the plan must stay join-free with the
+    # cap as a map-side rank limit; no codegen expectation (higher-order
+    # lambdas don't enter codegen by design)
+    "q85_embedding_neardup": {"max_scan_cols": 2, "contains": ["WindowGroupLimit"],
+                              "contains_not": ["SortMergeJoin", "BroadcastNestedLoopJoin",
+                                               "CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
     "q08_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
