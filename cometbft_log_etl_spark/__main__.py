@@ -9,12 +9,15 @@ list (`--plugins`) or the reference's YAML plugin block
 (`--config config.yaml`, internal/config/config.go:48-63) — and every enabled
 plugin's result tables land under <out>/<simulation>/ — the
 table-per-collection layout with parquet standing in for MongoDB
-(SURVEY.md §2.5 O2-O4).
+(SURVEY.md §2.5 O2-O4) — and/or in MongoDB itself with `--mongo-uri`
+(the reference's -mongo-uri flag; db = simulation id, collection per
+family, distributed batched inserts — sinks.MongoResultSink).
 
     python -m cometbft_log_etl_spark \
-        --dir /path/to/logs --simulation run42 --out /data/lake \
-        [--plugins vote-latency,network-latency] [--no-strict] \
-        [--partition-by-date] [--cpus 32]
+        --dir /path/to/logs --simulation run42 \
+        (--out /data/lake | --mongo-uri mongodb://host:27017) \
+        [--plugins vote-latency,network-latency | --config config.yaml] \
+        [--no-strict] [--partition-by-date] [--cpus 32]
 """
 
 from __future__ import annotations
@@ -28,13 +31,16 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cometbft_log_etl_spark", description=__doc__)
     ap.add_argument("--dir", required=True, help="directory containing per-node NDJSON .log files")
     ap.add_argument("--simulation", default=None, help="simulation id (output namespace); generated cometbft_sim_<ts>_<rand> when omitted")
-    ap.add_argument("--out", required=True, help="output lake root; tables land under <out>/<simulation>/")
+    ap.add_argument("--out", default=None, help="output lake root; tables land under <out>/<simulation>/")
+    ap.add_argument("--mongo-uri", default=None, help="MongoDB URI (reference -mongo-uri); store results there, db = simulation id")
     ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
     ap.add_argument("--config", default=None, help="YAML config path with the reference's plugins block (ignored when --plugins is given)")
     ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
     ap.add_argument("--partition-by-date", action="store_true", help="hive-partition events on event_date")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     args = ap.parse_args(argv)
+    if not args.out and not args.mongo_uri:
+        ap.error("provide an output: --out lake root and/or --mongo-uri")
 
     from .pipeline import etl_events, generate_sim_id, write_events
     from .plans.registry import run_plugins
@@ -42,7 +48,6 @@ def main(argv: list[str] | None = None) -> int:
 
     sim_id = args.simulation or generate_sim_id()
     spark = get_spark(app_name=f"cometbft-log-etl-{sim_id}", cpus=args.cpus)
-    out_root = f"{args.out.rstrip('/')}/{sim_id}"
     if args.plugins:
         enabled = args.plugins.split(",")
     else:
@@ -53,13 +58,25 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     events = etl_events(spark, args.dir, strict=not args.no_strict).cache()
     n_events = events.count()
-    write_events(events, out_root, partition_by_date=args.partition_by_date)
     results = run_plugins(events, enabled=enabled)
-    for name, df in results.items():
-        df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+    dests = []
+    if args.out:
+        out_root = f"{args.out.rstrip('/')}/{sim_id}"
+        write_events(events, out_root, partition_by_date=args.partition_by_date)
+        for name, df in results.items():
+            df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+        dests.append(out_root)
+    if args.mongo_uri:
+        from .sinks import MongoResultSink
+
+        sink = MongoResultSink(args.mongo_uri, sim_id)
+        sink.store("events", events)
+        for name, df in results.items():
+            sink.store(name, df)
+        dests.append(f"{args.mongo_uri}/{sim_id}")
     print(
         f"processed {n_events} events -> {len(results) + 1} tables "
-        f"under {out_root} in {time.time() - t0:.1f}s",
+        f"at {' and '.join(dests)} in {time.time() - t0:.1f}s",
         file=sys.stderr,
     )
     return 0

@@ -1,0 +1,96 @@
+"""O2-O4 result sinks: parquet lake (default) + MongoDB connector parity.
+
+Reference: internal/storage/mongo.go:40-112 — database per simulation
+id, one collection per result family, unordered batched inserts of
+1000 documents (bulkInsert :80-96, SetOrdered(false) :91).
+
+The parquet sink is the lake-native restatement (SURVEY §2.5 O2-O3)
+and the default everywhere. The Mongo sink reproduces the reference's
+storage contract for users pointing at an actual MongoDB: writes are
+DISTRIBUTED — each partition opens its own client and bulk-inserts its
+rows (no collect, no driver-side funnel), which is exactly how a
+1000-executor write should fan in. The pymongo dependency is optional:
+construction fails fast with a clear message when the driver is absent,
+and the client factory is injectable so the batching/unordered
+semantics are testable without a live server or the driver installed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class ParquetResultSink:
+    """Table-per-result-family parquet layout under <out>/<sim_id>/."""
+
+    def __init__(self, out_dir: str, sim_id: str):
+        self.root = f"{out_dir.rstrip('/')}/{sim_id}"
+
+    def store(self, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(f"{self.root}/{name}")
+
+
+def _default_client_factory(uri: str):
+    from pymongo import MongoClient
+
+    return MongoClient(uri)
+
+
+class MongoResultSink:
+    """Reference-parity Mongo storage: db = simulation id, collection per
+    family, unordered inserts batched at ``batch_size`` (mongo.go:58-96).
+
+    ``client_factory(uri)`` must return an object supporting
+    ``client[db][collection].insert_many(docs, ordered=False)`` and
+    (optionally) ``close()`` — pymongo's MongoClient does; tests inject
+    a fake.
+    """
+
+    def __init__(
+        self,
+        uri: str,
+        sim_id: str,
+        batch_size: int = 1000,
+        client_factory=None,
+    ):
+        if client_factory is None:
+            try:
+                import pymongo  # noqa: F401
+            except ImportError as exc:  # driver not in this environment
+                raise ImportError(
+                    "MongoResultSink requires the 'pymongo' driver (not installed "
+                    "in this environment); use ParquetResultSink, or pass a "
+                    "client_factory implementing the pymongo client surface"
+                ) from exc
+            client_factory = _default_client_factory
+        self.uri = uri
+        self.db_name = sim_id
+        self.batch_size = batch_size
+        self._factory = client_factory
+
+    def store(self, name: str, df: DataFrame) -> None:
+        uri, db_name, batch_size, factory = (
+            self.uri,
+            self.db_name,
+            self.batch_size,
+            self._factory,
+        )
+
+        def write_partition(rows) -> None:
+            client = factory(uri)
+            try:
+                coll = client[db_name][name]
+                buf = []
+                for row in rows:
+                    buf.append(row.asDict(recursive=True))
+                    if len(buf) >= batch_size:
+                        coll.insert_many(buf, ordered=False)
+                        buf = []
+                if buf:
+                    coll.insert_many(buf, ordered=False)
+            finally:
+                close = getattr(client, "close", None)
+                if close is not None:
+                    close()
+
+        df.foreachPartition(write_partition)

@@ -1,0 +1,113 @@
+"""Result-sink contract (internal/storage/mongo.go:40-112): db per
+simulation, collection per family, unordered inserts batched at 1000,
+distributed (per-partition) writes. The Mongo sink is exercised through
+an injected fake client that records inserts to disk (executor-side
+writes are in other processes, so an in-memory fake can't observe
+them); the pymongo-missing path must fail fast with a clear message."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from cometbft_log_etl_spark.sinks import MongoResultSink, ParquetResultSink
+
+
+class FakeCollection:
+    def __init__(self, root: str, db: str, name: str):
+        self.dir = os.path.join(root, db, name)
+
+    def insert_many(self, docs, ordered=True):
+        assert ordered is False, "reference uses unordered bulk inserts (mongo.go:91)"
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"{os.getpid()}_{uuid.uuid4().hex}.json")
+        with open(path, "w") as fh:
+            json.dump(docs, fh)
+
+
+class FakeDb:
+    def __init__(self, root: str, db: str):
+        self.root, self.db = root, db
+
+    def __getitem__(self, name: str) -> FakeCollection:
+        return FakeCollection(self.root, self.db, name)
+
+
+class FakeClient:
+    def __init__(self, root: str, uri: str):
+        self.root, self.uri = root, uri
+        assert uri.startswith("mongodb://")
+
+    def __getitem__(self, db: str) -> FakeDb:
+        return FakeDb(self.root, db)
+
+    def close(self) -> None:
+        pass
+
+
+class FakeFactory:
+    """Picklable factory: executors reconstruct it from (root,)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def __call__(self, uri: str) -> FakeClient:
+        return FakeClient(self.root, uri)
+
+
+def _batches(root: str, db: str, name: str) -> list[list[dict]]:
+    return [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(root, db, name, "*.json")))
+    ]
+
+
+def test_mongo_sink_batches_unordered_per_partition(spark, tmp_path):
+    root = str(tmp_path)
+    sink = MongoResultSink(
+        "mongodb://example:27017", "sim42", batch_size=100, client_factory=FakeFactory(root)
+    )
+    df = spark.range(2501).select(F.col("id"), (F.col("id") % 7).alias("k")).repartition(4)
+    sink.store("vote_latencies", df)
+
+    batches = _batches(root, "sim42", "vote_latencies")
+    docs = [d for b in batches for d in b]
+    assert len(docs) == 2501
+    assert sorted(d["id"] for d in docs) == list(range(2501))
+    # batch cap holds everywhere; with 2501 rows over 4 partitions at
+    # batch 100 there must be both full and remainder batches
+    assert max(len(b) for b in batches) <= 100
+    assert any(len(b) == 100 for b in batches)
+    assert any(len(b) < 100 for b in batches)
+
+
+def test_mongo_sink_collection_per_family(spark, tmp_path):
+    root = str(tmp_path)
+    sink = MongoResultSink(
+        "mongodb://example:27017", "simA", client_factory=FakeFactory(root)
+    )
+    df = spark.range(5).select(F.col("id"))
+    sink.store("events", df)
+    sink.store("timeout_analysis", df)
+    assert sum(len(b) for b in _batches(root, "simA", "events")) == 5
+    assert sum(len(b) for b in _batches(root, "simA", "timeout_analysis")) == 5
+
+
+def test_mongo_sink_fails_fast_without_driver():
+    # pymongo is not installed in this environment — the constructor must
+    # say so instead of failing mid-write on an executor.
+    with pytest.raises(ImportError, match="pymongo"):
+        MongoResultSink("mongodb://example:27017", "sim42")
+
+
+def test_parquet_sink_layout(spark, tmp_path):
+    sink = ParquetResultSink(str(tmp_path), "simB")
+    df = spark.range(10).select(F.col("id"))
+    sink.store("consensus_steps", df)
+    out = spark.read.parquet(str(tmp_path / "simB" / "consensus_steps"))
+    assert out.count() == 10
