@@ -1080,3 +1080,202 @@ def q85_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.vec_a").alias("keep_vec_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q86 — multi-probe LSH ANN (the recall tier on top of q58's single-probe)
+
+_MP_PLANES = 4  # coarser cells than q58's 8 — multi-probe trades cell
+#                 selectivity for reachable neighbors
+_MP_EXTRA = 4  # extra cells probed per query (least-confident bit flips)
+
+
+@register(
+    "q86_ann_multiprobe",
+    tags=("datapipe", "similarity", "lsh"),
+    oracle=f"""
+WITH planes AS (SELECT unnest(generate_series(0, {_MP_PLANES - 1})) AS j),
+pe AS (
+  SELECT vec_id AS probe_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings WHERE vec_id < 3)
+),
+ps AS (
+  -- per-plane signed sums: the sign is the bit, |sum| is the margin
+  SELECT probe_id, j,
+         CAST(sum(CAST(round(x, 9) *
+              (({_SQL_H32.format(e="CAST(j AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}) % 2 * 2 - 1)
+              AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM pe CROSS JOIN planes GROUP BY probe_id, j
+),
+base AS (
+  SELECT probe_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM ps GROUP BY probe_id
+),
+flips AS (
+  SELECT probe_id, j,
+         row_number() OVER (PARTITION BY probe_id ORDER BY abs(s), j) AS rnk
+  FROM ps
+),
+probe_cells AS (
+  SELECT probe_id, bucket FROM base
+  UNION
+  SELECT b.probe_id, xor(b.bucket, CAST(1 << f.j AS BIGINT)) AS bucket
+  FROM base b JOIN flips f ON f.probe_id = b.probe_id AND f.rnk <= {_MP_EXTRA}
+),
+cb_all AS ({_bucket_sql("", "cand_id", nplanes=_MP_PLANES)}),
+cb AS (
+  SELECT cand_id, bucket FROM (
+    SELECT cand_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY cand_id) AS rn
+    FROM cb_all
+  ) WHERE rn <= {_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT pc.probe_id, cb.cand_id
+  FROM probe_cells pc JOIN cb ON pc.bucket = cb.bucket AND pc.probe_id <> cb.cand_id
+),
+elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+),
+dots AS (
+  SELECT cp.probe_id, cp.cand_id,
+         CAST(sum(CAST(p.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         sqrt(CAST(sum(CAST(p.x * p.x AS DECIMAL(28,12))) AS DOUBLE)) AS pnrm,
+         sqrt(CAST(sum(CAST(c.x * c.x AS DECIMAL(28,12))) AS DOUBLE)) AS cnrm
+  FROM cand cp
+  JOIN elems p ON p.vec_id = cp.probe_id
+  JOIN elems c ON c.vec_id = cp.cand_id AND c.pos = p.pos
+  GROUP BY cp.probe_id, cp.cand_id
+)
+SELECT probe_id, cand_id, round(cosine, 9) AS cosine, rank FROM (
+  SELECT probe_id, cand_id, dot / (pnrm * cnrm) AS cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dot / (pnrm * cnrm) DESC, cand_id) AS rank
+  FROM dots
+) WHERE rank <= 5
+""",
+)
+def q86_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each probe searches its own cell PLUS the
+    cells reached by flipping its least-confident hyperplane bits
+    (smallest |margin| first — the standard multi-probe trade: the
+    recall of many hash tables at the memory cost of one index).
+
+    Single-table sign-LSH (q58) has near-zero recall on high-entropy
+    corpora; multi-probe with a coarser index (4 planes, 16 cells,
+    1+{_MP_EXTRA} cells probed) is the production fix — measured
+    recall@5 ≥ 0.6 vs the exact ranking where q58 finds nothing
+    (asserted in tests/test_driver_contract.py). The cost is candidate
+    volume: ~5/16 of the cell space per probe; at larger corpora raise
+    planes AND probes together to keep the candidate fraction fixed.
+    The probe side stays tiny (probes × cells) and broadcasts; the
+    candidate index is the same capped per-cell layout as q58 — nothing
+    corpus-sized is built, shuffled, or broadcast (norms fold into the
+    scoring agg, the q39 pattern).
+    """
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+
+    w = lambda j: (  # noqa: E731 — same ±1 weights as q58's buckets()
+        _h32_expr(F.concat_ws("", F.lit(f"{j}:"), F.col("pos"))) % 2 * 2 - 1
+    )
+    sums = elems.filter(F.col("vec_id") < 3).groupBy(
+        F.col("vec_id").alias("probe_id")
+    ).agg(
+        *[
+            F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(f"s{j}")
+            for j in range(_MP_PLANES)
+        ]
+    )
+    base_code = sum(
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_MP_PLANES)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    # margin-sorted plane ids: struct sort orders by (|s|, j) — the same
+    # (abs(s), j) tie-break as the oracle's row_number
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(F.col(f"s{j}")).alias("m"), F.lit(j).alias("j"))
+                for j in range(_MP_PLANES)
+            ]
+        )
+    )
+    cells = F.array_union(
+        F.array(base_code),
+        F.transform(
+            F.slice(margins, 1, _MP_EXTRA),
+            # shiftleft's pyspark wrapper only takes a literal shift; the
+            # SQL function accepts a column operand
+            lambda e: base_code.bitwiseXOR(
+                F.call_function("shiftleft", F.lit(1), e["j"]).cast("bigint")
+            ),
+        ),
+    )
+    pb = sums.select("probe_id", F.explode(cells.cast("array<bigint>")).alias("bucket"))
+
+    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        bits = [
+            (
+                F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)")).cast("double") > 0
+            ).alias(f"b{j}")
+            for j in range(_MP_PLANES)
+        ]
+        agg = df.groupBy(F.col("vec_id").alias(id_alias)).agg(*bits)
+        code = sum(
+            [
+                F.when(F.col(f"b{j}"), F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(_MP_PLANES)
+            ],
+            F.lit(0),
+        )
+        return agg.select(id_alias, code.cast("bigint").alias("bucket"))
+
+    wcap = W.partitionBy("bucket").orderBy("cand_id")
+    cb = (
+        buckets(elems, "cand_id")
+        .withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _BUCKET_CAP)
+        .drop("_rn")
+    )
+    cand = (
+        F.broadcast(pb)
+        .join(cb, "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    p, c = elems.alias("p"), elems.alias("c")
+    scored = (
+        F.broadcast(cand)
+        .join(p, F.col("p.vec_id") == F.col("probe_id"))
+        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
+        .groupBy("probe_id", "cand_id")
+        .agg(
+            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
+            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
+            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+        )
+        .select("probe_id", "cand_id", (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "cand_id")),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "probe_id", "cand_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )

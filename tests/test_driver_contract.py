@@ -74,3 +74,17 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
         rows.sort(key=lambda r: r.rank)
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+    # Multi-probe (q86) is the recall fix on top of q58: coarser cells +
+    # least-confident bit-flip probes. It must strictly dominate the
+    # single-probe tier and clear a real floor (measured 5/15 at
+    # sf0.001, 11/15 at sf0.01; q58 finds 0 at both).
+    lsh_pairs = {(r.probe_id, r.cand_id) for r in lsh}
+    mp = {
+        (r.probe_id, r.cand_id)
+        for r in cat["q86_ann_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    r_lsh = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    r_mp = len(exact_pairs & mp) / len(exact_pairs)
+    assert r_mp > r_lsh, f"multi-probe recall {r_mp:.2f} <= single-probe {r_lsh:.2f}"
+    assert r_mp >= 0.3, f"q86_ann_multiprobe recall@5 = {r_mp:.2f} — probe set broken?"
