@@ -1275,3 +1275,53 @@ def q41_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(cum).cast("double") / F.col("total_tokens"), 9
         ).alias("cum_coverage"),
     )
+
+
+@register(
+    "q87_source_datacard",
+    tags=("datapipe", "reporting"),
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 9) AS dup_rate,
+       count(DISTINCT lang) AS n_langs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+       count_if(len(string_split(text, ' ')) < 30)::BIGINT AS n_short_docs
+FROM documents
+GROUP BY source
+""",
+)
+def q87_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the summary a curation pipeline publishes
+    next to a training mix (docs, exact-dup rate, language breadth,
+    token volume, short-doc count per source).
+
+    One groupBy on `source` with partial-aggregatable counts; the only
+    extra shuffle is the count(DISTINCT md5) two-phase expansion, whose
+    shuffle key is the 32-byte content hash — the same key q50's exact
+    dedup scales on. No windows, no joins: this stays one pass at any
+    corpus size.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text_hash").alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0) - F.count_distinct("text_hash").cast("double") / F.count(F.lit(1)), 9
+        ).alias("dup_rate"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        F.count_if(F.col("n_tokens") < 30).alias("n_short_docs"),
+    )
