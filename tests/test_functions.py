@@ -129,3 +129,85 @@ def test_protowire_garbage_rejected():
         except ValueError:
             rejected += 1
     assert rejected > 50  # most random blobs must be rejected, never crash
+
+
+# --- protobuf codec properties (hypothesis) ----------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _hexs(max_bytes: int):
+    """Even-length lowercase hex strings, 1..max_bytes bytes."""
+    return st.integers(1, max_bytes).flatmap(
+        lambda n: st.integers(0, 2 ** (8 * n) - 1).map(lambda v: f"{v:0{2 * n}x}")
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    height=st.integers(0, 2**62),
+    round_=st.integers(-1, 2**31 - 1),
+    vote_type=st.sampled_from(["prevote", "precommit"]),
+    vote_index=st.integers(0, 2**31 - 1),
+)
+def test_protowire_has_vote_property(height, round_, vote_type, vote_index):
+    # whole int64/int32 domains, not just the fixture values — varint
+    # continuation-bit handling must hold at every byte-length boundary
+    d = decode_message(
+        encode_message("has_vote", height=height, round=round_, vote_type=vote_type, vote_index=vote_index)
+    )
+    assert (d["height"], d["round"], d["vote_type"], d["vote_index"]) == (
+        height,
+        round_,
+        vote_type,
+        vote_index,
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    height=st.integers(0, 2**62),
+    round_=st.integers(0, 2**31 - 1),
+    part_index=st.integers(0, 2**31 - 1),
+    part_bytes=_hexs(64),
+)
+def test_protowire_block_part_property(height, round_, part_index, part_bytes):
+    d = decode_message(
+        encode_message("block_part", height=height, round=round_, part_index=part_index, part_bytes=part_bytes)
+    )
+    assert (d["height"], d["round"], d["part_index"], d["part_bytes"]) == (
+        height,
+        round_,
+        part_index,
+        part_bytes,
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    height=st.integers(1, 2**62),
+    round_=st.integers(0, 2**31 - 1),
+    vote_type=st.sampled_from(["prevote", "precommit"]),
+    bid_hash=_hexs(32),
+    ps_total=st.integers(1, 2**31 - 1),
+    ps_hash=_hexs(32),
+    validator_address=_hexs(20),
+    validator_index=st.integers(0, 2**31 - 1),
+    signature=_hexs(64),
+    nanos=st.integers(0, 999_999_999),
+)
+def test_protowire_vote_property(
+    height, round_, vote_type, bid_hash, ps_total, ps_hash,
+    validator_address, validator_index, signature, nanos,
+):
+    msg_ts = f"2025-06-01T12:00:00.{nanos:09d}Z"
+    kw = dict(
+        vote_type=vote_type, height=height, round=round_, bid_hash=bid_hash,
+        ps_total=ps_total, ps_hash=ps_hash, msg_ts=msg_ts,
+        validator_address=validator_address, validator_index=validator_index,
+        signature=signature, extension="",
+    )
+    d = decode_message(encode_message("vote", **kw))
+    for k, v in kw.items():
+        assert d.get(k) == v, f"vote.{k}: {d.get(k)!r} != {v!r}"
