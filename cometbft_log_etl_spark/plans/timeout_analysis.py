@@ -147,7 +147,14 @@ def _clusters(timeouts: DataFrame) -> DataFrame:
 
 @register_plugin("timeout-analysis")
 def timeout_analysis(events: DataFrame) -> dict[str, DataFrame]:
-    enriched = _enriched_timeouts(events)
+    from pyspark import StorageLevel
+
+    # Five consumers share `enriched` (events table, clusters, and the
+    # summary's three crossJoined sub-aggregates); without persistence
+    # each re-runs the asof_attach shuffle + recovery window. The slice
+    # is timeouts-only (exception events), so the persist is tiny even
+    # when the raw corpus is not.
+    enriched = _enriched_timeouts(events).persist(StorageLevel.MEMORY_AND_DISK)
 
     # All tiny single-row side aggregates join via crossJoin (broadcast,
     # no shuffle): total new-round count, per-step map, per-round max.

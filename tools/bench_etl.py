@@ -51,7 +51,9 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
         )
 
         t0 = time.time()
-        events = etl_events(spark, logdir).cache()
+        # Eager localCheckpoint (not .cache()): truncated lineage halves
+        # the 15-table fan-out's planning + job overhead — see etl_events.
+        events = etl_events(spark, logdir, materialize=True)
         n_events = events.count()
         t_etl = time.time() - t0
 
