@@ -1325,3 +1325,178 @@ def q87_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
         F.count_if(F.col("n_tokens") < 30).alias("n_short_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — adaptive quality filter: per-language positional quantile cutoffs
+
+@register(
+    "q89_adaptive_quality_filter",
+    tags=("datapipe", "text", "quality"),
+    oracle="""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS ur4
+  FROM documents
+),
+nl AS (SELECT lang, count(*) AS n_docs FROM feat GROUP BY lang),
+tg AS (
+  SELECT lang, n_tokens, count(*) AS c FROM feat GROUP BY lang, n_tokens
+),
+tcum AS (
+  SELECT lang, n_tokens,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum
+  FROM tg
+),
+thr_t AS (
+  SELECT t.lang, min(t.n_tokens) AS thr_tokens
+  FROM tcum t JOIN nl USING (lang)
+  WHERE t.cum >= (nl.n_docs + 9) // 10
+  GROUP BY t.lang
+),
+ug AS (SELECT lang, ur4, count(*) AS c FROM feat GROUP BY lang, ur4),
+ucum AS (
+  SELECT lang, ur4,
+         sum(c) OVER (PARTITION BY lang ORDER BY ur4) AS cum
+  FROM ug
+),
+thr_u AS (
+  SELECT u.lang, min(u.ur4) AS thr_uniq
+  FROM ucum u JOIN nl USING (lang)
+  WHERE u.cum >= (nl.n_docs + 3) // 4
+  GROUP BY u.lang
+)
+SELECT f.lang, any_value(nl.n_docs) AS n_docs,
+       any_value(thr_t.thr_tokens) AS thr_tokens,
+       any_value(thr_u.thr_uniq) AS thr_uniq,
+       count_if(f.n_tokens >= thr_t.thr_tokens AND f.ur4 >= thr_u.thr_uniq)::BIGINT
+         AS n_kept
+FROM feat f
+JOIN nl USING (lang) JOIN thr_t USING (lang) JOIN thr_u USING (lang)
+GROUP BY f.lang
+""",
+)
+def q89_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: per-language cutoffs at the exact
+    P10 of token count and P25 of lexical diversity, applied back to
+    the corpus — the data-driven alternative to q53's fixed bands
+    (a fixed threshold tuned for English over-filters morphologically
+    rich or CJK text; quantile cutoffs self-calibrate per language).
+
+    Exact quantiles WITHOUT a corpus-sized window: values are first
+    reduced per (lang, value) group, so the cumulative-sum window runs
+    over the DISTINCT value domain (token counts; diversity rounded to
+    4 decimals to bound it at ≤10k cells/lang), not over documents.
+    The threshold is the positional percentile_disc element (first
+    value whose cumulative count reaches ceil(q·n), computed in integer
+    arithmetic — no float·count rounding hazard). Threshold tables are
+    lang-cardinality tiny → broadcast back over the corpus.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    feat = quality_features(docs).select(
+        "doc_id", "lang", "n_tokens", F.round("uniq_ratio", 4).alias("ur4")
+    )
+    nl = feat.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def positional_threshold(col: str, k_expr: str, alias: str) -> DataFrame:
+        grouped = feat.groupBy("lang", col).agg(F.count(F.lit(1)).alias("c"))
+        cum = grouped.withColumn(
+            "cum", F.sum("c").over(W.partitionBy("lang").orderBy(col))
+        )
+        return (
+            cum.join(F.broadcast(nl), "lang")
+            .filter(F.col("cum") >= F.expr(k_expr))
+            .groupBy("lang")
+            .agg(F.min(col).alias(alias))
+        )
+
+    thr_t = positional_threshold("n_tokens", "(n_docs + 9) div 10", "thr_tokens")
+    thr_u = positional_threshold("ur4", "(n_docs + 3) div 4", "thr_uniq")
+
+    return (
+        feat.join(F.broadcast(nl), "lang")
+        .join(F.broadcast(thr_t), "lang")
+        .join(F.broadcast(thr_u), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("thr_tokens").alias("thr_tokens"),
+            F.any_value("thr_uniq").alias("thr_uniq"),
+            F.count_if(
+                (F.col("n_tokens") >= F.col("thr_tokens")) & (F.col("ur4") >= F.col("thr_uniq"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — incremental dedup: new batch vs. already-ingested history
+
+@register(
+    "q90_incremental_dedup",
+    tags=("datapipe", "dedup", "incremental"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(text) AS fp, doc_id % 10 < 8 AS is_hist
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, fp, is_hist,
+         max(CASE WHEN is_hist THEN 1 ELSE 0 END)
+           OVER (PARTITION BY fp) = 1 AS dup_of_history,
+         coalesce(sum(CASE WHEN is_hist THEN 0 ELSE 1 END)
+           OVER (PARTITION BY fp ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+           AS dup_in_batch
+  FROM fp
+)
+SELECT doc_id, dup_of_history, dup_in_batch,
+       NOT (dup_of_history OR dup_in_batch) AS keep
+FROM marked WHERE NOT is_hist
+""",
+)
+def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch (docs with
+    doc_id % 10 >= 8 — a deterministic, scale-free 20% slice standing
+    in for "today's crawl") is screened against the already-ingested
+    history AND against itself, by exact content fingerprint.
+
+    One shuffle total: history and batch co-partition on the md5 key,
+    then two windows inside each fingerprint group decide (a) does any
+    history copy exist, (b) did an earlier batch doc already claim the
+    fingerprint. This is the plan shape that stays incremental at
+    100 TB — the history side is read but never re-deduped, no join
+    back, and a boilerplate fingerprint with millions of copies costs a
+    within-group scan, not a pair expansion.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        (F.col("doc_id") % 10 < 8).alias("is_hist"),
+    )
+    wg = W.partitionBy("fp")
+    wprior = W.partitionBy("fp").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    marked = fp.select(
+        "doc_id",
+        "is_hist",
+        (F.max(F.when(F.col("is_hist"), 1).otherwise(0)).over(wg) == 1).alias(
+            "dup_of_history"
+        ),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("is_hist"), 0).otherwise(1)).over(wprior), F.lit(0)
+            )
+            > 0
+        ).alias("dup_in_batch"),
+    )
+    return marked.filter(~F.col("is_hist")).select(
+        "doc_id",
+        "dup_of_history",
+        "dup_in_batch",
+        (~(F.col("dup_of_history") | F.col("dup_in_batch"))).alias("keep"),
+    )

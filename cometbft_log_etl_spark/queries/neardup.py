@@ -699,11 +699,34 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     )
 
 
-@register(
-    "q37_neardup_clusters",
-    tags=("datapipe", "dedup", "clustering"),
-    oracle=f"""
-WITH RECURSIVE {_Q55_CTES},
+def cluster_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): near-dup connected components over LSH
+    candidate pairs — the shared front half of q37/q88. cluster_id is
+    the component's minimum doc_id (Hash-Min fixpoint)."""
+    pairs = lsh_band_pairs(_minhash_sigs(docs))
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    edges = (
+        pairs.filter((agree.cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    return hash_min_components(labels, sym)
+
+
+# Shared oracle CTE chain: LSH pairs → edges → transitive closure →
+# per-doc min-reachable label (the recursive-CTE cross-check of
+# hash_min_components). Used by q37 and q88.
+_CC_SQL_CTES = f"""{_Q55_CTES},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   WHERE CAST(len(list_filter(generate_series(1, {_MINHASH_K}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
@@ -717,7 +740,14 @@ reach AS (
 ),
 labeled AS (
   SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
-)
+)"""
+
+
+@register(
+    "q37_neardup_clusters",
+    tags=("datapipe", "dedup", "clustering"),
+    oracle=f"""
+WITH RECURSIVE {_CC_SQL_CTES}
 SELECT l.doc_id, l.cluster_id,
        CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
        l.doc_id = l.cluster_id AS is_representative
@@ -743,25 +773,7 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    pairs = lsh_band_pairs(_minhash_sigs(docs))
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
-    edges = (
-        pairs.filter((agree.cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    )
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
-
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
-    )
-    labels = hash_min_components(labels, sym)
-
+    labels = cluster_labels(docs)
     wsize = W.partitionBy("cluster_id")
     return labels.select(
         "doc_id",
@@ -1278,4 +1290,73 @@ def q86_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("rank") <= 5).select(
         "probe_id", "cand_id", F.round("cosine", 9).alias("cosine"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — canonical-corpus resolution: clusters + quality → keep decision
+
+@register(
+    "q88_canonical_corpus",
+    tags=("datapipe", "dedup", "clustering", "quality"),
+    oracle=f"""
+WITH RECURSIVE {_CC_SQL_CTES},
+feat AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, f.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY f.uniq_ratio DESC, l.doc_id) AS rn
+  FROM labeled l JOIN feat f USING (doc_id)
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT)
+         AS chars_dropped
+FROM ranked
+GROUP BY cluster_id
+""",
+)
+def q88_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: near-dup clusters (q37's connected
+    components) + quality features (q53) → ONE canonical document per
+    cluster and the cost of dropping the rest.
+
+    Unlike q37's positional representative (lowest doc_id), the
+    canonical doc is the QUALITY winner — highest lexical-diversity
+    ratio, doc_id as the deterministic tie-break — which is how a
+    training-data pipeline actually resolves a boilerplate family: keep
+    the best copy, not the first-crawled one.
+
+    Scale shape: labels come from the bounded Hash-Min iteration
+    (one shuffle per round, diameter-bounded); the quality join is
+    doc_id-keyed; the rank is a per-cluster window (cluster sizes are
+    LSH-bucket-bounded, no global window). Everything downstream of the
+    CC is a single groupBy on cluster_id.
+    """
+    from .datapipe import quality_features
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    labels = cluster_labels(docs)
+    feat = quality_features(docs).select("doc_id", "n_chars", "uniq_ratio")
+    ranked = labels.join(feat, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.col("uniq_ratio").desc(), "doc_id")
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)).alias(
+            "chars_dropped"
+        ),
     )

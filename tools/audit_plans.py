@@ -95,6 +95,21 @@ EXPECTATIONS = {
     "q42_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
     "q43_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
     "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
+    # canonical-corpus resolution: the LSH front half (bucket-capped,
+    # audited via q55/q37) sits behind the CC localCheckpoint, so the
+    # final plan is only rank+agg — which must stay hash-partitioned
+    # per cluster, never a cartesian/nested-loop pairing
+    "q88_canonical_corpus": {"codegen": True,
+                             "contains_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # adaptive quantile thresholds: the cumulative windows run over the
+    # reduced (lang, value) domain and the threshold tables broadcast
+    # back — a SortMergeJoin means a corpus-sized side joined the
+    # lang-cardinality thresholds
+    "q89_adaptive_quality_filter": {"codegen": True, "max_scan_cols": 2, "no_smj": True},
+    # incremental dedup is ONE shuffle on the fingerprint: no joins at
+    # all, both decisions are windows inside the fp groups
+    "q90_incremental_dedup": {"codegen": True, "max_scan_cols": 2,
+                              "contains_not": ["SortMergeJoin", "BroadcastHashJoin"]},
 }
 
 
