@@ -260,25 +260,157 @@ def decode_media_real(media: DataFrame) -> DataFrame:
 # containers, then decode them back through the production kernel.
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
 def encode_png(width: int, height: int) -> bytes:
     """Complete, spec-valid 8-bit grayscale PNG (CRC'd chunks, zlib IDAT)."""
+    return encode_png_gray(bytes(width * height), width, height)
 
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
 
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """8-bit grayscale non-interlaced PNG from raw row-major pixels
+    (filter type 0 per scanline)."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def decode_png_gray(b: bytes):
+    """Pure-Python pixel decode of 8-bit grayscale non-interlaced PNGs:
+    (width, height, row-major pixel bytes), or None for any other PNG
+    flavor / non-PNG input. Implements the full scanline unfilter
+    (None/Sub/Up/Average/Paeth) from the public PNG spec, so it decodes
+    any conforming encoder's grayscale output, not just ours."""
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, width, height, idat = 8, None, None, b""
+    try:
+        while i + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[i : i + 4])
+            tag = b[i + 4 : i + 8]
+            payload = b[i + 8 : i + 8 + length]
+            if tag == b"IHDR":
+                width, height, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+                if depth != 8 or color != 0 or interlace != 0:
+                    return None
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+            i += 12 + length
+        if not width or not height or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        stride = width + 1
+        if len(raw) < stride * height:
+            return None
+        out = bytearray(width * height)
+        prev = bytes(width)
+        for r in range(height):
+            row = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+            ftype = raw[r * stride]
+            if ftype == 1:  # Sub
+                for x in range(1, width):
+                    row[x] = (row[x] + row[x - 1]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(width):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(width):
+                    left = row[x - 1] if x else 0
+                    row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(width):
+                    a = row[x - 1] if x else 0
+                    c = prev[x - 1] if x else 0
+                    p = a + prev[x] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (prev[x] if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out[r * width : (r + 1) * width] = row
+            prev = row
+        return width, height, bytes(out)
+    except Exception:  # noqa: BLE001 — corrupt blob ⇒ undecodable, not a task death
+        return None
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("resized", T.BooleanType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Real image-resize tier: decode → aspect-preserving nearest-neighbor
+    downsample → re-encode, as an Arrow-batched mapInPandas kernel over
+    (doc_id, content) — column pruning drops every other column before
+    the Python worker, and whole blobs stay inside one batch.
+
+    The pixel path is the pure-Python grayscale-PNG codec above (the
+    container ships no image libraries); any other format passes
+    through unchanged with ``resized=False`` and null dimensions — the
+    degrade-don't-die contract of decode_media_real. Swapping
+    ``decode_png_gray``/``encode_png_gray`` for PIL calls is the only
+    change a full-codec deployment needs; schema, batching, and plan
+    shape stay identical.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                decoded = decode_png_gray(bytes(content))
+                if decoded is None:
+                    rows.append((doc_id, None, None, None, None, False, content))
+                    continue
+                w, h, px = decoded
+                scale = max_side / max(w, h)
+                if scale >= 1.0:
+                    rows.append((doc_id, w, h, w, h, False, content))
+                    continue
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(oh) * h // oh).clip(0, h - 1)
+                xs = (np.arange(ow) * w // ow).clip(0, w - 1)
+                out = img[np.ix_(ys, xs)]
+                rows.append(
+                    (doc_id, w, h, ow, oh, True, encode_png_gray(out.tobytes(), ow, oh))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "out_width", "out_height", "resized", "content",
+                ],
+            )
+
+    return media.select("doc_id", "content").mapInPandas(kernel, schema=RESIZE_SCHEMA)
 
 
 def encode_jpeg(width: int, height: int, orientation: int | None = None) -> bytes:

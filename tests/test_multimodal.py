@@ -174,3 +174,104 @@ def test_exif_orientation_round_trip():
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 50, 100, 1) + b"\x01\x11\x00"
     got = parse_media_header(b"\xff\xd8" + app1 + sof0 + b"\xff\xd9")
     assert got["orientation"] == 5 and got["width"] == 100
+
+
+# --- resize tier: pure-Python grayscale-PNG codec + Spark kernel ---
+
+
+def _gradient(w, h):
+    return bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+
+
+def test_png_gray_codec_round_trip():
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    px = _gradient(37, 23)
+    w, h, out = decode_png_gray(encode_png_gray(px, 37, 23))
+    assert (w, h) == (37, 23) and out == px
+
+
+def test_png_unfilter_all_filter_types():
+    """decode_png_gray must reverse every spec filter, not just the
+    type-0 rows our encoder emits — forward-filter a known image with
+    Sub/Up/Average/Paeth and check the decode recovers the pixels."""
+    import struct as _s
+    import zlib as _z
+
+    from cometbft_log_etl_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    w, h = 9, 5
+    px = _gradient(w, h)
+    rows = [px[r * w : (r + 1) * w] for r in range(h)]
+    filtered = bytearray()
+    prev = bytes(w)
+    for r, (ftype, row) in enumerate(zip([0, 1, 2, 3, 4], rows)):
+        filtered.append(ftype)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filtered.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(blob) == (w, h, px)
+
+
+def test_resize_images_spark(spark):
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_jpeg,
+        encode_png_gray,
+        resize_images,
+    )
+
+    big = encode_png_gray(_gradient(100, 40), 100, 40)
+    small = encode_png_gray(_gradient(10, 8), 10, 8)
+    jpg = encode_jpeg(640, 480)
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, jpg)], "doc_id long, content binary"
+    )
+    out = {r.doc_id: r for r in resize_images(df, max_side=50).collect()}
+
+    r1 = out[1]  # downsampled, aspect preserved
+    assert r1.resized and (r1.src_width, r1.src_height) == (100, 40)
+    assert (r1.out_width, r1.out_height) == (50, 20)
+    w, h, px = decode_png_gray(bytes(r1.content))
+    assert (w, h) == (50, 20)
+    # nearest-neighbor contract: output pixel (y, x) samples source
+    # (y*40//20, x*100//50)
+    src = _gradient(100, 40)
+    for y, x in [(0, 0), (7, 31), (19, 49)]:
+        assert px[y * 50 + x] == src[(y * 40 // 20) * 100 + (x * 100 // 50)]
+
+    r2 = out[2]  # already under max_side: untouched
+    assert not r2.resized and (r2.out_width, r2.out_height) == (10, 8)
+    assert bytes(r2.content) == small
+
+    r3 = out[3]  # non-PNG: pass through, never die
+    assert not r3.resized and r3.out_width is None
+    assert bytes(r3.content) == jpg
