@@ -108,3 +108,39 @@ def stream_exact_dedup_bounded(
         .withWatermark("ingest_ts", horizon)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of q90: screen a live ingest stream against the
+    already-ingested history with a stream-static join.
+
+    The history fingerprint set is a STATIC DataFrame (the lake's
+    parquet), re-read per micro-batch under the stream-static join
+    contract — no state store holds it, so history size never bloats
+    checkpoint state; at 100 TB the join is hash-partitioned on the
+    16-byte fp key and the stream side is the small one per batch.
+    Within-stream duplicates then dedup via keyed state (first arrival
+    wins, matching q90's min-doc_id batch rule for id-ordered arrival).
+    Emits only surviving (keep=true) documents.
+    """
+    from ..tables import load
+
+    fp = F.md5(F.col("text").cast("binary"))
+    incoming = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)  # q90's incoming-batch slice
+        .withColumn("fp", fp)
+    )
+    history = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .select(fp.alias("fp"))
+        .distinct()
+        .withColumn("_hist", F.lit(1))
+    )
+    fresh = (
+        incoming.join(history, "fp", "left_outer")
+        .filter(F.col("_hist").isNull())
+        .drop("_hist")
+    )
+    return fresh.dropDuplicates(["fp"]).drop("fp")

@@ -67,3 +67,21 @@ def test_staged_dir_reused_not_leaked(spark, sf_dir):
     assert len([p for p in after if p == path]) == 1
     if path in before:
         assert before[path] == after[path]
+
+
+def test_stream_incremental_dedup_matches_q90(spark, sf_dir):
+    """Stream-static screen == batch q90: the surviving doc_ids of the
+    streaming path must be exactly the keep=true rows of the batch
+    incremental-dedup query."""
+    from cometbft_log_etl_spark.streaming.curation import stream_incremental_dedup
+
+    _run_stream(stream_incremental_dedup(spark, sf_dir), "t_inc_dedup")
+    got = {r.doc_id for r in spark.table("t_inc_dedup").select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in catalog()["q90_incremental_dedup"]
+        .fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
