@@ -1500,3 +1500,96 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_in_batch",
         (~(F.col("dup_of_history") | F.col("dup_in_batch"))).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — token-budget mixture resampling: weights → rates → actual sample
+
+@register(
+    "q91_token_budget_mix",
+    tags=("datapipe", "sampling", "mixing"),
+    oracle=f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_tokens,
+         round(pow(CAST(n_tokens AS DOUBLE), 0.7), 9) AS raw_w,
+         (sum(n_tokens) OVER () * 2) // 5 AS budget
+  FROM counts
+),
+rates AS (
+  SELECT source, n_tokens,
+         CAST(round(budget * round(raw_w / sum(raw_w) OVER (), 9)) AS BIGINT)
+           AS target_tokens,
+         least(10000, CAST(round(
+             10000.0 * round(budget * round(raw_w / sum(raw_w) OVER (), 9))
+                     / n_tokens) AS BIGINT)) AS rate_bp
+  FROM weighted
+),
+sampled AS (
+  SELECT d.source, r.target_tokens, r.rate_bp,
+         len(string_split(d.text, ' ')) AS n_tok
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_SQL_H32.format(expr="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+          < r.rate_bp
+)
+SELECT source, any_value(target_tokens) AS target_tokens,
+       any_value(rate_bp) AS rate_bp,
+       count(*) AS n_sampled,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_sampled
+FROM sampled GROUP BY source
+""",
+)
+def q91_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final mix-building step: turn q15's temperature weights into
+    per-source sampling RATES against a global token budget (40% of the
+    corpus), apply them as a deterministic hash sample, and report the
+    achieved per-source token counts next to the targets.
+
+    Scale shape: two tiny aggregates (per-source counts, then windows
+    over the handful of source rows — domains, not documents), the rate
+    table broadcast back over the corpus, and a map-only hash filter;
+    the dropped rows never shuffle. The budget stays in exact integer
+    arithmetic (`total*2 // 5`) and every double (pow, normalization)
+    is rounded before use so both engines sample the identical doc set.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    total = W.partitionBy()
+    weighted = counts.select(
+        "source",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)), 9).alias("raw_w"),
+        F.expr("(sum(n_tokens) OVER () * 2) div 5").alias("budget"),
+    )
+    mix_w = F.round(F.col("raw_w") / F.sum("raw_w").over(total), 9)
+    target = F.round(F.col("budget") * mix_w).cast("bigint")
+    rates = weighted.select(
+        "source",
+        target.alias("target_tokens"),
+        F.least(
+            F.lit(10000),
+            F.round(F.lit(10000.0) * target / F.col("n_tokens")).cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    bucket = _h32(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    sampled = (
+        docs.select(
+            "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"), bucket.alias("b")
+        )
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("b") < F.col("rate_bp"))
+    )
+    return sampled.groupBy("source").agg(
+        F.any_value("target_tokens").alias("target_tokens"),
+        F.any_value("rate_bp").alias("rate_bp"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tok").cast("bigint").alias("tokens_sampled"),
+    )

@@ -94,3 +94,54 @@ class MongoResultSink:
                     close()
 
         df.foreachPartition(write_partition)
+
+
+def write_training_shards(
+    docs: DataFrame, out_dir: str, n_shards: int, salt: str = "shard"
+) -> dict:
+    """Export a curated corpus as N deterministic, size-balanced shards
+    with a manifest — the hand-off format a trainer's data loader reads.
+
+    Shard assignment is a salted portable hash of doc_id, NOT
+    round-robin or partition order: re-running the export on the same
+    corpus (any cluster size, any input partitioning) lands every doc
+    in the same shard, so shards are reproducible and incremental
+    re-exports are diffable. One Exchange (repartition on the shard
+    column) and one pass; with millions of docs per shard the balance
+    error of hashing is O(1/sqrt(n)) — no size-tracking state needed.
+
+    Writes `shard=K/` parquet partitions plus `_manifest.json` with
+    per-shard doc/token counts. Returns the manifest dict.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
+    ).cast("int")
+    toks = F.size(F.split("text", " "))
+    staged = docs.withColumn("shard", shard).withColumn("n_tokens", toks)
+    (
+        staged.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    stats = (
+        staged.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "shards": {
+            int(r.shard): {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens)} for r in stats
+        },
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
