@@ -144,3 +144,26 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_hist")
     )
     return fresh.dropDuplicates(["fp"]).drop("fp")
+
+
+def stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming slice of the q87 data card: per-source doc/token/short
+    counts as a continuously-updating aggregate (complete output mode).
+
+    Exactly the streamable subset — the batch card's distinct-text-hash
+    columns need either unbounded state or a sketch, so they stay in
+    the batch card; everything here is an incrementally-mergeable sum,
+    i.e. state is one row per source no matter the corpus size.
+    """
+    docs = stream_documents(spark, sf_dir)
+    toks = F.size(F.split("text", " "))
+    return (
+        docs.select("source", "n_chars", toks.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+            F.count_if(F.col("n_tokens") < 30).alias("n_short_docs"),
+        )
+    )

@@ -85,3 +85,27 @@ def test_stream_incremental_dedup_matches_q90(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_source_stats_matches_batch_card(spark, sf_dir):
+    """The streaming data-card slice must equal the batch q87 columns it
+    mirrors (complete-mode agg over the whole table read as a stream)."""
+    from cometbft_log_etl_spark.streaming.curation import stream_source_stats
+
+    q = (
+        stream_source_stats(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_card")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_card")
+    want = (
+        catalog()["q87_source_datacard"]
+        .fn(spark, sf_dir)
+        .select("source", "n_docs", "total_tokens", "mean_chars", "n_short_docs")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -275,3 +275,33 @@ def test_resize_images_spark(spark):
     r3 = out[3]  # non-PNG: pass through, never die
     assert not r3.resized and r3.out_width is None
     assert bytes(r3.content) == jpg
+
+
+def test_png_gray_codec_property():
+    """Property: any image round-trips the grayscale-PNG codec exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+        )
+        assert decode_png_gray(encode_png_gray(px, w, h)) == (w, h, px)
+
+    check()
