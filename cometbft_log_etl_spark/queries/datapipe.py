@@ -1593,3 +1593,122 @@ def q91_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_tok").cast("bigint").alias("tokens_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# q92 — learned language ID: Naive-Bayes trained and scored in-engine
+
+@register(
+    "q92_nb_langid",
+    tags=("datapipe", "text", "langid", "ml"),
+    oracle="""
+WITH occ AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT tok, lang AS cls, count(*) AS c FROM occ GROUP BY tok, lang),
+tl AS (SELECT lang AS cls, count(*) AS t FROM occ GROUP BY lang),
+vocab AS (SELECT DISTINCT tok FROM occ),
+v AS (SELECT count(*) AS v FROM vocab),
+classes AS (SELECT DISTINCT lang AS cls FROM documents),
+dense AS (
+  SELECT vocab.tok, classes.cls,
+         round(ln((coalesce(tc.c, 0) + 1.0) / (tl.t + v.v)), 9) AS logp
+  FROM vocab CROSS JOIN classes
+  LEFT JOIN tc ON tc.tok = vocab.tok AND tc.cls = classes.cls
+  JOIN tl ON tl.cls = classes.cls
+  CROSS JOIN v
+),
+priors AS (
+  SELECT lang AS cls,
+         round(ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM documents)), 9) AS prior
+  FROM documents GROUP BY lang
+),
+scores AS (
+  SELECT occ.doc_id, any_value(occ.lang) AS lang, dense.cls,
+         CAST(sum(CAST(dense.logp AS DECIMAL(28,12))) AS DOUBLE)
+           + any_value(priors.prior) AS score
+  FROM occ
+  JOIN dense ON dense.tok = occ.tok
+  JOIN priors ON priors.cls = dense.cls
+  GROUP BY occ.doc_id, dense.cls
+),
+pred AS (
+  SELECT doc_id, lang, cls,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+  FROM scores
+)
+SELECT lang, cls AS predicted, count(*) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY lang, cls
+""",
+)
+def q92_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned language ID: a multinomial Naive-Bayes classifier with
+    add-one smoothing, TRAINED in the engine (per-(token, class) counts
+    + class priors — the distributed 'fit' is two aggregations) and
+    applied back to every document, reported as a confusion matrix
+    against the labels. The learned upgrade of q54's fixed heuristic —
+    the shape of every counting-based model fit a curation pipeline
+    runs (fasttext-style language ID, quality classifiers).
+
+    Scale shape: training shuffles are vocab- and class-bounded after
+    map-side partial agg; the dense (token × class) log-prob table is
+    vocab-sized and joins the token stream on the token key (stopword
+    keys are the AQE skew-join case); scoring is one (doc, class)
+    aggregation. Per-token log-probs are rounded then decimal-summed
+    (the q19 determinism contract), and argmax ties break on class
+    name, so both engines pick identical predictions.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tc = occ.groupBy("tok", F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("c"))
+    tl = occ.groupBy(F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("t"))
+    vocab = occ.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("v"))
+    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    dense = (
+        vocab.crossJoin(F.broadcast(classes))
+        .join(tc, ["tok", "cls"], "left")
+        .join(F.broadcast(tl), "cls")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tok",
+            "cls",
+            F.round(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("t") + F.col("v"))),
+                9,
+            ).alias("logp"),
+        )
+    )
+    n_docs_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_cls"))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "cls",
+            F.round(F.log(F.col("n_cls").cast("double") / F.col("n_total")), 9).alias("prior"),
+        )
+    )
+    scores = (
+        occ.join(dense, "tok")
+        .join(F.broadcast(priors), "cls")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            (
+                F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
+                + F.any_value("prior")
+            ).alias("score"),
+        )
+    )
+    pred = scores.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("lang", F.col("cls").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -110,6 +110,9 @@ EXPECTATIONS = {
     # all, both decisions are windows inside the fp groups
     "q90_incremental_dedup": {"codegen": True, "max_scan_cols": 2,
                               "contains_not": ["SortMergeJoin", "BroadcastHashJoin"]},
+    # NB language ID: the scan stays 3 columns; the class/prior/vocab-size
+    # sides all broadcast (the only big-big join is token-keyed)
+    "q92_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2},
 }
 
 
