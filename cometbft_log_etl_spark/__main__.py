@@ -56,7 +56,10 @@ def main(argv: list[str] | None = None) -> int:
         enabled = enabled_plugin_names(args.config)
 
     t0 = time.time()
-    events = etl_events(spark, args.dir, strict=not args.no_strict).cache()
+    # materialize=True (eager localCheckpoint): the plugin fan-out plans
+    # against a lineage-truncated table — see etl_events for the measured
+    # planning/overhead win over .cache().
+    events = etl_events(spark, args.dir, strict=not args.no_strict, materialize=True)
     n_events = events.count()
     results = run_plugins(events, enabled=enabled)
     dests = []
