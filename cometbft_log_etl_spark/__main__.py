@@ -56,19 +56,27 @@ def main(argv: list[str] | None = None) -> int:
         enabled = enabled_plugin_names(args.config)
 
     t0 = time.time()
-    # materialize=True (eager localCheckpoint): the plugin fan-out plans
-    # against a lineage-truncated table — see etl_events for the measured
-    # planning/overhead win over .cache().
-    events = etl_events(spark, args.dir, strict=not args.no_strict, materialize=True)
-    n_events = events.count()
-    results = run_plugins(events, enabled=enabled)
+    # One materialization either way (see run_pipeline): with a lake
+    # destination the sorted events write IS the materialization and
+    # plugins fan out from the columnar staged table; otherwise an eager
+    # localCheckpoint truncates lineage for the fan-out.
     dests = []
     if args.out:
         out_root = f"{args.out.rstrip('/')}/{sim_id}"
-        write_events(events, out_root, partition_by_date=args.partition_by_date)
+        write_events(
+            etl_events(spark, args.dir, strict=not args.no_strict),
+            out_root,
+            partition_by_date=args.partition_by_date,
+        )
+        events = spark.read.parquet(f"{out_root}/events")
+        dests.append(out_root)
+    else:
+        events = etl_events(spark, args.dir, strict=not args.no_strict, materialize=True)
+    n_events = events.count()
+    results = run_plugins(events, enabled=enabled)
+    if args.out:
         for name, df in results.items():
             df.write.mode("overwrite").parquet(f"{out_root}/{name}")
-        dests.append(out_root)
     if args.mongo_uri:
         from .sinks import MongoResultSink
 

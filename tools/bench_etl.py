@@ -77,7 +77,6 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
         with ThreadPoolExecutor(max_workers=6) as pool:
             counts.update(zip(rest, pool.map(lambda df: df.count(), rest.values())))
         t_plugins = time.time() - t1
-        events.unpersist()
 
         return {
             "n_lines": n_lines,
