@@ -63,12 +63,16 @@ def main(argv: list[str] | None = None) -> int:
     dests = []
     if args.out:
         out_root = f"{args.out.rstrip('/')}/{sim_id}"
-        write_events(
-            etl_events(spark, args.dir, strict=not args.no_strict),
-            out_root,
-            partition_by_date=args.partition_by_date,
-        )
-        events = spark.read.parquet(f"{out_root}/events")
+        staged = etl_events(spark, args.dir, strict=not args.no_strict)
+        write_events(staged, out_root, partition_by_date=args.partition_by_date)
+        # explicit schema so a zero-event run reads back as an empty
+        # table instead of failing parquet schema inference
+        schema = staged.schema
+        if args.partition_by_date:
+            from pyspark.sql import types as T
+
+            schema = schema.add(T.StructField("event_date", T.DateType()))
+        events = spark.read.schema(schema).parquet(f"{out_root}/events")
         dests.append(out_root)
     else:
         events = etl_events(spark, args.dir, strict=not args.no_strict, materialize=True)

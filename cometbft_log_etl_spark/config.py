@@ -30,7 +30,10 @@ class PluginConfig:
     """One entry of the YAML `plugins:` list (pkg/pluginsdk PluginConfig)."""
 
     name: str
-    enabled: bool = True
+    # Go zero value: an entry without `enabled:` is DISABLED
+    # (config.go:68 `Enabled bool` + yaml absent → false); the loader
+    # below and this default must agree.
+    enabled: bool = False
 
 
 def load_plugins_from_yaml(path: str | None) -> list[PluginConfig]:

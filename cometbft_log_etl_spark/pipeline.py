@@ -157,8 +157,12 @@ def run_pipeline(
     root = None
     if out_dir is not None:
         root = f"{out_dir.rstrip('/')}/{sim_id or generate_sim_id()}"
-        write_events(etl_events(spark, log_dir, strict=strict), root)
-        events = spark.read.parquet(f"{root}/events")
+        staged = etl_events(spark, log_dir, strict=strict)
+        write_events(staged, root)
+        # explicit schema: a zero-event run writes no part files, and a
+        # bare read would fail schema inference instead of returning the
+        # empty table the old cached path produced
+        events = spark.read.schema(staged.schema).parquet(f"{root}/events")
     else:
         events = etl_events(spark, log_dir, strict=strict, materialize=True)
     results: dict[str, DataFrame] = {"events": events}

@@ -147,14 +147,16 @@ def _clusters(timeouts: DataFrame) -> DataFrame:
 
 @register_plugin("timeout-analysis")
 def timeout_analysis(events: DataFrame) -> dict[str, DataFrame]:
-    from pyspark import StorageLevel
-
     # Five consumers share `enriched` (events table, clusters, and the
-    # summary's three crossJoined sub-aggregates); without persistence
-    # each re-runs the asof_attach shuffle + recovery window. The slice
-    # is timeouts-only (exception events), so the persist is tiny even
-    # when the raw corpus is not.
-    enriched = _enriched_timeouts(events).persist(StorageLevel.MEMORY_AND_DISK)
+    # summary's three crossJoined sub-aggregates); without materializing
+    # it each re-runs the asof_attach shuffle + recovery window. Lazy
+    # localCheckpoint rather than persist(): checkpoint blocks are
+    # released by the ContextCleaner when the DataFrame goes out of
+    # scope, while CacheManager entries from persist() accumulate for
+    # the session lifetime across repeated pipeline runs. The slice is
+    # timeouts-only (exception events), so it is tiny even when the raw
+    # corpus is not.
+    enriched = _enriched_timeouts(events).localCheckpoint(eager=False)
 
     # All tiny single-row side aggregates join via crossJoin (broadcast,
     # no shuffle): total new-round count, per-step map, per-round max.

@@ -130,8 +130,13 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    # Manifest stats come from the WRITTEN shards, not a second pass
+    # over the source plan: the read-back prunes to two columns of the
+    # just-written columnar files (cheap at any scale) and attests what
+    # actually landed on disk.
     stats = (
-        staged.groupBy("shard")
+        docs.sparkSession.read.parquet(out_dir)
+        .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
         .collect()
     )

@@ -110,7 +110,9 @@ def stream_exact_dedup_bounded(
     )
 
 
-def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
     """Streaming half of q90: screen a live ingest stream against the
     already-ingested history with a stream-static join.
 
@@ -119,9 +121,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract — no state store holds it, so history size never bloats
     checkpoint state; at 100 TB the join is hash-partitioned on the
     16-byte fp key and the stream side is the small one per batch.
-    Within-stream duplicates then dedup via keyed state (first arrival
-    wins, matching q90's min-doc_id batch rule for id-ordered arrival).
-    Emits only surviving (keep=true) documents.
+    Within-stream duplicates then dedup via watermark-BOUNDED keyed
+    state (ingestion time is the event time, the
+    stream_exact_dedup_bounded contract): state is arrival-rate ×
+    horizon, duplicates farther apart than the horizon fall through to
+    the next batch-q90 compaction. First arrival wins, matching q90's
+    min-doc_id batch rule for id-ordered arrival. Emits only surviving
+    (keep=true) documents.
     """
     from ..tables import load
 
@@ -143,7 +149,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_hist").isNull())
         .drop("_hist")
     )
-    return fresh.dropDuplicates(["fp"]).drop("fp")
+    return (
+        fresh.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp", "ingest_ts")
+    )
 
 
 def stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,9 +98,20 @@ def test_mongo_sink_collection_per_family(spark, tmp_path):
     assert sum(len(b) for b in _batches(root, "simA", "timeout_analysis")) == 5
 
 
-def test_mongo_sink_fails_fast_without_driver():
-    # pymongo is not installed in this environment — the constructor must
-    # say so instead of failing mid-write on an executor.
+def test_mongo_sink_fails_fast_without_driver(monkeypatch):
+    # The constructor must surface a missing driver immediately instead
+    # of failing mid-write on an executor. Simulate absence regardless
+    # of whether pymongo happens to be installed.
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_pymongo(name, *a, **k):
+        if name == "pymongo":
+            raise ImportError("No module named 'pymongo'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pymongo)
     with pytest.raises(ImportError, match="pymongo"):
         MongoResultSink("mongodb://example:27017", "sim42")
 

@@ -14,21 +14,20 @@ from cometbft_log_etl_spark.queries.neardup import _minhash_sigs, lsh_band_pairs
 from cometbft_log_etl_spark.streaming.neardup import minhash_sig, stream_lsh_band_pairs
 from cometbft_log_etl_spark.tables import load
 
-SF_DIR = "/root/testdata/sf0.01"
 
 
-def test_mapside_signature_equals_batch(spark):
-    docs = load(spark, SF_DIR, "documents")
+def test_mapside_signature_equals_batch(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
     a = {r.doc_id: r.sig for r in _minhash_sigs(docs).collect()}
     b = {r.doc_id: r.sig for r in minhash_sig(docs).collect()}
     assert a == b
 
 
 @pytest.fixture(scope="module")
-def stream_pairs(spark, tmp_path_factory):
+def stream_pairs(spark, sf_dir, tmp_path_factory):
     # split the documents into 3 id-ordered parquet files and stream one
     # file per trigger → 3 micro-batches with state carried across them
-    docs = load(spark, SF_DIR, "documents")
+    docs = load(spark, sf_dir, "documents")
     arrival = tmp_path_factory.mktemp("doc-arrivals")
     n = docs.count()
     cut1, cut2 = n // 3, 2 * n // 3
@@ -63,8 +62,8 @@ def stream_pairs(spark, tmp_path_factory):
     return spark.table("t_stream_pairs")
 
 
-def test_stream_pairs_match_batch_tier(spark, stream_pairs):
-    docs = load(spark, SF_DIR, "documents")
+def test_stream_pairs_match_batch_tier(spark, sf_dir, stream_pairs):
+    docs = load(spark, sf_dir, "documents")
     batch = lsh_band_pairs(_minhash_sigs(docs))
     batch_pairs = {
         (r.doc_a, r.doc_b, r.n_shared_bands) for r in batch.collect()
