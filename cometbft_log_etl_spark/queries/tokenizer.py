@@ -1,0 +1,115 @@
+"""Distributed BPE tokenizer fitting over the documents corpus.
+
+The vocab-induction story so far counts whole tokens (q41) and applies
+a BPE-ish regex (q62); this module FITS the merge table itself — the
+iterative half of training a tokenizer — as a driver-looped sequence of
+DataFrame jobs, the same bounded-iteration shape as the Hash-Min
+connected components (neardup.hash_min_components):
+
+  word-frequency table (one aggregation over the corpus)
+    → per iteration: adjacent-pair counts (explode + map-side partial
+      agg, weighted by word freq) → deterministic argmax (tiny row to
+      the driver — the only driver-side state is the merge table
+      itself) → columnar in-array merge (higher-order aggregate, no
+      Python) → localCheckpoint to cut lineage.
+
+Scale shape: everything iterates over the WORD-FREQUENCY table, whose
+size is vocabulary-bounded no matter how big the corpus is — the single
+corpus-sized pass is the initial word count. Pair counting is
+partial-aggregatable; the per-iteration shuffle key is the (left,
+right) symbol pair.
+
+Determinism: greedy leftmost non-overlapping merge application, argmax
+ties broken on (left, right) lexicographically — the fitted merge
+sequence is a pure function of the corpus, attested in
+tests/test_tokenizer.py against an independent single-process Python
+implementation (ground-truth attestation, the q82/q83 pattern for
+operators whose iterative semantics SQL cannot express; the driver
+records a rows-only check for q93).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+
+_N_MERGES = 8
+
+
+def _merge_pair_expr(col: str, left: str, right: str, merged: str) -> F.Column:
+    """Greedy leftmost non-overlapping merge of adjacent (left, right)
+    inside a symbol array — pure higher-order aggregate, JVM-side."""
+    l, r, m = F.lit(left), F.lit(right), F.lit(merged)
+    return F.aggregate(
+        F.col(col),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (s == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
+    """Fit `n_merges` BPE merges on whitespace words; returns the merge
+    table [{step, left, right, merged, pair_count}]."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.expr("slice(syms, 1, size(syms) - 1)"),
+                        F.expr("slice(syms, 2, size(syms) - 1)"),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "l", "r").first()
+        if best is None:
+            break
+        merged = best.l + best.r
+        merges.append(
+            {
+                "step": step,
+                "left": best.l,
+                "right": best.r,
+                "merged": merged,
+                "pair_count": int(best.cnt),
+            }
+        )
+        syms = syms.select(
+            "freq", _merge_pair_expr("syms", best.l, best.r, merged).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register("q93_bpe_merges", tags=("datapipe", "text", "tokenizer", "iterative"))
+def q93_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted merge table as a DataFrame (driver rows-only check;
+    ground truth lives in tests/test_tokenizer.py)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    rows = bpe_fit(docs)
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, pair_count bigint"
+    ).orderBy("step")

@@ -1,0 +1,71 @@
+"""Ground-truth attestation of the distributed BPE fit: the Spark merge
+sequence must equal an independent single-process implementation of the
+same greedy-leftmost / lexicographic-tiebreak algorithm."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from cometbft_log_etl_spark.queries.tokenizer import bpe_fit
+from cometbft_log_etl_spark.tables import load
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, freq in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += freq
+        if not counts:
+            break
+        # argmax: highest count, then lexicographic (left, right)
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        merges.append(
+            {"step": step, "left": left, "right": right, "merged": merged, "pair_count": cnt}
+        )
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == left and tok == right:
+                    out[-1] = merged
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = bpe_fit(docs, n_merges=6)
+
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freqs[w] += 1
+    want = _reference_bpe(dict(freqs), n_merges=6)
+    assert got == want
+    assert len(got) == 6 and all(m["pair_count"] > 0 for m in got)
+
+
+def test_bpe_greedy_leftmost_merge():
+    """'aaa' with pair (a,a) merges leftmost-non-overlapping: [aa, a]."""
+    want = _reference_bpe({"aaa": 1}, n_merges=1)
+    assert want[0]["left"] == "a" and want[0]["right"] == "a"
+    # count includes overlap (two adjacent (a,a) positions)
+    assert want[0]["pair_count"] == 2
+
+
+def test_q93_catalog_entry(spark, sf_dir):
+    from cometbft_log_etl_spark.queries import catalog
+
+    df = catalog()["q93_bpe_merges"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.merged == r.left + r.right for r in rows)
