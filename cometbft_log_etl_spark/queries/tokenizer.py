@@ -113,3 +113,46 @@ def q93_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string, pair_count bigint"
     ).orderBy("step")
+
+
+def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """(word, n_subtokens) after applying the fitted merges in order —
+    the encode half of the tokenizer. The merge chain is applied on the
+    vocabulary table (bounded), never per occurrence; each merge is the
+    same JVM-side greedy-leftmost aggregate used during fitting."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    out = words.select("w", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"))
+    for m in merges:
+        out = out.select(
+            "w", _merge_pair_expr("syms", m["left"], m["right"], m["merged"]).alias("syms")
+        )
+    return out.select("w", F.size("syms").alias("n_subtokens"))
+
+
+@register("q94_bpe_token_counts", tags=("datapipe", "text", "tokenizer"))
+def q94_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subtoken counts under the corpus-fitted BPE
+    tokenizer (q93's merges applied): the real version of what q62
+    approximates with a fixed regex. Word→length is computed once on
+    the vocabulary and joined back onto the token stream (vocab-keyed
+    join; the corpus side only ever shuffles words). Rows-only for the
+    driver; ground truth in tests/test_tokenizer.py."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_fit(docs)
+    lengths = bpe_encode_word_lengths(docs, merges)
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        occ.join(lengths, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subtokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -69,3 +69,39 @@ def test_q93_catalog_entry(spark, sf_dir):
     rows = df.collect()
     assert [r.step for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Encode attestation: per-word subtoken counts under the fitted
+    merges equal the reference implementation's."""
+    from cometbft_log_etl_spark.queries.tokenizer import bpe_encode_word_lengths
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, n_merges=6)
+    got = {r.w: r.n_subtokens for r in bpe_encode_word_lengths(docs, merges).collect()}
+
+    def encode(word):
+        s = list(word)
+        for m in merges:
+            out = []
+            for tok in s:
+                if out and out[-1] == m["left"] and tok == m["right"]:
+                    out[-1] = m["merged"]
+                else:
+                    out.append(tok)
+            s = out
+        return len(s)
+
+    want = {w: encode(w) for w in got}
+    assert got == want and len(got) > 0
+    assert any(v < len(w) for w, v in got.items())  # some merge actually applied
+
+
+def test_q94_catalog_entry(spark, sf_dir):
+    from cometbft_log_etl_spark.queries import catalog
+
+    df = catalog()["q94_bpe_token_counts"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    # merges only ever shorten: n_bpe_tokens <= total chars, >= n_words
+    assert all(r.n_bpe_tokens >= r.n_words for r in rows)
