@@ -78,6 +78,33 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
             counts.update(zip(rest, pool.map(lambda df: df.count(), rest.values())))
         t_plugins = time.time() - t1
 
+        # The PRODUCTION path (run_pipeline with a destination): sorted
+        # events parquet written once, plugins fan out from the staged
+        # columnar table. Reported alongside so rounds track both the
+        # in-memory and the staged shape (the staged one is what a lake
+        # deployment runs, and it wins from ~10^6 rows up).
+        t2 = time.time()
+        from cometbft_log_etl_spark.pipeline import write_events
+
+        root = os.path.join(work, "lake")
+        staged_src = etl_events(spark, logdir)
+        write_events(staged_src, root)
+        staged = spark.read.schema(staged_src.schema).parquet(
+            os.path.join(root, "events")
+        )
+        t_staged_etl = time.time() - t2
+        t3 = time.time()
+        stables = run_plugins(staged)
+        scounts = {
+            name: df.count()
+            for name, df in stables.items()
+            if name.startswith("network_latency")
+        }
+        srest = {n: df for n, df in stables.items() if n not in scounts}
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            scounts.update(zip(srest, pool.map(lambda df: df.count(), srest.values())))
+        t_staged_plugins = time.time() - t3
+
         return {
             "n_lines": n_lines,
             "n_events": n_events,
@@ -87,6 +114,12 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
             "total_sec": round(t_etl + t_plugins, 2),
             "result_rows": sum(counts.values()),
             "n_result_tables": len(counts),
+            "staged": {
+                "etl_write_sec": round(t_staged_etl, 2),
+                "plugins_sec": round(t_staged_plugins, 2),
+                "total_sec": round(t_staged_etl + t_staged_plugins, 2),
+                "result_rows": sum(scounts.values()),
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
