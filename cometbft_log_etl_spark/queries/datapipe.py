@@ -1712,3 +1712,81 @@ def q92_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", F.col("cls").alias("predicted")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — per-source quality drift: KL(source band mix ‖ corpus band mix)
+
+@register(
+    "q95_quality_drift",
+    tags=("datapipe", "quality", "monitoring"),
+    oracle="""
+WITH feat AS (
+  SELECT source,
+         CASE WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+              WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) < 0.35 THEN 'repetitive'
+              ELSE 'ok' END AS band
+  FROM documents
+),
+g AS (
+  SELECT band, CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM feat) AS p_g
+  FROM feat GROUP BY band
+),
+s AS (
+  SELECT source, band, count(*) AS c,
+         CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER (PARTITION BY source) AS p_s
+  FROM feat GROUP BY source, band
+)
+SELECT s.source,
+       CAST(sum(s.c) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(s.p_s * round(ln(s.p_s / g.p_g), 9), 9)
+                           AS DECIMAL(28,12))) AS DOUBLE), 9) AS kl_quality
+FROM s JOIN g USING (band)
+GROUP BY s.source
+""",
+)
+def q95_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: per-source KL divergence of the quality-band
+    mix against the corpus-wide mix — the report a curation pipeline
+    watches to catch a source going bad (a crawler suddenly emitting
+    boilerplate shows up as KL mass on the 'repetitive' band long
+    before eyeballing samples would).
+
+    Two tiny aggregations (bands × sources), a broadcast of the
+    3-row global distribution, and a per-source sum of ≤3 rounded
+    terms — nothing scales with corpus size after the first band
+    projection. Zero-count bands contribute no term (the 0·ln0 = 0
+    convention falls out of the inner join).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    feat = quality_features(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", F.col("quality_band").alias("band"))
+    total = feat.agg(F.count(F.lit(1)).alias("n_total"))
+    g = (
+        feat.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(F.broadcast(total))
+        .select("band", (F.col("nb").cast("double") / F.col("n_total")).alias("p_g"))
+    )
+    ws = W.partitionBy("source")
+    s = (
+        feat.groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("p_s", F.col("c").cast("double") / F.sum("c").over(ws))
+    )
+    term = F.round(F.col("p_s") * F.round(F.log(F.col("p_s") / F.col("p_g")), 9), 9)
+    return (
+        s.join(F.broadcast(g), "band")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.round(F.sum(term.cast("decimal(28,12)")).cast("double"), 9).alias(
+                "kl_quality"
+            ),
+        )
+    )
