@@ -659,3 +659,71 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rank") <= 20)
+
+
+# --------------------------------------------------------------------------
+# q96 — weekly retention cohorts
+
+@register(
+    "q96_retention_cohorts",
+    tags=("events", "retention", "cohort"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+cells AS (
+  SELECT strftime(CAST(f.cohort_week AS DATE), '%Y-%m-%d') AS cohort_week,
+         CAST((epoch(a.active_week) - epoch(f.cohort_week)) / 604800 AS BIGINT)
+           AS week_offset,
+         count(*) AS n_users
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / sum(CASE WHEN week_offset = 0 THEN n_users ELSE 0 END)
+                 OVER (PARTITION BY cohort_week), 9) AS retention_pct
+FROM cells
+""",
+)
+def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the events stream: users bucketed
+    by first-seen week, each later week's surviving fraction reported
+    against the cohort size — the standard growth-analytics matrix.
+
+    Scale shape: one user-keyed aggregation (first week), one
+    user-week distinct (both partial-aggregatable, user-keyed
+    shuffles), a user-keyed join, then everything else operates on the
+    cohort×offset matrix — weeks², not events. The retention window
+    partitions by cohort over those tiny aggregated rows.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                / 604800
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wc = W.partitionBy("cohort_week")
+    base = F.sum(F.when(F.col("week_offset") == 0, F.col("n_users")).otherwise(0)).over(wc)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / base, 9).alias("retention_pct"),
+    )
