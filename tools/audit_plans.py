@@ -113,6 +113,15 @@ EXPECTATIONS = {
     # NB language ID: the scan stays 3 columns; the class/prior/vocab-size
     # sides all broadcast (the only big-big join is token-keyed)
     "q92_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2},
+    # token-budget mix: rate table broadcast back over the corpus; an
+    # SMJ here means the per-source rates joined as a big side
+    "q91_token_budget_mix": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1, "no_smj": True},
+    # drift monitor: global band distribution must broadcast
+    "q95_quality_drift": {"codegen": True, "max_scan_cols": 4, "broadcasts": 1, "no_smj": True},
+    # retention cohorts: user-keyed join + window over the aggregated
+    # cohort×offset matrix — no nested-loop pairing anywhere
+    "q96_retention_cohorts": {"codegen": True, "max_scan_cols": 2,
+                              "contains_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
 }
 
 
