@@ -1763,9 +1763,19 @@ def q95_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    feat = quality_features(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).select("source", F.col("quality_band").alias("band"))
+    # Band computed inline over ONE (source, text) projection — joining
+    # quality_features back on doc_id would scan the corpus twice and
+    # turn into a corpus-sized SortMergeJoin at scale just to re-attach
+    # the source column.
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    band = (
+        F.when(n_tokens < 30, "short")
+        .when(uniq_ratio < 0.35, "repetitive")
+        .otherwise("ok")
+    )
+    feat = docs.select("source", band.alias("band"))
     total = feat.agg(F.count(F.lit(1)).alias("n_total"))
     g = (
         feat.groupBy("band")

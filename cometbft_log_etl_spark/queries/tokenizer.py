@@ -54,9 +54,13 @@ def _merge_pair_expr(col: str, left: str, right: str, merged: str) -> F.Column:
     )
 
 
-def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
+def bpe_fit_with_state(
+    docs: DataFrame, n_merges: int = _N_MERGES
+) -> tuple[list[dict], DataFrame]:
     """Fit `n_merges` BPE merges on whitespace words; returns the merge
-    table [{step, left, right, merged, pair_count}]."""
+    table [{step, left, right, merged, pair_count}] AND the final
+    (w, freq, syms) table — the fully-merged per-word symbol state, so
+    the encode half never re-derives it."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -64,7 +68,7 @@ def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     syms = words.select(
-        "freq", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
+        "w", "freq", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
     ).localCheckpoint(eager=True)
 
     merges: list[dict] = []
@@ -98,9 +102,14 @@ def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
             }
         )
         syms = syms.select(
-            "freq", _merge_pair_expr("syms", best.l, best.r, merged).alias("syms")
+            "w", "freq", _merge_pair_expr("syms", best.l, best.r, merged).alias("syms")
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, syms
+
+
+def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
+    """Merge table only (see bpe_fit_with_state)."""
+    return bpe_fit_with_state(docs, n_merges)[0]
 
 
 @register("q93_bpe_merges", tags=("datapipe", "text", "tokenizer", "iterative"))
@@ -137,14 +146,15 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
 def q94_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subtoken counts under the corpus-fitted BPE
     tokenizer (q93's merges applied): the real version of what q62
-    approximates with a fixed regex. Word→length is computed once on
-    the vocabulary and joined back onto the token stream (vocab-keyed
+    approximates with a fixed regex. Word→length comes STRAIGHT from
+    the fit's final checkpointed symbol state (no re-derive, no
+    re-merge chain) and joins back onto the token stream (vocab-keyed
     join; the corpus side only ever shuffles words). Rows-only for the
     driver; ground truth in tests/test_tokenizer.py."""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_fit(docs)
-    lengths = bpe_encode_word_lengths(docs, merges)
+    _, state = bpe_fit_with_state(docs)
+    lengths = state.select("w", F.size("syms").alias("n_subtokens"))
     occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )

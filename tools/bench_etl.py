@@ -57,25 +57,29 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
         n_events = events.count()
         t_etl = time.time() - t0
 
-        t1 = time.time()
-        tables = run_plugins(events)
-        # Two-phase materialization: the network-latency tables share
-        # persisted intermediates (matched/unmatched split), and
-        # concurrent FIRST-touch jobs would each recompute the unfilled
-        # cache (measured 2-3x slower all-parallel). So the cache-sharing
-        # family runs serially first; the remaining independent tables
-        # then count concurrently — the production fan-out shape, Spark's
-        # scheduler interleaving the jobs across executor slots.
-        from concurrent.futures import ThreadPoolExecutor
+        def count_tables(tables: dict) -> dict:
+            # Two-phase materialization: the network-latency tables share
+            # persisted intermediates (matched/unmatched split), and
+            # concurrent FIRST-touch jobs would each recompute the
+            # unfilled cache (measured 2-3x slower all-parallel). So the
+            # cache-sharing family runs serially first; the remaining
+            # independent tables then count concurrently — the production
+            # fan-out shape, Spark's scheduler interleaving the jobs
+            # across executor slots.
+            from concurrent.futures import ThreadPoolExecutor
 
-        counts = {
-            name: df.count()
-            for name, df in tables.items()
-            if name.startswith("network_latency")
-        }
-        rest = {n: df for n, df in tables.items() if n not in counts}
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            counts.update(zip(rest, pool.map(lambda df: df.count(), rest.values())))
+            counts = {
+                name: df.count()
+                for name, df in tables.items()
+                if name.startswith("network_latency")
+            }
+            rest = {n: df for n, df in tables.items() if n not in counts}
+            with ThreadPoolExecutor(max_workers=6) as pool:
+                counts.update(zip(rest, pool.map(lambda df: df.count(), rest.values())))
+            return counts
+
+        t1 = time.time()
+        counts = count_tables(run_plugins(events))
         t_plugins = time.time() - t1
 
         # The PRODUCTION path (run_pipeline with a destination): sorted
@@ -94,15 +98,7 @@ def run_etl_bench(spark, heights: int, repeat: int) -> dict:
         )
         t_staged_etl = time.time() - t2
         t3 = time.time()
-        stables = run_plugins(staged)
-        scounts = {
-            name: df.count()
-            for name, df in stables.items()
-            if name.startswith("network_latency")
-        }
-        srest = {n: df for n, df in stables.items() if n not in scounts}
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            scounts.update(zip(srest, pool.map(lambda df: df.count(), srest.values())))
+        scounts = count_tables(run_plugins(staged))
         t_staged_plugins = time.time() - t3
 
         return {
