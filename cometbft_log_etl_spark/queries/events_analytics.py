@@ -727,3 +727,86 @@ def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / base, 9).alias("retention_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — ordered funnel conversion: view → click → purchase
+
+@register(
+    "q97_funnel_conversion",
+    tags=("events", "funnel"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 9) AS view_to_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 9) AS click_to_purchase
+""",
+)
+def q97_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first ordered
+    click — step conversion rates, the product-analytics staple whose
+    ORDERING constraint a naive per-step distinct-count gets wrong.
+
+    Scale shape: one user-keyed aggregation per step, each stage
+    joining the previous stage's (user, first_ts) table on user_id —
+    all shuffles share the user_id key, so a co-partitioned cluster
+    layout (or AQE) reuses the exchange across stages; the funnel
+    output is a single row.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click").cast("double") / F.col("n_view"), 9).alias(
+                "view_to_click"
+            ),
+            F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 9).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
