@@ -1800,3 +1800,77 @@ def q95_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — KMV distinct sketch: mergeable cardinality estimation, exactly
+# reproducible cross-engine (md5-derived hashes, no HLL tolerance band)
+
+_KMV_K = 32
+_KMV_SPACE = float(2**32)
+
+@register(
+    "q98_kmv_distinct",
+    tags=("datapipe", "sketch", "cardinality"),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT source,
+         {_SQL_H32.format(expr="md5(text)")} AS hv
+  FROM documents
+),
+exact AS (
+  SELECT source, count(*) AS n_exact FROM h GROUP BY source
+),
+ranked AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+),
+kmins AS (
+  SELECT source, max(hv) AS kth FROM ranked WHERE rn <= {_KMV_K} GROUP BY source
+)
+SELECT e.source,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN e.n_exact <= {_KMV_K} THEN e.n_exact
+                 ELSE CAST(round(({_KMV_K} - 1) * {_KMV_SPACE} / k.kth) AS BIGINT)
+            END AS BIGINT) AS kmv_estimate
+FROM exact e JOIN kmins k USING (source)
+""",
+)
+def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source, next to the
+    exact count it estimates. The deterministic counterpart of q75's
+    HLL (which needs a cross-engine tolerance band): KMV over
+    md5-derived hashes produces bit-identical estimates in both
+    engines, and the k-smallest-hash state is tiny, mergeable, and
+    partial-aggregatable — the sketch you ship to a coordinator when
+    exact distinct over 100 TB is too expensive. Sources with ≤k
+    distinct values report exactly.
+
+    Plan shape: one distinct on (source, hash) — the only
+    corpus-sized shuffle, on a short key — then a per-source rank that
+    Spark executes as a map-side WindowGroupLimit (only k rows per
+    source survive to the final agg).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", _h32(F.md5(F.col("text").cast("binary"))).alias("hv")
+    ).distinct()
+    exact = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    # pure rank window → Spark rewrites the rn<=k filter to a map-side
+    # WindowGroupLimit (a co-resident count() window would disable it)
+    ranked = h.select(
+        "source", "hv", F.row_number().over(W.partitionBy("source").orderBy("hv")).alias("rn")
+    )
+    kmins = (
+        ranked.filter(F.col("rn") <= _KMV_K).groupBy("source").agg(F.max("hv").alias("kth"))
+    )
+    est = (
+        F.when(F.col("n_exact") <= _KMV_K, F.col("n_exact"))
+        .otherwise(F.round((_KMV_K - 1) * F.lit(_KMV_SPACE) / F.col("kth")).cast("bigint"))
+        .cast("bigint")
+    )
+    return exact.join(kmins, "source").select(
+        "source", F.col("n_exact").cast("bigint").alias("n_exact"), est.alias("kmv_estimate")
+    )

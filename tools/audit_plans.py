@@ -122,6 +122,9 @@ EXPECTATIONS = {
     # cohort×offset matrix — no nested-loop pairing anywhere
     "q96_retention_cohorts": {"codegen": True, "max_scan_cols": 2,
                               "contains_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    # KMV sketch: the per-source k-smallest rank must stay a map-side
+    # group limit — only k rows per source may survive to the agg
+    "q98_kmv_distinct": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
 }
 
 
