@@ -463,3 +463,97 @@ def sample_frames(features: DataFrame, stride: int = 24) -> DataFrame:
         features.filter(F.col("media_type") == "video")
         .select("doc_id", "n_frames", F.explode(idx).alias("frame_index"))
     )
+
+
+def encode_wav_pcm(samples, sample_rate: int) -> bytes:
+    """PCM16 mono WAV carrying real samples (iterable of int16)."""
+    import struct as _s
+
+    data = b"".join(_s.pack("<h", int(s)) for s in samples)
+    fmt = _s.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(b: bytes):
+    """(sample_rate, int16 sample list) for PCM16 mono WAV, else None."""
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        i = 12
+        rate, bits, channels, data = None, None, None, None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            (length,) = struct.unpack("<I", b[i + 4 : i + 8])
+            payload = b[i + 8 : i + 8 + length]
+            if tag == b"fmt " and length >= 16:
+                fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+                if fmt_tag != 1:
+                    return None
+            elif tag == b"data":
+                data = payload
+            i += 8 + length + (length & 1)
+        if rate is None or data is None or bits != 16 or channels != 1:
+            return None
+        n = len(data) // 2
+        return rate, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    except Exception:  # noqa: BLE001 — corrupt blob ⇒ undecodable, not a task death
+        return None
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_rate", T.LongType()),
+        T.StructField("out_rate", T.LongType()),
+        T.StructField("src_samples", T.LongType()),
+        T.StructField("out_samples", T.LongType()),
+        T.StructField("resampled", T.BooleanType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Audio downsample tier, symmetric with resize_images: Arrow-batched
+    mapInPandas over (doc_id, content), pure-Python PCM16-mono codec,
+    integer-stride decimation (rate must divide evenly — the
+    deterministic stand-in for a polyphase resampler), pass-through
+    with resampled=False for higher-rate-incompatible or non-PCM
+    blobs. Swapping the two codec functions for soundfile/scipy is the
+    only change a full-codec deployment needs."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                decoded = decode_wav_pcm(bytes(content))
+                if decoded is None:
+                    rows.append((doc_id, None, None, None, None, False, content))
+                    continue
+                rate, samples = decoded
+                if rate <= target_rate or rate % target_rate != 0:
+                    rows.append((doc_id, rate, rate, len(samples), len(samples), False, content))
+                    continue
+                stride = rate // target_rate
+                out = np.asarray(samples, dtype=np.int16)[::stride]
+                rows.append(
+                    (
+                        doc_id, rate, target_rate, len(samples), len(out), True,
+                        encode_wav_pcm(out.tolist(), target_rate),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_rate", "out_rate",
+                    "src_samples", "out_samples", "resampled", "content",
+                ],
+            )
+
+    return media.select("doc_id", "content").mapInPandas(kernel, schema=RESAMPLE_SCHEMA)

@@ -305,3 +305,48 @@ def test_png_gray_codec_property():
         assert decode_png_gray(encode_png_gray(px, w, h)) == (w, h, px)
 
     check()
+
+
+def test_wav_pcm_codec_round_trip():
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    samples = [((i * 37) % 4096) - 2048 for i in range(480)]
+    rate, out = decode_wav_pcm(encode_wav_pcm(samples, 48000))
+    assert rate == 48000 and out == samples
+
+
+def test_resample_audio_spark(spark):
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_gif,
+        encode_wav_pcm,
+        resample_audio,
+    )
+
+    hi = [((i * 13) % 1000) - 500 for i in range(480)]  # 480 samples @48k
+    lo = [1, 2, 3, 4]  # already at 8k < 16k target
+    df = spark.createDataFrame(
+        [
+            (1, encode_wav_pcm(hi, 48000)),
+            (2, encode_wav_pcm(lo, 8000)),
+            (3, encode_gif(4, 4)),
+        ],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in resample_audio(df, target_rate=16000).collect()}
+
+    r1 = out[1]
+    assert r1.resampled and (r1.src_rate, r1.out_rate) == (48000, 16000)
+    assert r1.out_samples == 160  # stride 3 over 480
+    rate, back = decode_wav_pcm(bytes(r1.content))
+    assert rate == 16000 and back == hi[::3]
+
+    r2 = out[2]  # lower than target: untouched
+    assert not r2.resampled and r2.src_rate == 8000
+    assert bytes(r2.content) == encode_wav_pcm(lo, 8000)
+
+    r3 = out[3]  # not audio: pass through
+    assert not r3.resampled and r3.src_rate is None
