@@ -88,3 +88,15 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
     r_mp = len(exact_pairs & mp) / len(exact_pairs)
     assert r_mp > r_lsh, f"multi-probe recall {r_mp:.2f} <= single-probe {r_lsh:.2f}"
     assert r_mp >= 0.3, f"q86_ann_multiprobe recall@5 = {r_mp:.2f} — probe set broken?"
+
+
+def test_catalog_report_is_fresh():
+    """CATALOG.md must match the registries — regenerating must be a
+    no-op, so the doc can never drift from the code."""
+    import os
+
+    from tools.catalog_report import REPO, build_report
+
+    path = os.path.join(REPO, "CATALOG.md")
+    assert os.path.exists(path), "run: python tools/catalog_report.py --write"
+    assert open(path).read() == build_report()
