@@ -112,6 +112,7 @@ REAL_FEATURE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.LongType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("orientation", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
     ]
 )
 
@@ -136,12 +137,13 @@ def parse_media_header(b: bytes) -> dict:
     model for a metadata pass over a 100 TB lake.
     """
     out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
-           "n_samples": None, "orientation": None}
+           "n_samples": None, "orientation": None, "n_frames": None}
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
             out["format"] = "png"
             out["width"] = int.from_bytes(b[16:20], "big")
             out["height"] = int.from_bytes(b[20:24], "big")
+            out["n_frames"] = 1
         elif b[:2] == b"\xff\xd8":
             i = 2
             while i + 4 <= len(b):
@@ -153,6 +155,7 @@ def parse_media_header(b: bytes) -> dict:
                         out["format"] = "jpeg"
                         out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
                         out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                        out["n_frames"] = 1
                     break
                 if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
                     break
@@ -167,10 +170,12 @@ def parse_media_header(b: bytes) -> dict:
             out["format"] = "gif"
             out["width"] = int.from_bytes(b[6:8], "little")
             out["height"] = int.from_bytes(b[8:10], "little")
+            out["n_frames"] = _gif_frame_count(b)
         elif b[:2] == b"BM" and len(b) >= 26:
             out["format"] = "bmp"
             out["width"] = int.from_bytes(b[18:22], "little", signed=True)
             out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+            out["n_frames"] = 1
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i, channels, bits, data_size = 12, None, None, None
             while i + 8 <= len(b):
@@ -191,8 +196,41 @@ def parse_media_header(b: bytes) -> dict:
                     out["n_samples"] = data_size // (channels * (bits // 8))
     except (IndexError, ValueError, ZeroDivisionError):
         out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
-               "n_samples": None, "orientation": None}
+               "n_samples": None, "orientation": None, "n_frames": None}
     return out
+
+
+def _gif_frame_count(b: bytes):
+    """Number of image descriptors in a GIF (animation frame count) by
+    walking the block structure — image blocks (0x2C, skipping local
+    color table + LZW sub-blocks), extensions (0x21 + sub-blocks),
+    trailer (0x3B). O(blob), not O(header) — frame counting inherently
+    walks the file; returns the frames seen so far on truncation."""
+    packed = b[10]
+    i = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    frames = 0
+
+    def skip_subblocks(j: int) -> int:
+        while j < len(b) and b[j] != 0:
+            j += 1 + b[j]
+        return j + 1
+
+    while i < len(b):
+        tag = b[i]
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label byte + sub-blocks
+            i = skip_subblocks(i + 2)
+        elif tag == 0x2C:  # image descriptor
+            frames += 1
+            if i + 10 > len(b):
+                break
+            lpacked = b[i + 9]
+            i += 10 + (3 * (2 << (lpacked & 0x07)) if lpacked & 0x80 else 0)
+            i = skip_subblocks(i + 1)  # LZW min-code byte + data sub-blocks
+        else:
+            break
+    return frames if frames else None
 
 
 def _exif_orientation(tiff: bytes):
@@ -227,8 +265,13 @@ def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
+                # animated GIFs (real frame count > 1) are the corpus's
+                # video stand-in: they route to the frame-sample tier
                 "media_type": [
-                    _FORMAT_MEDIA_TYPE.get(p["format"], "unknown") for p in parsed
+                    "video"
+                    if p["format"] == "gif" and (p["n_frames"] or 0) > 1
+                    else _FORMAT_MEDIA_TYPE.get(p["format"], "unknown")
+                    for p in parsed
                 ],
                 "format": [p["format"] for p in parsed],
                 "n_bytes": pdf["content"].map(len),
@@ -237,6 +280,7 @@ def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "sample_rate": [p["sample_rate"] for p in parsed],
                 "n_samples": [p["n_samples"] for p in parsed],
                 "orientation": [p["orientation"] for p in parsed],
+                "n_frames": [p["n_frames"] for p in parsed],
             }
         )
 
@@ -435,6 +479,23 @@ def encode_jpeg(width: int, height: int, orientation: int | None = None) -> byte
 def encode_gif(width: int, height: int) -> bytes:
     """GIF89a header + logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+
+
+def encode_gif_frames(width: int, height: int, n_frames: int) -> bytes:
+    """Animated GIF skeleton: header + n image blocks (descriptor +
+    minimal LZW data sub-block structure) + trailer — structurally
+    valid block layout for frame-count parsing."""
+    frame = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x02"            # LZW minimum code size
+        + b"\x01\x00"        # one 1-byte data sub-block
+        + b"\x00"            # sub-block terminator
+    )
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+        + frame * n_frames
+        + b"\x3b"
+    )
 
 
 def encode_bmp(width: int, height: int) -> bytes:

@@ -147,7 +147,7 @@ def test_parse_media_header_never_raises():
     )
     def run(prefix, body):
         out = parse_media_header(prefix + body)
-        assert set(out) == {"format", "width", "height", "sample_rate", "n_samples", "orientation"}
+        assert set(out) == {"format", "width", "height", "sample_rate", "n_samples", "orientation", "n_frames"}
         assert isinstance(out["format"], str)
 
     run()
@@ -350,3 +350,31 @@ def test_resample_audio_spark(spark):
 
     r3 = out[3]  # not audio: pass through
     assert not r3.resampled and r3.src_rate is None
+
+
+def test_gif_frame_count_and_video_routing(spark):
+    """Animated GIF: real frame count parsed from block structure, routed
+    as 'video' to the frame-sample tier; single-frame GIF stays image."""
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_media_real,
+        encode_gif,
+        encode_gif_frames,
+        parse_media_header,
+        sample_frames,
+    )
+
+    anim = encode_gif_frames(8, 6, 50)
+    assert parse_media_header(anim)["n_frames"] == 50
+    assert parse_media_header(encode_gif_frames(8, 6, 1))["n_frames"] == 1
+    assert parse_media_header(encode_gif(8, 6))["n_frames"] is None
+
+    df = spark.createDataFrame(
+        [(1, anim), (2, encode_gif_frames(4, 4, 1))], "doc_id long, content binary"
+    )
+    feats = decode_media_real(df)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].media_type == "video" and rows[1].n_frames == 50
+    assert rows[2].media_type == "image" and rows[2].n_frames == 1
+
+    sampled = sample_frames(feats, stride=24).collect()
+    assert sorted(r.frame_index for r in sampled) == [0, 24, 48]
