@@ -1874,3 +1874,91 @@ def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kmins, "source").select(
         "source", F.col("n_exact").cast("bigint").alias("n_exact"), est.alias("kmv_estimate")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — cross-modal curation screen: text quality × embedding health
+
+@register(
+    "q99_crossmodal_screen",
+    tags=("datapipe", "quality", "multimodal", "join"),
+    oracle=f"""
+WITH elems AS ({{sql_explode}}),
+norms AS (
+  SELECT vec_id,
+         round(sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)), 9) AS nrm
+  FROM elems GROUP BY vec_id
+),
+band AS (
+  SELECT nrm,
+         CAST(sum(CAST(nrm AS DECIMAL(28,12))) OVER () AS DOUBLE)
+           / count(*) OVER () AS mean_nrm
+  FROM norms
+),
+bounds AS (
+  SELECT any_value(mean_nrm) * 0.5 AS lo, any_value(mean_nrm) * 1.5 AS hi FROM band
+),
+feat AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) >= 30
+         AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.35 AS text_ok
+  FROM documents
+)
+SELECT f.lang,
+       count(*) AS n_docs,
+       count_if(f.text_ok)::BIGINT AS n_text_ok,
+       count_if(n.nrm >= b.lo AND n.nrm <= b.hi)::BIGINT AS n_embed_ok,
+       count_if(f.text_ok AND n.nrm >= b.lo AND n.nrm <= b.hi)::BIGINT AS n_kept
+FROM feat f
+JOIN norms n ON n.vec_id = f.doc_id
+CROSS JOIN bounds b
+GROUP BY f.lang
+""".format(sql_explode=_SQL_EXPLODE.format(id_alias="vec_id", where="")),
+)
+def q99_crossmodal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation: a document survives only if BOTH its text
+    passes the quality gate AND its paired embedding's L2 norm sits in
+    a healthy band (within 0.5×–1.5× of the corpus mean norm — the
+    cheap screen that catches truncated/degenerate vectors). The first
+    two-table curation operator: documents and embeddings join on
+    their shared id.
+
+    Scale shape: norms fold out of the exploded embeddings (one
+    vec-keyed aggregation, the q49 pattern), the 2-value bounds row
+    broadcasts, and the doc⋈embedding join is id-keyed — at lake scale
+    both sides are bucketed on the same id, so the join is
+    co-partitioned. Norms are rounded before the mean's decimal sum
+    (the post-sqrt determinism contract).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    elems = _exploded_embeddings(spark, sf_dir, "vec_id")
+    norms = elems.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")), 9
+        ).alias("nrm")
+    )
+    bounds = norms.agg(
+        (F.sum(F.col("nrm").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)))
+        .alias("mean_nrm")
+    ).select(
+        (F.col("mean_nrm") * 0.5).alias("lo"), (F.col("mean_nrm") * 1.5).alias("hi")
+    )
+    toks = F.split("text", " ")
+    text_ok = (F.size(toks) >= 30) & (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.35
+    )
+    feat = docs.select("doc_id", "lang", text_ok.alias("text_ok"))
+    emb_ok = (F.col("nrm") >= F.col("lo")) & (F.col("nrm") <= F.col("hi"))
+    return (
+        feat.join(norms, feat["doc_id"] == norms["vec_id"])
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if("text_ok").alias("n_text_ok"),
+            F.count_if(emb_ok).alias("n_embed_ok"),
+            F.count_if(F.col("text_ok") & emb_ok).alias("n_kept"),
+        )
+    )
