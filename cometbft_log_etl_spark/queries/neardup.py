@@ -1360,3 +1360,71 @@ def q88_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_dropped"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — contrastive pair mining: overlap positives + LSH hard negatives
+
+@register(
+    "q100_contrastive_pairs",
+    tags=("datapipe", "contrastive", "pairs", "mining"),
+    oracle=f"""
+WITH {_Q55_CTES},
+pos AS (
+  SELECT greatest(len(string_split(text, ' ')) // 48
+                  + CASE WHEN len(string_split(text, ' ')) % 48 > 0 THEN 1 ELSE 0 END
+                  - 1, 0) AS n
+  FROM documents
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(generate_series(1, {_MINHASH_K}),
+                              i -> sig_a[i] = sig_b[i])) AS DOUBLE) / {_MINHASH_K}
+           AS est_j
+  FROM pairs
+)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM pos) AS n_positive_pairs,
+       (SELECT count(*) FROM scored WHERE est_j < {_CLUSTER_JACCARD})
+         AS n_hard_negative_pairs,
+       (SELECT count(*) FROM scored WHERE est_j >= {_CLUSTER_JACCARD})
+         AS n_excluded_neardups
+""",
+)
+def q100_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining over the corpus:
+
+    - POSITIVES: adjacent overlapping context-window chunks of the same
+      document (the q14 chunker's 64/48 geometry — each consecutive
+      chunk pair shares a 16-token overlap), counted per doc as
+      chunks−1. Pure arithmetic on token counts, map-only.
+    - HARD NEGATIVES: document pairs that collide in an LSH band (so
+      they look alike at the signature level) but are NOT near-dups
+      (estimated Jaccard below the dedup threshold) — the
+      similar-yet-different pairs contrastive learning actually needs,
+      mined from the same capped-bucket candidate machinery as q55; the
+      near-dup collisions are excluded (and counted) because training
+      on a duplicate as a negative poisons the objective.
+
+    Scale shape: positives never shuffle; negatives inherit q55's
+    bucket caps, so no key can go quadratic.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_chunks = (n_tok / 48).cast("bigint") + F.when(n_tok % 48 > 0, 1).otherwise(0)
+    pos = docs.select(F.greatest(n_chunks - 1, F.lit(0)).alias("n")).agg(
+        F.sum("n").cast("bigint").alias("n_positive_pairs")
+    )
+    pairs = lsh_band_pairs(_minhash_sigs(docs))
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    scored = pairs.select((agree.cast("double") / _MINHASH_K).alias("est_j"))
+    neg = scored.agg(
+        F.count_if(F.col("est_j") < _CLUSTER_JACCARD).alias("n_hard_negative_pairs"),
+        F.count_if(F.col("est_j") >= _CLUSTER_JACCARD).alias("n_excluded_neardups"),
+    )
+    return pos.crossJoin(F.broadcast(neg))
