@@ -378,3 +378,25 @@ def test_gif_frame_count_and_video_routing(spark):
 
     sampled = sample_frames(feats, stride=24).collect()
     assert sorted(r.frame_index for r in sampled) == [0, 24, 48]
+
+
+def test_wav_pcm_codec_property():
+    """Property: arbitrary int16 sample streams round-trip the WAV codec."""
+    from hypothesis import given, settings, strategies as st
+
+    from cometbft_log_etl_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_pcm,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+        ),
+    )
+    def check(rate, samples):
+        assert decode_wav_pcm(encode_wav_pcm(samples, rate)) == (rate, samples)
+
+    check()
