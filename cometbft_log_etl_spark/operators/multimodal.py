@@ -206,6 +206,8 @@ def _gif_frame_count(b: bytes):
     color table + LZW sub-blocks), extensions (0x21 + sub-blocks),
     trailer (0x3B). O(blob), not O(header) — frame counting inherently
     walks the file; returns the frames seen so far on truncation."""
+    if len(b) < 11:
+        return None  # header-only/truncated GIF: dims parsed, frames unknown
     packed = b[10]
     i = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
     frames = 0
@@ -528,16 +530,15 @@ def sample_frames(features: DataFrame, stride: int = 24) -> DataFrame:
 
 def encode_wav_pcm(samples, sample_rate: int) -> bytes:
     """PCM16 mono WAV carrying real samples (iterable of int16)."""
-    import struct as _s
-
-    data = b"".join(_s.pack("<h", int(s)) for s in samples)
-    fmt = _s.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    vals = [int(s) for s in samples]
+    data = struct.pack(f"<{len(vals)}h", *vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
         b"WAVE"
-        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
-        + b"data" + _s.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
     )
-    return b"RIFF" + _s.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav_pcm(b: bytes):

@@ -1815,7 +1815,7 @@ _KMV_SPACE = float(2**32)
     oracle=f"""
 WITH h AS (
   SELECT DISTINCT source,
-         {_SQL_H32.format(expr="md5(text)")} AS hv
+         {_SQL_H32.format(expr="text")} AS hv
   FROM documents
 ),
 exact AS (
@@ -1854,9 +1854,7 @@ def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    h = docs.select(
-        "source", _h32(F.md5(F.col("text").cast("binary"))).alias("hv")
-    ).distinct()
+    h = docs.select("source", _h32(F.col("text")).alias("hv")).distinct()
     exact = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
     # pure rank window → Spark rewrites the rn<=k filter to a map-side
     # WindowGroupLimit (a co-resident count() window would disable it)

@@ -99,4 +99,5 @@ def test_catalog_report_is_fresh():
 
     path = os.path.join(REPO, "CATALOG.md")
     assert os.path.exists(path), "run: python tools/catalog_report.py --write"
-    assert open(path).read() == build_report()
+    with open(path, encoding="utf-8") as f:
+        assert f.read() == build_report()
