@@ -192,3 +192,53 @@ def test_stream_dedup_lines(spark, tmp_path_factory):
         .dropDuplicates(["value"])
     )
     assert _counts(out) == _counts(batch_ded)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint must be exactly-once: files
+    processed before the stop are not re-emitted after restart, late
+    files are picked up, and the final sink equals the batch pipeline
+    over the full directory — the recovery contract a production
+    ingest job depends on."""
+    import os
+    import shutil
+
+    from cometbft_log_etl_spark.pipeline import etl_events
+    from cometbft_log_etl_spark.streaming.ingest import stream_normalized
+    from tests.fixtures import build_scenario, write_logs
+
+    src = str(tmp_path / "all")
+    write_logs(build_scenario(heights=5), src)
+    files = sorted(os.listdir(src))
+    assert len(files) >= 2
+
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    for fn in files[:-1]:
+        shutil.copy(os.path.join(src, fn), os.path.join(live, fn))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            stream_normalized(spark, live)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # first run: all but the last file
+    shutil.copy(os.path.join(src, files[-1]), os.path.join(live, files[-1]))
+    run_once()  # restart from checkpoint: only the new file processes
+
+    got = spark.read.parquet(sink).drop("file_path")
+    want = etl_events(spark, live, strict=False).drop(
+        "file_path", "node_id", "validator_address"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
