@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from ..schemas.raws import TAG_KINDS, UNION_SCHEMA
 
+# Plain and gzip-rotated node logs (Hadoop {a,b} glob alternation).
+LOG_GLOB = "{root}/{{*.log,*.log.gz}}"
+
 
 def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     """S1/S2: every line of every *.log / *.log.gz file under `path`,
@@ -33,23 +36,11 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     identically, and per-file identity capture keys on the lineage path
     either way.
     """
-    root = path.rstrip("/")
-    patterns = [f"{root}/*.log", f"{root}/*.log.gz"]
-    # A glob with zero matches fails the whole read, so probe each
-    # pattern via Hadoop's globStatus (works on any FS scheme, unlike
-    # Python's glob) and read only the populated ones. A directory with
-    # no matches at all still fails loudly, like the reference's
-    # empty-directory error.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _matches(pattern: str) -> bool:
-        p = jvm.org.apache.hadoop.fs.Path(pattern)
-        st = p.getFileSystem(hconf).globStatus(p)
-        return st is not None and len(st) > 0
-
-    live = [p for p in patterns if _matches(p)] or patterns[:1]
-    return spark.read.text(live).select(
+    # One Hadoop brace-alternation glob covers both layouts (and, unlike
+    # a list of separate globs, tolerates either alternative matching
+    # nothing as long as the other does); an entirely empty directory
+    # still fails loudly, like the reference's empty-directory error.
+    return spark.read.text(LOG_GLOB.format(root=path.rstrip("/"))).select(
         F.col("value"), F.input_file_name().alias("file_path")
     )
 

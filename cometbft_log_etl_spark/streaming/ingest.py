@@ -30,10 +30,12 @@ def stream_log_lines(
     micro-batch (files are taken oldest-modification-first) — production
     backpressure control, and what lets tests drive multi-batch
     watermark/timeout behavior deterministically from a static dir."""
+    from ..sources.logs import LOG_GLOB
+
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.text(f"{path.rstrip('/')}/*.log").select(
+    return reader.text(LOG_GLOB.format(root=path.rstrip("/"))).select(
         F.col("value"), F.input_file_name().alias("file_path")
     )
 
