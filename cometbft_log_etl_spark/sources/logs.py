@@ -72,3 +72,37 @@ def parse_raw(lines: DataFrame) -> DataFrame:
 
 def read_raw_events(spark: SparkSession, path: str) -> DataFrame:
     return parse_raw(read_log_lines(spark, path))
+
+
+def parse_rejects(lines: DataFrame) -> DataFrame:
+    """Observability twin of parse_raw: per-file counts of DROPPED lines
+    by drop rule — (file_path, reason, n).
+
+    The reference logs each skipped line as it goes
+    (dispatcher.go:74-93); at lake scale per-line logs are useless, so
+    the same information becomes an aggregate the ingest job can emit
+    next to its output and alert on (a node suddenly producing unknown
+    tags or malformed JSON shows up as a counter, not a grep). Reasons
+    mirror parse_raw's filters exactly:
+
+    - ``no_tag``: unparseable JSON or missing ``_msg``
+    - ``invalid_args``: the "with invalid args" transition spam
+    - ``unknown_tag``: tag not in the 23-family dispatch map
+
+    One projection + one (file, reason) aggregation; accepted lines
+    never enter the plan's grouped side.
+    """
+    tagged = lines.select(
+        "file_path", F.lower(F.from_json("value", UNION_SCHEMA)["_msg"]).alias("tag")
+    )
+    reason = (
+        F.when(F.col("tag").isNull(), "no_tag")
+        .when(F.col("tag").contains("with invalid args"), "invalid_args")
+        .when(_kind_map_expr().getItem(F.col("tag")).isNull(), "unknown_tag")
+    )
+    return (
+        tagged.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .groupBy("file_path", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -211,3 +211,41 @@ def test_gzip_logs_parse_identically(spark, tmp_path):
     gz = etl_events(spark, gz_dir).drop("file_path")
     assert plain.count() == gz.count() > 0
     assert plain.exceptAll(gz).count() == 0 and gz.exceptAll(plain).count() == 0
+
+
+def test_parse_rejects_accounts_for_every_dropped_line(spark, tmp_path):
+    """parse_raw accepted + parse_rejects dropped == total lines, and
+    each injected bad line lands under its exact reason."""
+    import json
+    import os
+
+    from cometbft_log_etl_spark.sources.logs import (
+        parse_raw,
+        parse_rejects,
+        read_log_lines,
+    )
+    from tests.fixtures import build_scenario, write_logs
+
+    d = str(tmp_path / "logs")
+    write_logs(build_scenario(heights=3), d)
+    fn = sorted(os.listdir(d))[0]
+    with open(os.path.join(d, fn), "a") as f:
+        f.write("this is not json\n")
+        f.write(json.dumps({"level": "info"}) + "\n")  # no _msg
+        f.write(json.dumps({"_msg": "Timed out with invalid args"}) + "\n")
+        f.write(json.dumps({"_msg": "SomeUnknownEvent"}) + "\n")
+
+    lines = read_log_lines(spark, d)
+    accepted = parse_raw(lines).count()
+    rejects = parse_rejects(lines)
+    by_reason = {(r.reason): r.n for r in rejects.groupBy("reason").agg(
+        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("n").alias("n")
+    ).collect()}
+    assert by_reason["no_tag"] >= 2  # non-json + missing _msg
+    # fixtures already carry negative lines of these classes; the
+    # injected ones must add to the counts
+    assert by_reason["invalid_args"] >= 1
+    assert by_reason["unknown_tag"] >= 1
+    # exact accounting: every input line is either accepted or counted
+    # under exactly one reject reason
+    assert accepted + sum(by_reason.values()) == lines.count()
