@@ -129,6 +129,7 @@ def run_pipeline(
     plugins: list[str] | None = None,
     strict: bool = True,
     sim_id: str | None = None,
+    with_rejects: bool = False,
 ) -> dict[str, DataFrame]:
     """Full fan-out: normalized events + every enabled plugin's result
     tables (O5/O6 — the single shared scan becomes `events.cache()`).
@@ -166,6 +167,12 @@ def run_pipeline(
     else:
         events = etl_events(spark, log_dir, strict=strict, materialize=True)
     results: dict[str, DataFrame] = {"events": events}
+    if with_rejects:
+        # per-file drop-reason counters (sources.logs.parse_rejects) —
+        # the ingest job's data-quality table, one extra pruned pass
+        from .sources.logs import parse_rejects, read_log_lines
+
+        results["parse_rejects"] = parse_rejects(read_log_lines(spark, log_dir))
     results.update(run_plugins(events, enabled=plugins))
     if root is not None:
         for name, df in results.items():

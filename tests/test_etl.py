@@ -249,3 +249,16 @@ def test_parse_rejects_accounts_for_every_dropped_line(spark, tmp_path):
     # exact accounting: every input line is either accepted or counted
     # under exactly one reject reason
     assert accepted + sum(by_reason.values()) == lines.count()
+
+
+def test_pipeline_with_rejects_table(spark, log_dir, tmp_path):
+    from cometbft_log_etl_spark.pipeline import run_pipeline
+
+    d, _ = log_dir
+    res = run_pipeline(
+        spark, d, out_dir=str(tmp_path), sim_id="rj",
+        plugins=["vote-latency"], with_rejects=True,
+    )
+    assert "parse_rejects" in res
+    on_disk = spark.read.parquet(str(tmp_path / "rj" / "parse_rejects"))
+    assert set(on_disk.columns) == {"file_path", "reason", "n"}
