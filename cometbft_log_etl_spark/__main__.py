@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
     ap.add_argument("--config", default=None, help="YAML config path with the reference's plugins block (ignored when --plugins is given)")
     ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
+    ap.add_argument("--with-rejects", action="store_true", help="also emit the per-file parse-drop counters table")
     ap.add_argument("--partition-by-date", action="store_true", help="hive-partition events on event_date")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     args = ap.parse_args(argv)
@@ -78,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
         events = etl_events(spark, args.dir, strict=not args.no_strict, materialize=True)
     n_events = events.count()
     results = run_plugins(events, enabled=enabled)
+    if args.with_rejects:
+        from .sources.logs import parse_rejects, read_log_lines
+
+        results["parse_rejects"] = parse_rejects(read_log_lines(spark, args.dir))
     if args.out:
         for name, df in results.items():
             df.write.mode("overwrite").parquet(f"{out_root}/{name}")
