@@ -125,6 +125,18 @@ EXPECTATIONS = {
     # KMV sketch: the per-source k-smallest rank must stay a map-side
     # group limit — only k rows per source may survive to the agg
     "q98_kmv_distinct": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    # dimension enrichment must stay all-broadcast (4 dims) — any SMJ
+    # means a dim table crossed the broadcast threshold unnoticed
+    "q02_broadcast_enrich": {"codegen": True, "max_scan_cols": 3, "broadcasts": 4, "no_smj": True},
+    # as-of attach: the last-writer pick is a rank window the optimizer
+    # keeps as a map-side group limit; never a nested-loop time join
+    "q35_asof_enrich": {"codegen": True, "max_scan_cols": 5, "contains": ["WindowGroupLimit"],
+                        "contains_not": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
+    # hypertable rollup: ALL resolutions from one scan + bounded
+    # exchanges — a per-resolution union would multiply the scans
+    "q48_time_bucket_rollup": {"codegen": True, "max_scan_cols": 3},
+    # token stats: explode + partial agg off a pruned 3-col scan
+    "q52_token_stats": {"codegen": True, "max_scan_cols": 3},
 }
 
 
