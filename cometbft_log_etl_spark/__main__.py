@@ -80,9 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     n_events = events.count()
     results = run_plugins(events, enabled=enabled)
     if args.with_rejects:
-        from .sources.logs import parse_rejects, read_log_lines
+        from .sources.logs import read_parse_rejects
 
-        results["parse_rejects"] = parse_rejects(read_log_lines(spark, args.dir))
+        results["parse_rejects"] = read_parse_rejects(spark, args.dir)
     if args.out:
         for name, df in results.items():
             df.write.mode("overwrite").parquet(f"{out_root}/{name}")

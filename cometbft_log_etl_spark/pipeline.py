@@ -168,11 +168,11 @@ def run_pipeline(
         events = etl_events(spark, log_dir, strict=strict, materialize=True)
     results: dict[str, DataFrame] = {"events": events}
     if with_rejects:
-        # per-file drop-reason counters (sources.logs.parse_rejects) —
-        # the ingest job's data-quality table, one extra pruned pass
-        from .sources.logs import parse_rejects, read_log_lines
+        # per-file drop-reason counters — the ingest job's data-quality
+        # table, one extra pruned pass
+        from .sources.logs import read_parse_rejects
 
-        results["parse_rejects"] = parse_rejects(read_log_lines(spark, log_dir))
+        results["parse_rejects"] = read_parse_rejects(spark, log_dir)
     results.update(run_plugins(events, enabled=plugins))
     if root is not None:
         for name, df in results.items():

@@ -35,18 +35,66 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     capability superset, not a semantic change: identical lines parse
     identically, and per-file identity capture keys on the lineage path
     either way.
+
+    Guard: a stem present in BOTH forms (x.log AND x.log.gz — a
+    compress-without-delete race or `gzip -k`) would silently
+    double-ingest every line; that layout fails loudly instead.
     """
+    root = path.rstrip("/")
+    _reject_compressed_twins(spark, root)
     # One Hadoop brace-alternation glob covers both layouts (and, unlike
     # a list of separate globs, tolerates either alternative matching
     # nothing as long as the other does); an entirely empty directory
     # still fails loudly, like the reference's empty-directory error.
-    return spark.read.text(LOG_GLOB.format(root=path.rstrip("/"))).select(
+    return spark.read.text(LOG_GLOB.format(root=root)).select(
         F.col("value"), F.input_file_name().alias("file_path")
     )
 
 
+def _reject_compressed_twins(spark: SparkSession, root: str) -> None:
+    """Fail if any stem matches both *.log and *.log.gz (double-ingest
+    hazard). One globStatus metadata call; works on any FS scheme."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(f"{root}/*.log.gz")
+    st = hp.getFileSystem(spark._jsc.hadoopConfiguration()).globStatus(hp)
+    if not st:
+        return
+    gz_stems = {f.getPath().getName()[: -len(".gz")] for f in st}
+    pp = jvm.org.apache.hadoop.fs.Path(f"{root}/*.log")
+    pst = pp.getFileSystem(spark._jsc.hadoopConfiguration()).globStatus(pp)
+    plain = {f.getPath().getName() for f in (pst or [])}
+    twins = sorted(gz_stems & plain)
+    if twins:
+        raise ValueError(
+            f"both plain and gzip forms present for {twins} under {root} — "
+            "each would ingest twice; remove one form"
+        )
+
+
 def _kind_map_expr():
     return F.create_map(*[x for tag, kind in TAG_KINDS.items() for x in (F.lit(tag), F.lit(kind))])
+
+
+def _reject_reason_expr():
+    """The ONE definition of the drop rules (dispatcher.go:74-93), shared
+    by parse_raw (keeps reason-null rows) and parse_rejects (counts the
+    rest) — the two can't drift apart. Evaluated over (tag, kind)
+    columns; NULL means the line is accepted."""
+    return (
+        # no `_msg` (or unparseable JSON → NULL struct)
+        F.when(F.col("tag").isNull(), "no_tag")
+        # spurious "... with invalid args" transitions
+        .when(F.col("tag").contains("with invalid args"), "invalid_args")
+        # tag not in the 23-family dispatch map
+        .when(F.col("kind").isNull(), "unknown_tag")
+    )
+
+
+def _tagged(lines: DataFrame) -> DataFrame:
+    parsed = lines.select(
+        "file_path", F.from_json("value", UNION_SCHEMA).alias("j")
+    ).withColumn("tag", F.lower(F.col("j._msg")))
+    return parsed.withColumn("kind", _kind_map_expr().getItem(F.col("tag")))
 
 
 def parse_raw(lines: DataFrame) -> DataFrame:
@@ -55,19 +103,7 @@ def parse_raw(lines: DataFrame) -> DataFrame:
     Output: one row per *recognized* line with columns
     (file_path, tag, kind, j: struct<union schema>).
     """
-    parsed = lines.select(
-        "file_path", F.from_json("value", UNION_SCHEMA).alias("j")
-    ).withColumn("tag", F.lower(F.col("j._msg")))
-    return (
-        parsed
-        # no `_msg` (or unparseable JSON → NULL struct): silently dropped
-        .filter(F.col("tag").isNotNull())
-        # spurious "... with invalid args" transitions: dropped
-        .filter(~F.col("tag").contains("with invalid args"))
-        # unknown tags: dropped
-        .withColumn("kind", _kind_map_expr().getItem(F.col("tag")))
-        .filter(F.col("kind").isNotNull())
-    )
+    return _tagged(lines).filter(_reject_reason_expr().isNull())
 
 
 def read_raw_events(spark: SparkSession, path: str) -> DataFrame:
@@ -90,19 +126,19 @@ def parse_rejects(lines: DataFrame) -> DataFrame:
     - ``unknown_tag``: tag not in the 23-family dispatch map
 
     One projection + one (file, reason) aggregation; accepted lines
-    never enter the plan's grouped side.
+    never enter the plan's grouped side. Reasons come from the SAME
+    _reject_reason_expr parse_raw filters on, so the accepted/rejected
+    split is exhaustive and exclusive by construction.
     """
-    tagged = lines.select(
-        "file_path", F.lower(F.from_json("value", UNION_SCHEMA)["_msg"]).alias("tag")
-    )
-    reason = (
-        F.when(F.col("tag").isNull(), "no_tag")
-        .when(F.col("tag").contains("with invalid args"), "invalid_args")
-        .when(_kind_map_expr().getItem(F.col("tag")).isNull(), "unknown_tag")
-    )
     return (
-        tagged.withColumn("reason", reason)
+        _tagged(lines)
+        .withColumn("reason", _reject_reason_expr())
         .filter(F.col("reason").isNotNull())
         .groupBy("file_path", "reason")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def read_parse_rejects(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-level composition, matching read_raw_events."""
+    return parse_rejects(read_log_lines(spark, path))

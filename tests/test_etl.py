@@ -238,9 +238,12 @@ def test_parse_rejects_accounts_for_every_dropped_line(spark, tmp_path):
     lines = read_log_lines(spark, d)
     accepted = parse_raw(lines).count()
     rejects = parse_rejects(lines)
-    by_reason = {(r.reason): r.n for r in rejects.groupBy("reason").agg(
-        __import__("pyspark.sql.functions", fromlist=["sum"]).sum("n").alias("n")
-    ).collect()}
+    from pyspark.sql import functions as F
+
+    by_reason = {
+        r.reason: r.n
+        for r in rejects.groupBy("reason").agg(F.sum("n").alias("n")).collect()
+    }
     assert by_reason["no_tag"] >= 2  # non-json + missing _msg
     # fixtures already carry negative lines of these classes; the
     # injected ones must add to the counts
@@ -262,3 +265,23 @@ def test_pipeline_with_rejects_table(spark, log_dir, tmp_path):
     assert "parse_rejects" in res
     on_disk = spark.read.parquet(str(tmp_path / "rj" / "parse_rejects"))
     assert set(on_disk.columns) == {"file_path", "reason", "n"}
+
+
+def test_compressed_twin_fails_loudly(spark, tmp_path):
+    """x.log AND x.log.gz for the same stem would double-ingest every
+    line — the source must refuse that layout instead."""
+    import gzip
+    import os
+
+    import pytest as _pytest
+
+    from cometbft_log_etl_spark.sources.logs import read_log_lines
+
+    d = str(tmp_path / "twins")
+    os.makedirs(d)
+    with open(os.path.join(d, "node.log"), "w") as f:
+        f.write('{"_msg":"x"}\n')
+    with gzip.open(os.path.join(d, "node.log.gz"), "wt") as f:
+        f.write('{"_msg":"x"}\n')
+    with _pytest.raises(ValueError, match="both plain and gzip"):
+        read_log_lines(spark, d)

@@ -230,7 +230,9 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # must FINISH: a timeout would leave this query alive while the
+        # restart below opens the same checkpoint
+        assert q.awaitTermination(180)
 
     run_once()  # first run: all but the last file
     shutil.copy(os.path.join(src, files[-1]), os.path.join(live, files[-1]))

@@ -132,9 +132,10 @@ EXPECTATIONS = {
     # keeps as a map-side group limit; never a nested-loop time join
     "q35_asof_enrich": {"codegen": True, "max_scan_cols": 5, "contains": ["WindowGroupLimit"],
                         "contains_not": ["BroadcastNestedLoopJoin", "CartesianProduct"]},
-    # hypertable rollup: ALL resolutions from one scan + bounded
-    # exchanges — a per-resolution union would multiply the scans
-    "q48_time_bucket_rollup": {"codegen": True, "max_scan_cols": 3},
+    # hypertable rollup: ALL resolutions from ONE scan — a
+    # per-resolution union would multiply the scans, so the scan count
+    # itself is the gate
+    "q48_time_bucket_rollup": {"codegen": True, "max_scan_cols": 3, "max_scans": 1},
     # token stats: explode + partial agg off a pruned 3-col scan
     "q52_token_stats": {"codegen": True, "max_scan_cols": 3},
 }
@@ -170,6 +171,16 @@ def audit(spark, sf_dir: str) -> list[str]:
                 )
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
         widest = max((len(s.split(",")) for s in scans), default=0)
+        scan_cap = exp.get("max_scans")
+        if scan_cap is not None:
+            # count ONLY the executed (AQE Final) section — the plan
+            # string repeats every operator under "== Initial Plan =="
+            final = plan.split("== Initial Plan ==")[0]
+            n_scans = len(re.findall(r"FileScan parquet \[", final))
+            if n_scans > scan_cap:
+                failures.append(
+                    f"{name}: {n_scans} parquet scans (cap {scan_cap}) — a source is read repeatedly"
+                )
         n_broadcast = plan.count("BroadcastHashJoin")
         # codegen stages print as "WholeStageCodegen (n)" or "*(n)"
         has_codegen = "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan)
