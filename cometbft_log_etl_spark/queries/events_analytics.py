@@ -810,3 +810,77 @@ def q97_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — event-rate anomaly detection: hourly z-scores per type
+
+@register(
+    "q101_rate_anomalies",
+    tags=("events", "anomaly", "monitoring"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS nh,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+         round(sqrt((CAST(sum(n * n) AS DOUBLE)
+                     - CAST(sum(n) AS DOUBLE) * sum(n) / count(*)) / count(*)), 9)
+           AS sigma
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       strftime(h.h, '%Y-%m-%dT%H:00') AS hour,
+       CAST(h.n AS BIGINT) AS n_events,
+       round((h.n - s.mu) / s.sigma, 9) AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs(round((h.n - s.mu) / s.sigma, 9)) >= 2
+""",
+)
+def q101_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hours whose per-type event count
+    sits ≥2 population standard deviations from that type's mean — the
+    alerting pass a monitoring pipeline runs over its own rollups
+    (q95 watches composition drift; this watches volume).
+
+    Scale shape: the corpus-sized pass is one (type, hour) count with
+    map-side partial agg; stats reduce the hourly matrix per type
+    (types × hours rows), and the z-score join is type-keyed against a
+    broadcastable stats table. Determinism: all sums are exact integer
+    aggregates, each division/sqrt result is rounded before the
+    threshold comparison, so both engines flag identical hours.
+    """
+    tune_session(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("n") * F.col("n")).cast("double")
+                    - F.sum("n").cast("double") * F.sum("n") / F.count(F.lit(1))
+                )
+                / F.count(F.lit(1))
+            ),
+            9,
+        ).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 9)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd'T'HH:00").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            z.alias("z"),
+        )
+    )
