@@ -3,8 +3,9 @@
 Mirrors the reference main() pipeline (/root/reference/main.go:24-81):
 parse directory → convert → attach per-file metadata → (sort) → sink →
 fan out to plugin analytics. The Spark restatement (SURVEY.md §3.1):
-read → normalize (one wide DF) → cache → write events → run each
-enabled plugin off the cached DF → write result tables.
+read → normalize (one wide DF) → materialize once (staged parquet
+with a sink, localCheckpoint without) → write events → run each
+enabled plugin off the materialized table → write result tables.
 """
 
 from __future__ import annotations
@@ -132,7 +133,8 @@ def run_pipeline(
     with_rejects: bool = False,
 ) -> dict[str, DataFrame]:
     """Full fan-out: normalized events + every enabled plugin's result
-    tables (O5/O6 — the single shared scan becomes `events.cache()`).
+    tables (O5/O6 — the single shared scan becomes one materialized
+    events table every plugin reads).
 
     With an ``out_dir``, tables land under ``<out_dir>/<sim_id>/`` —
     the reference's database-per-simulation naming (O4), with a
