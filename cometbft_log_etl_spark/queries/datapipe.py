@@ -296,7 +296,7 @@ def q62_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q06_rolling_fingerprint",
+    "q85_rolling_fingerprint",
     tags=("datapipe", "dedup", "fingerprint"),
     oracle=f"""
 WITH tok AS (
@@ -317,7 +317,7 @@ FROM fp
 GROUP BY fingerprint
 """,
 )
-def q06_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     the word-hash sequence (seed 7, base 31, mod 2^31−1) — unlike the
     set-based MinHash/SimHash signatures, word ORDER changes the
@@ -470,7 +470,7 @@ _PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
 
 
 @register(
-    "q08_pii_scrub",
+    "q87_pii_scrub",
     tags=("datapipe", "text", "pii"),
     oracle=f"""
 WITH aug AS (
@@ -492,7 +492,7 @@ SELECT doc_id,
 FROM aug
 """,
 )
-def q08_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (email/phone → typed placeholders).
 
     The corpus is synthetic word-soup, so deterministic PII is injected
@@ -537,7 +537,7 @@ def q08_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q10_repetition_ratio",
+    "q88_repetition_ratio",
     tags=("datapipe", "text", "quality"),
     oracle="""
 WITH grams AS (
@@ -556,7 +556,7 @@ SELECT doc_id, n_grams, n_distinct,
 FROM stats
 """,
 )
-def q10_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: duplicate word-2-gram fraction.
 
     Boilerplate and generation loops show up as a high duplicate-n-gram
@@ -596,7 +596,7 @@ def q10_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q11_stratified_sample",
+    "q89_stratified_sample",
     tags=("datapipe", "sampling"),
     oracle=f"""
 WITH rated AS (
@@ -608,7 +608,7 @@ WITH rated AS (
 SELECT doc_id, lang, bucket FROM rated WHERE bucket < rate_pct
 """,
 )
-def q11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep rates via a
     salted portable hash, not RNG.
 
@@ -635,7 +635,7 @@ _PACK_CAPACITY = 2048  # tokens per packed training sequence
 
 
 @register(
-    "q13_sequence_packing",
+    "q90_sequence_packing",
     tags=("datapipe", "packing", "window"),
     oracle=f"""
 WITH toks AS (
@@ -656,7 +656,7 @@ FROM placed
 GROUP BY lang, bin_id
 """,
 )
-def q13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to fixed token-capacity bins by
     cumulative offset, per language stream.
 
@@ -757,7 +757,7 @@ _CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
 
 
 @register(
-    "q14_doc_chunking",
+    "q91_doc_chunking",
     tags=("datapipe", "chunking"),
     oracle=f"""
 WITH toks AS (
@@ -775,7 +775,7 @@ SELECT doc_id,
 FROM starts
 """,
 )
-def q14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking: 64-token chunks at a
     48-token stride (16-token overlap).
 
@@ -804,7 +804,7 @@ def q14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q15_mixture_weights",
+    "q92_mixture_weights",
     tags=("datapipe", "sampling", "mixing"),
     oracle="""
 WITH counts AS (
@@ -823,7 +823,7 @@ SELECT source, n_docs, n_tokens,
 FROM weighted
 """,
 )
-def q15_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing: per-source sampling weights
     w ∝ tokens^0.7 and a 10k-doc sample budget.
 
@@ -862,7 +862,7 @@ def q15_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q16_tfidf_terms",
+    "q93_tfidf_terms",
     tags=("datapipe", "text", "retrieval"),
     oracle="""
 WITH tok AS (
@@ -889,7 +889,7 @@ SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
 ) WHERE term_rank <= 3
 """,
 )
-def q16_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 most distinctive terms per document (scored docs
     bounded to doc_id < 50; statistics from the whole corpus).
 
@@ -940,7 +940,7 @@ _BM25_B = 0.75
 
 
 @register(
-    "q18_bm25_search",
+    "q94_bm25_search",
     tags=("datapipe", "text", "retrieval"),
     oracle=f"""
 WITH tok AS (
@@ -984,7 +984,7 @@ SELECT doc_id, bm25, n_query_terms_hit, doc_rank FROM (
 ) WHERE doc_rank <= 10
 """,
 )
-def q18_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance search: top-10 documents for a fixed query term
     set (k1=1.2, b=0.75) — the retrieval scorer behind contamination
     screens and data-selection heuristics.
@@ -1045,7 +1045,7 @@ def q18_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q19_bigram_lm_score",
+    "q95_bigram_lm_score",
     tags=("datapipe", "text", "lm"),
     oracle="""
 WITH base AS (
@@ -1079,7 +1079,7 @@ WHERE doc_id < 100
 GROUP BY doc_id
 """,
 )
-def q19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model likelihood scoring: train MLE bigram
     probabilities P(w2|w1) = c(w1,w2)/c(w1) on the corpus, score each
     document by its mean bigram log-probability — the perplexity-proxy
@@ -1139,7 +1139,7 @@ _SHINGLE_K = 5
 
 
 @register(
-    "q40_shingle_novelty",
+    "q96_shingle_novelty",
     tags=("datapipe", "dedup", "text"),
     oracle=f"""
 WITH base AS (
@@ -1167,7 +1167,7 @@ FROM sh JOIN owner ON sh.shingle = owner.shingle
 GROUP BY sh.doc_id
 """,
 )
-def q40_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q96_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-level novelty: the fraction of a document's 5-gram
     shingles FIRST seen in that document (min-doc_id ownership) — the
     containment-dedup signal that catches partial copies, boilerplate,
@@ -1220,7 +1220,7 @@ _VOCAB_TOP_K = 200
 
 
 @register(
-    "q41_vocab_coverage",
+    "q97_vocab_coverage",
     tags=("datapipe", "text", "tokenizer"),
     oracle=f"""
 WITH tok AS (
@@ -1242,7 +1242,7 @@ FROM ranked CROSS JOIN total
 WHERE vocab_rank <= {_VOCAB_TOP_K}
 """,
 )
-def q41_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: the top-{k} corpus vocabulary by frequency
     with cumulative token coverage — the "how big must the tokenizer
     vocab be to cover X% of the stream" curve.
@@ -1278,7 +1278,7 @@ def q41_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q87_source_datacard",
+    "q08_source_datacard",
     tags=("datapipe", "reporting"),
     oracle="""
 SELECT source,
@@ -1293,7 +1293,7 @@ FROM documents
 GROUP BY source
 """,
 )
-def q87_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data card: the summary a curation pipeline publishes
     next to a training mix (docs, exact-dup rate, language breadth,
     token volume, short-doc count per source).
@@ -1331,7 +1331,7 @@ def q87_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q89 — adaptive quality filter: per-language positional quantile cutoffs
 
 @register(
-    "q89_adaptive_quality_filter",
+    "q11_adaptive_quality_filter",
     tags=("datapipe", "text", "quality"),
     oracle="""
 WITH feat AS (
@@ -1378,7 +1378,7 @@ JOIN nl USING (lang) JOIN thr_t USING (lang) JOIN thr_u USING (lang)
 GROUP BY f.lang
 """,
 )
-def q89_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quality filtering: per-language cutoffs at the exact
     P10 of token count and P25 of lexical diversity, applied back to
     the corpus — the data-driven alternative to q53's fixed bands
@@ -1436,7 +1436,7 @@ def q89_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q90 — incremental dedup: new batch vs. already-ingested history
 
 @register(
-    "q90_incremental_dedup",
+    "q13_incremental_dedup",
     tags=("datapipe", "dedup", "incremental"),
     oracle="""
 WITH fp AS (
@@ -1458,7 +1458,7 @@ SELECT doc_id, dup_of_history, dup_in_batch,
 FROM marked WHERE NOT is_hist
 """,
 )
-def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: an incoming batch (docs with
     doc_id % 10 >= 8 — a deterministic, scale-free 20% slice standing
     in for "today's crawl") is screened against the already-ingested
@@ -1506,7 +1506,7 @@ def q90_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q91 — token-budget mixture resampling: weights → rates → actual sample
 
 @register(
-    "q91_token_budget_mix",
+    "q14_token_budget_mix",
     tags=("datapipe", "sampling", "mixing"),
     oracle=f"""
 WITH counts AS (
@@ -1543,7 +1543,7 @@ SELECT source, any_value(target_tokens) AS target_tokens,
 FROM sampled GROUP BY source
 """,
 )
-def q91_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final mix-building step: turn q15's temperature weights into
     per-source sampling RATES against a global token budget (40% of the
     corpus), apply them as a deterministic hash sample, and report the
@@ -1599,7 +1599,7 @@ def q91_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q92 — learned language ID: Naive-Bayes trained and scored in-engine
 
 @register(
-    "q92_nb_langid",
+    "q15_nb_langid",
     tags=("datapipe", "text", "langid", "ml"),
     oracle="""
 WITH occ AS (
@@ -1642,7 +1642,7 @@ SELECT lang, cls AS predicted, count(*) AS n_docs
 FROM pred WHERE rn = 1 GROUP BY lang, cls
 """,
 )
-def q92_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned language ID: a multinomial Naive-Bayes classifier with
     add-one smoothing, TRAINED in the engine (per-(token, class) counts
     + class priors — the distributed 'fit' is two aggregations) and
@@ -1718,7 +1718,7 @@ def q92_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q95 — per-source quality drift: KL(source band mix ‖ corpus band mix)
 
 @register(
-    "q95_quality_drift",
+    "q19_quality_drift",
     tags=("datapipe", "quality", "monitoring"),
     oracle="""
 WITH feat AS (
@@ -1748,7 +1748,7 @@ FROM s JOIN g USING (band)
 GROUP BY s.source
 """,
 )
-def q95_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-drift monitor: per-source KL divergence of the quality-band
     mix against the corpus-wide mix — the report a curation pipeline
     watches to catch a source going bad (a crawler suddenly emitting
@@ -1810,7 +1810,7 @@ _KMV_K = 32
 _KMV_SPACE = float(2**32)
 
 @register(
-    "q98_kmv_distinct",
+    "q42_kmv_distinct",
     tags=("datapipe", "sketch", "cardinality"),
     oracle=f"""
 WITH h AS (
@@ -1837,7 +1837,7 @@ SELECT e.source,
 FROM exact e JOIN kmins k USING (source)
 """,
 )
-def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch per source, next to the
     exact count it estimates. The deterministic counterpart of q75's
     HLL (which needs a cross-engine tolerance band): KMV over
@@ -1878,7 +1878,7 @@ def q98_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q99 — cross-modal curation screen: text quality × embedding health
 
 @register(
-    "q99_crossmodal_screen",
+    "q43_crossmodal_screen",
     tags=("datapipe", "quality", "multimodal", "join"),
     oracle=f"""
 WITH elems AS ({{sql_explode}}),
@@ -1914,7 +1914,7 @@ CROSS JOIN bounds b
 GROUP BY f.lang
 """.format(sql_explode=_SQL_EXPLODE.format(id_alias="vec_id", where="")),
 )
-def q99_crossmodal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_crossmodal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal curation: a document survives only if BOTH its text
     passes the quality gate AND its paired embedding's L2 norm sits in
     a healthy band (within 0.5×–1.5× of the corpus mean norm — the

@@ -665,7 +665,7 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q96 — weekly retention cohorts
 
 @register(
-    "q96_retention_cohorts",
+    "q40_retention_cohorts",
     tags=("events", "retention", "cohort"),
     oracle="""
 WITH firsts AS (
@@ -690,7 +690,7 @@ SELECT cohort_week, week_offset, n_users,
 FROM cells
 """,
 )
-def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts over the events stream: users bucketed
     by first-seen week, each later week's surviving fraction reported
     against the cohort size — the standard growth-analytics matrix.
@@ -733,7 +733,7 @@ def q96_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q97 — ordered funnel conversion: view → click → purchase
 
 @register(
-    "q97_funnel_conversion",
+    "q41_funnel_conversion",
     tags=("events", "funnel"),
     oracle="""
 WITH v AS (
@@ -759,7 +759,7 @@ SELECT (SELECT count(*) FROM v) AS n_view,
              / (SELECT count(*) FROM c), 9) AS click_to_purchase
 """,
 )
-def q97_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked strictly after
     their first view, then purchased strictly after that first ordered
     click — step conversion rates, the product-analytics staple whose

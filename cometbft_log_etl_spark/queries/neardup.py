@@ -594,7 +594,7 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q07_edit_distance",
+    "q86_edit_distance",
     tags=("datapipe", "dedup", "levenshtein"),
     oracle=f"""
 WITH {_Q55_CTES},
@@ -610,7 +610,7 @@ WHERE 1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
             / greatest(len(a.head), len(b.head)) >= 0.3
 """,
 )
-def q07_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification tier over LSH candidates.
 
     The expensive-but-precise tier composed on top of cheap candidate
@@ -943,7 +943,7 @@ _ND_COSINE = 0.35  # dedup-edge threshold (tuned to the synthetic corpus)
 
 
 @register(
-    "q85_embedding_neardup",
+    "q06_embedding_neardup",
     tags=("datapipe", "dedup", "embedding"),
     oracle=f"""
 WITH b AS ({_bucket_sql("", "vec_id", nplanes=_ND_PLANES)}),
@@ -985,7 +985,7 @@ JOIN norms nb ON nb.vec_id = d.vec_b
 WHERE d.dot / (na.nrm * nb.nrm) >= {_ND_COSINE}
 """,
 )
-def q85_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: the dedup tier that works on
     semantics rather than surface text (paraphrases, translations, OCR
     variants that MinHash/SimHash miss).
@@ -1103,7 +1103,7 @@ _MP_EXTRA = 4  # extra cells probed per query (least-confident bit flips)
 
 
 @register(
-    "q86_ann_multiprobe",
+    "q07_ann_multiprobe",
     tags=("datapipe", "similarity", "lsh"),
     oracle=f"""
 WITH planes AS (SELECT unnest(generate_series(0, {_MP_PLANES - 1})) AS j),
@@ -1171,7 +1171,7 @@ SELECT probe_id, cand_id, round(cosine, 9) AS cosine, rank FROM (
 ) WHERE rank <= 5
 """,
 )
-def q86_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: each probe searches its own cell PLUS the
     cells reached by flipping its least-confident hyperplane bits
     (smallest |margin| first — the standard multi-probe trade: the
@@ -1297,7 +1297,7 @@ def q86_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q88 — canonical-corpus resolution: clusters + quality → keep decision
 
 @register(
-    "q88_canonical_corpus",
+    "q10_canonical_corpus",
     tags=("datapipe", "dedup", "clustering", "quality"),
     oracle=f"""
 WITH RECURSIVE {_CC_SQL_CTES},
@@ -1323,7 +1323,7 @@ FROM ranked
 GROUP BY cluster_id
 """,
 )
-def q88_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup resolution: near-dup clusters (q37's connected
     components) + quality features (q53) → ONE canonical document per
     cluster and the cost of dropping the rest.

@@ -203,7 +203,7 @@ def q84_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q42_vote_parse",
+    "q98_vote_parse",
     tags=("scalar", "textparse", "c14"),
     oracle="""
 SELECT event_id,
@@ -223,7 +223,7 @@ FROM events
 WHERE event_id < 300
 """,
 )
-def q42_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14 vote-string parse attested against ground truth: render the
     canonical cometbft `[Vote Vote{...}]` string from events columns
     JVM-side, parse it back with the PRODUCTION parser
@@ -307,7 +307,7 @@ def q42_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q43_block_parse",
+    "q99_block_parse",
     tags=("scalar", "textparse", "c9"),
     oracle="""
 SELECT event_id,
@@ -331,7 +331,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q43_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 block-string parse attested against ground truth: render the
     full multi-line cometbft `Block{Header{...} Data{...}
     EvidenceData{...} Commit{...}}#H` text from events columns JVM-side

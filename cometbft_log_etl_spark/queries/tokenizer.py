@@ -112,8 +112,8 @@ def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
     return bpe_fit_with_state(docs, n_merges)[0]
 
 
-@register("q93_bpe_merges", tags=("datapipe", "text", "tokenizer", "iterative"))
-def q93_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q16_bpe_merges", tags=("datapipe", "text", "tokenizer", "iterative"))
+def q16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fitted merge table as a DataFrame (driver rows-only check;
     ground truth lives in tests/test_tokenizer.py)."""
     tune_session(spark)
@@ -142,8 +142,8 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
     return out.select("w", F.size("syms").alias("n_subtokens"))
 
 
-@register("q94_bpe_token_counts", tags=("datapipe", "text", "tokenizer"))
-def q94_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("q18_bpe_token_counts", tags=("datapipe", "text", "tokenizer"))
+def q18_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subtoken counts under the corpus-fitted BPE
     tokenizer (q93's merges applied): the real version of what q62
     approximates with a fixed regex. Word→length comes STRAIGHT from

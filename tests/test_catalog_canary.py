@@ -27,7 +27,7 @@ _HOSTILE = {
 # Queries whose *construction* executes jobs (eager localCheckpoint in
 # the iterative connected-components loop). Analysis is still covered —
 # building the loop body analyzes every iteration's plan.
-_EAGER = {"q37_neardup_clusters", "q88_canonical_corpus", "q93_bpe_merges", "q94_bpe_token_counts"}
+_EAGER = {"q37_neardup_clusters", "q10_canonical_corpus", "q16_bpe_merges", "q18_bpe_token_counts"}
 
 
 def test_all_catalog_queries_resolve_under_hostile_session(spark, sf_dir):

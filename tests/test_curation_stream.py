@@ -79,7 +79,7 @@ def test_stream_incremental_dedup_matches_q90(spark, sf_dir):
     got = {r.doc_id for r in spark.table("t_inc_dedup").select("doc_id").collect()}
     want = {
         r.doc_id
-        for r in catalog()["q90_incremental_dedup"]
+        for r in catalog()["q13_incremental_dedup"]
         .fn(spark, sf_dir)
         .filter(F.col("keep"))
         .collect()
@@ -103,7 +103,7 @@ def test_stream_source_stats_matches_batch_card(spark, sf_dir):
     q.awaitTermination(180)
     got = spark.table("t_card")
     want = (
-        catalog()["q87_source_datacard"]
+        catalog()["q08_source_datacard"]
         .fn(spark, sf_dir)
         .select("source", "n_docs", "total_tokens", "mean_chars", "n_short_docs")
     )

@@ -21,8 +21,8 @@ _TZ_SENSITIVE = [
     "q37_neardup_clusters",
     # render→parse attestations format and re-parse RFC3339 strings:
     # a session-tz leak would shift both ts_us columns
-    "q42_vote_parse",
-    "q43_block_parse",
+    "q98_vote_parse",
+    "q99_block_parse",
 ]
 
 
@@ -82,12 +82,12 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
     lsh_pairs = {(r.probe_id, r.cand_id) for r in lsh}
     mp = {
         (r.probe_id, r.cand_id)
-        for r in cat["q86_ann_multiprobe"].fn(spark, sf_dir).collect()
+        for r in cat["q07_ann_multiprobe"].fn(spark, sf_dir).collect()
     }
     r_lsh = len(exact_pairs & lsh_pairs) / len(exact_pairs)
     r_mp = len(exact_pairs & mp) / len(exact_pairs)
     assert r_mp > r_lsh, f"multi-probe recall {r_mp:.2f} <= single-probe {r_lsh:.2f}"
-    assert r_mp >= 0.3, f"q86_ann_multiprobe recall@5 = {r_mp:.2f} — probe set broken?"
+    assert r_mp >= 0.3, f"q07_ann_multiprobe recall@5 = {r_mp:.2f} — probe set broken?"
 
 
 def test_catalog_report_is_fresh():

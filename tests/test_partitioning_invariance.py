@@ -23,10 +23,10 @@ _PRONE = [
     "q28_first_per_group",
     "q30_last_wins_dedup",
     "q50_exact_dedup",
-    "q88_canonical_corpus",
-    "q90_incremental_dedup",
-    "q92_nb_langid",
-    "q96_retention_cohorts",
+    "q10_canonical_corpus",
+    "q13_incremental_dedup",
+    "q15_nb_langid",
+    "q40_retention_cohorts",
 ]
 
 

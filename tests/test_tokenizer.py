@@ -65,7 +65,7 @@ def test_bpe_greedy_leftmost_merge():
 def test_q93_catalog_entry(spark, sf_dir):
     from cometbft_log_etl_spark.queries import catalog
 
-    df = catalog()["q93_bpe_merges"].fn(spark, sf_dir)
+    df = catalog()["q16_bpe_merges"].fn(spark, sf_dir)
     rows = df.collect()
     assert [r.step for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.merged == r.left + r.right for r in rows)
@@ -100,7 +100,7 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
 def test_q94_catalog_entry(spark, sf_dir):
     from cometbft_log_etl_spark.queries import catalog
 
-    df = catalog()["q94_bpe_token_counts"].fn(spark, sf_dir)
+    df = catalog()["q18_bpe_token_counts"].fn(spark, sf_dir)
     rows = df.collect()
     assert len(rows) > 0
     # merges only ever shorten: n_bpe_tokens <= total chars, >= n_words

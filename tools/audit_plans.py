@@ -59,18 +59,18 @@ EXPECTATIONS = {
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
     # q07 inherits q55's bucket cap via lsh_band_pairs)
     "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"]},
-    "q07_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
+    "q86_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
     # embedding near-dup scores pairs INSIDE capped buckets (zip_with
     # folds over member arrays) — the plan must stay join-free with the
     # cap as a map-side rank limit; no codegen expectation (higher-order
     # lambdas don't enter codegen by design)
-    "q85_embedding_neardup": {"max_scan_cols": 2, "contains": ["WindowGroupLimit"],
+    "q06_embedding_neardup": {"max_scan_cols": 2, "contains": ["WindowGroupLimit"],
                               "contains_not": ["SortMergeJoin", "BroadcastNestedLoopJoin",
                                                "CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
-    "q08_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
-    "q11_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q87_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q89_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     # contamination screen: bench side must broadcast, corpus side streams
     "q38_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
     # the bucketized range join must plan as a HASH join on the bucket
@@ -86,45 +86,45 @@ EXPECTATIONS = {
     "q39_ann_ivf": {"codegen": True, "max_scan_cols": 2, "max_hint_broadcasts": 4},
     # retrieval/LM family: token explodes must stay 2-column scans and
     # the tf-idf top-3 must keep its map-side rank limit
-    "q16_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
-    "q19_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
-    "q40_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
-    "q41_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
+    "q93_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    "q95_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
+    "q96_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
+    "q97_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
     # vote-string render+parse is a pure map pass: any Exchange means a
     # shuffle crept into the Arrow kernel pipeline
-    "q42_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
-    "q43_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
+    "q98_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
+    "q99_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
     "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
     # canonical-corpus resolution: the LSH front half (bucket-capped,
     # audited via q55/q37) sits behind the CC localCheckpoint, so the
     # final plan is only rank+agg — which must stay hash-partitioned
     # per cluster, never a cartesian/nested-loop pairing
-    "q88_canonical_corpus": {"codegen": True,
+    "q10_canonical_corpus": {"codegen": True,
                              "contains_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # adaptive quantile thresholds: the cumulative windows run over the
     # reduced (lang, value) domain and the threshold tables broadcast
     # back — a SortMergeJoin means a corpus-sized side joined the
     # lang-cardinality thresholds
-    "q89_adaptive_quality_filter": {"codegen": True, "max_scan_cols": 2, "no_smj": True},
+    "q11_adaptive_quality_filter": {"codegen": True, "max_scan_cols": 2, "no_smj": True},
     # incremental dedup is ONE shuffle on the fingerprint: no joins at
     # all, both decisions are windows inside the fp groups
-    "q90_incremental_dedup": {"codegen": True, "max_scan_cols": 2,
+    "q13_incremental_dedup": {"codegen": True, "max_scan_cols": 2,
                               "contains_not": ["SortMergeJoin", "BroadcastHashJoin"]},
     # NB language ID: the scan stays 3 columns; the class/prior/vocab-size
     # sides all broadcast (the only big-big join is token-keyed)
-    "q92_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2},
+    "q15_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2},
     # token-budget mix: rate table broadcast back over the corpus; an
     # SMJ here means the per-source rates joined as a big side
-    "q91_token_budget_mix": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1, "no_smj": True},
+    "q14_token_budget_mix": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1, "no_smj": True},
     # drift monitor: global band distribution must broadcast
-    "q95_quality_drift": {"codegen": True, "max_scan_cols": 4, "broadcasts": 1, "no_smj": True},
+    "q19_quality_drift": {"codegen": True, "max_scan_cols": 4, "broadcasts": 1, "no_smj": True},
     # retention cohorts: user-keyed join + window over the aggregated
     # cohort×offset matrix — no nested-loop pairing anywhere
-    "q96_retention_cohorts": {"codegen": True, "max_scan_cols": 2,
+    "q40_retention_cohorts": {"codegen": True, "max_scan_cols": 2,
                               "contains_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     # KMV sketch: the per-source k-smallest rank must stay a map-side
     # group limit — only k rows per source may survive to the agg
-    "q98_kmv_distinct": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    "q42_kmv_distinct": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
     # dimension enrichment must stay all-broadcast (4 dims) — any SMJ
     # means a dim table crossed the broadcast threshold unnoticed
     "q02_broadcast_enrich": {"codegen": True, "max_scan_cols": 3, "broadcasts": 4, "no_smj": True},
