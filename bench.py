@@ -57,25 +57,36 @@ def main() -> None:
     for qdef in qs.values():
         qdef.fn(spark, sf_dir).count()
 
+    # min-of-K timing: the bench host has high run-to-run variance
+    # (hypervisor steal) — a single-shot timing can drift +25..66% with
+    # a provably identical plan (round-5 fingerprint adjudication). The
+    # per-query MIN over K timed runs after the warm pass is the
+    # steady-state number; a noisy host inflates the mean, not the min.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     fingerprints: dict[str, str] = {}
     n_exchanges: dict[str, int] = {}
     for name, qdef in qs.items():
-        t0 = time.time()
-        df = qdef.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = qdef.fn(spark, sf_dir)
+            n = df.count()
+            samples.append(round(time.time() - t0, 3))
+        timings[name] = min(samples)
+        all_runs[name] = samples
         fingerprints[name], n_exchanges[name] = plan_fingerprint(df)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s min of {samples} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
     # ETL-path headline: the full parse→normalize→plugins pipeline on a
     # fixed generated scenario (4 nodes × 4 clones, 120 heights ≈ 50k
     # lines). Reported under its own key so `value`/`queries` stay
-    # directly comparable with earlier rounds; no warm pass — the ETL
-    # path runs once per simulation in production, so first-run codegen
-    # is part of its real cost.
+    # directly comparable with earlier rounds; min-of-2 full runs so a
+    # noisy host window can't fake a pipeline regression (round-5's
+    # recorded 17.2s vs a true 6.7s on the same plans).
     etl: dict | None
     try:
         from tools.bench_etl import run_etl_bench
@@ -92,7 +103,9 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "timing": f"min-of-{runs}",
                 "queries": timings,
+                "query_runs": all_runs,
                 "plans_fingerprint": fingerprints,
                 "n_exchanges": n_exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

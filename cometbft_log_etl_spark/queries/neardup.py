@@ -745,6 +745,7 @@ labeled AS (
 
 @register(
     "q37_neardup_clusters",
+    headline=True,
     tags=("datapipe", "dedup", "clustering"),
     oracle=f"""
 WITH RECURSIVE {_CC_SQL_CTES}
@@ -944,6 +945,7 @@ _ND_COSINE = 0.35  # dedup-edge threshold (tuned to the synthetic corpus)
 
 @register(
     "q06_embedding_neardup",
+    headline=True,
     tags=("datapipe", "dedup", "embedding"),
     oracle=f"""
 WITH b AS ({_bucket_sql("", "vec_id", nplanes=_ND_PLANES)}),
