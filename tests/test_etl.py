@@ -166,6 +166,25 @@ def test_normalize_preserves_file_path_verbatim(spark, log_dir):
     ev_paths = {r.file_path for r in ev.select("file_path").distinct().collect()}
     assert ev_paths == raw_paths
     assert None not in ev_paths
+    # ... and per event family: every one of the 8 normalize branches
+    # must carry a raw path on every row (a single branch rewriting or
+    # nulling file_path would hide inside the whole-set check above if
+    # other branches still cover all files)
+    from pyspark.sql import functions as F
+
+    per_family = {
+        r.event_type: (r.n_null, set(r.paths))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("file_path").isNull().cast("long")).alias("n_null"),
+            F.collect_set("file_path").alias("paths"),
+        )
+        .collect()
+    }
+    assert per_family, "normalize produced no events"
+    for fam, (n_null, paths) in per_family.items():
+        assert n_null == 0, f"{fam}: {n_null} events with null file_path"
+        assert paths <= raw_paths, f"{fam}: rewritten file_path {paths - raw_paths}"
 
 
 def test_single_pass_normalize_matches_union_formulation(spark, log_dir):

@@ -138,6 +138,27 @@ EXPECTATIONS = {
     "q48_time_bucket_rollup": {"codegen": True, "max_scan_cols": 3, "max_scans": 1},
     # token stats: explode + partial agg off a pruned 3-col scan
     "q52_token_stats": {"codegen": True, "max_scan_cols": 3},
+    # multi-probe ANN: probes (base bucket + bit-flip variants) and the
+    # capped candidate set are the ONLY explicit broadcasts — both are
+    # probe-bounded. A 3rd hint means a corpus-derived table (norms)
+    # got broadcast again; the bucket cap must stay a map-side rank
+    # limit exactly as in q58.
+    "q07_ann_multiprobe": {"codegen": True, "max_scan_cols": 2, "no_smj": True,
+                           "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
+    # contrastive mining: negatives inherit q55's map-side bucket cap
+    # (WindowGroupLimit); the only explicit broadcast is the 1-row
+    # stats aggregate whose crossJoin plans as a broadcast nested loop
+    # over ONE row — a CartesianProduct or SMJ means a corpus-sized
+    # side crossed instead.
+    "q100_contrastive_pairs": {"codegen": True, "max_scan_cols": 2, "no_smj": True,
+                               "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 1,
+                               "contains_not": ["CartesianProduct"]},
+    # cross-modal screen: the docs↔media pairing is an id-keyed
+    # broadcast hash join and the size/duration bounds attach as a
+    # broadcast 1-row aggregate — never an SMJ or a cartesian pairing
+    "q43_crossmodal_screen": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1,
+                              "no_smj": True, "max_hint_broadcasts": 1,
+                              "contains_not": ["CartesianProduct"]},
 }
 
 
