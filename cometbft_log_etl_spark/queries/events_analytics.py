@@ -754,9 +754,9 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_click,
        (SELECT count(*) FROM p) AS n_purchase,
        round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-             / (SELECT count(*) FROM v), 9) AS view_to_click,
+             / nullif((SELECT count(*) FROM v), 0), 9) AS view_to_click,
        round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-             / (SELECT count(*) FROM c), 9) AS click_to_purchase
+             / nullif((SELECT count(*) FROM c), 0), 9) AS click_to_purchase
 """,
 )
 def q41_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,12 +802,16 @@ def q41_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            F.round(F.col("n_click").cast("double") / F.col("n_view"), 9).alias(
-                "view_to_click"
-            ),
-            F.round(F.col("n_purchase").cast("double") / F.col("n_click"), 9).alias(
-                "click_to_purchase"
-            ),
+            # nullif-guard: on a corpus with a zero step count Spark
+            # (non-ANSI) yields NULL for x/0 while DuckDB (IEEE float)
+            # yields inf/NaN — both engines must emit NULL instead
+            F.round(
+                F.col("n_click").cast("double") / F.nullif(F.col("n_view"), F.lit(0)), 9
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase").cast("double") / F.nullif(F.col("n_click"), F.lit(0)),
+                9,
+            ).alias("click_to_purchase"),
         )
     )
 
@@ -859,6 +863,15 @@ def q101_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return anomalies_from_hourly(hourly)
+
+
+def anomalies_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The stats + z-score pass of q101 over a (event_type, h, n) hourly
+    rollup — shared verbatim by the batch query and the streaming
+    restatement (streaming/analytics.py builds the rollup as a
+    watermarked windowed aggregation and applies this per micro-batch),
+    so batch/stream parity is by construction."""
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nh"),
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),

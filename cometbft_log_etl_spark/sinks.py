@@ -77,23 +77,31 @@ class MongoResultSink:
         )
 
         def write_partition(rows) -> None:
-            client = factory(uri)
-            try:
-                coll = client[db_name][name]
-                buf = []
-                for row in rows:
-                    buf.append(row.asDict(recursive=True))
-                    if len(buf) >= batch_size:
-                        coll.insert_many(buf, ordered=False)
-                        buf = []
-                if buf:
-                    coll.insert_many(buf, ordered=False)
-            finally:
-                close = getattr(client, "close", None)
-                if close is not None:
-                    close()
+            insert_rows_batched(rows, factory, uri, db_name, name, batch_size)
 
         df.foreachPartition(write_partition)
+
+
+def insert_rows_batched(rows, client_factory, uri, db_name, name, batch_size) -> None:
+    """The per-partition write kernel (module-level so tests can run the
+    exact executor code path driver-side against a pymongo-compatible
+    in-memory server): one client per partition, unordered insert_many
+    in ``batch_size`` chunks (mongo.go:80-96), client closed on exit."""
+    client = client_factory(uri)
+    try:
+        coll = client[db_name][name]
+        buf = []
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                coll.insert_many(buf, ordered=False)
+                buf = []
+        if buf:
+            coll.insert_many(buf, ordered=False)
+    finally:
+        close = getattr(client, "close", None)
+        if close is not None:
+            close()
 
 
 def write_training_shards(
@@ -140,13 +148,15 @@ def write_training_shards(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
         .collect()
     )
-    manifest = {
-        "n_shards": n_shards,
-        "salt": salt,
-        "shards": {
-            int(r.shard): {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens)} for r in stats
-        },
-    }
+    # Seed every shard id: with a small corpus (or large n_shards) some
+    # shards legitimately receive zero docs and the written-files groupBy
+    # can't see them — consumers iterating 0..n_shards-1 from the
+    # manifest must still find an entry for each.
+    shards = {k: {"n_docs": 0, "n_tokens": 0} for k in range(n_shards)}
+    shards.update(
+        {int(r.shard): {"n_docs": r.n_docs, "n_tokens": int(r.n_tokens)} for r in stats}
+    )
+    manifest = {"n_shards": n_shards, "salt": salt, "shards": shards}
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

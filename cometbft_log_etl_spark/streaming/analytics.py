@@ -40,6 +40,31 @@ def windowed_event_counts(
     )
 
 
+def streaming_hourly_rates(
+    events: DataFrame, time_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """The corpus-sized pass of the q101 rate-anomaly monitor as a
+    watermarked tumbling-window aggregation: per-(event_type, hour)
+    counts, late events inside the watermark still counted, state for
+    closed hours expired.
+
+    The z-score pass is NOT a streaming operator by design — the
+    population stats range over every hour seen so far, which in a
+    stream is the accumulated rollup, not a window. Production wires
+    this as `foreachBatch`/a downstream job applying
+    `queries.events_analytics.anomalies_from_hourly` to the rollup
+    table (types × hours rows — trivially small next to the event
+    stream this aggregation reduces); the batch query and the stream
+    share that pass verbatim, so parity is by construction.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy("event_type", F.window(time_col, "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("h"), "n")
+    )
+
+
 def _vote_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     votes = events.filter(F.col("event_type").isin("send_vote", "receive_packet_vote"))
     sends = votes.filter(F.col("event_type") == "send_vote").select(

@@ -30,7 +30,14 @@ def stream_log_lines(
     micro-batch (files are taken oldest-modification-first) — production
     backpressure control, and what lets tests drive multi-batch
     watermark/timeout behavior deterministically from a static dir."""
-    from ..sources.logs import LOG_GLOB
+    from ..sources.logs import LOG_GLOB, _reject_compressed_twins
+
+    # Same double-ingest guard as the batch reader: a stem present as
+    # both x.log and x.log.gz would stream every line twice. Checked
+    # once at stream construction (one globStatus metadata call) — a
+    # twin appearing mid-stream is a layout change the next restart
+    # catches, the same contract as other stream-start validations.
+    _reject_compressed_twins(spark, path.rstrip("/"))
 
     reader = spark.readStream
     if max_files_per_trigger is not None:

@@ -153,3 +153,84 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
     # determinism: re-export to a different dir, same assignment
     m2 = write_training_shards(docs, str(tmp_path / "shards2"), n_shards=4)
     assert m1["shards"] == m2["shards"]
+
+
+def test_manifest_seeds_empty_shards(spark, tmp_path):
+    """A tiny corpus with large n_shards must still yield a manifest
+    entry for every shard id 0..n_shards-1 (consumers iterate the full
+    range), with zero counts for shards no doc hashed into."""
+    from cometbft_log_etl_spark.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma") for i in range(3)], "doc_id string, text string"
+    )
+    m = write_training_shards(docs, str(tmp_path / "tiny"), n_shards=16)
+    assert set(m["shards"]) == set(range(16))
+    assert sum(s["n_docs"] for s in m["shards"].values()) == 3
+    empties = [k for k, s in m["shards"].items() if s["n_docs"] == 0]
+    assert len(empties) >= 13
+    assert all(m["shards"][k] == {"n_docs": 0, "n_tokens": 0} for k in empties)
+
+
+def test_mongo_sink_real_pymongo_surface(spark):
+    """Exercise insert_many batching through pymongo's REAL API surface
+    via mongomock (or a live mongod at $MONGO_TEST_URI). Skipped cleanly
+    when neither is available — in-container CI has no Mongo driver.
+
+    mongomock is in-process, and Spark executors are separate processes,
+    so the test drives the module-level partition kernel directly —
+    byte-for-byte the code `store` ships to every executor."""
+    mongomock = pytest.importorskip("mongomock")
+
+    from cometbft_log_etl_spark.sinks import insert_rows_batched
+
+    calls: list[int] = []
+
+    class SpyCollection:
+        def __init__(self, real):
+            self._real = real
+
+        def insert_many(self, docs, ordered=True):
+            calls.append(len(docs))
+            return self._real.insert_many(docs, ordered=ordered)
+
+    class SpyDb:
+        def __init__(self, real):
+            self._real = real
+
+        def __getitem__(self, name):
+            return SpyCollection(self._real[name])
+
+    class SpyClient:
+        def __init__(self, uri):
+            self._real = mongomock.MongoClient()
+            self.closed = False
+
+        def __getitem__(self, db):
+            return SpyDb(self._real[db])
+
+        def close(self):
+            self.closed = True
+
+    client_holder = {}
+
+    def factory(uri):
+        client_holder["c"] = SpyClient(uri)
+        return client_holder["c"]
+
+    rows = (
+        spark.range(2500)
+        .select(
+            F.col("id").alias("height"),
+            F.concat(F.lit("node-"), F.col("id") % 4).alias("node_id"),
+        )
+        .collect()
+    )
+    insert_rows_batched(rows, factory, "mongodb://test", "sim-x", "vote_latency", 1000)
+
+    assert calls == [1000, 1000, 500]  # batched at 1000, remainder flushed
+    assert client_holder["c"].closed
+    real_coll = client_holder["c"]._real["sim-x"]["vote_latency"]
+    assert real_coll.count_documents({}) == 2500  # real pymongo query surface
+    doc = real_coll.find_one({"height": 42})
+    assert doc["node_id"] == "node-2"
