@@ -378,49 +378,81 @@ def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard as q55/q58): a boilerplate-heavy (lang, size) cell costs at
     most C(cap, 2) pairs instead of C(n, 2).
     |A∪B| is |A|+|B|−|A∩B| over distinct gram sets.
+
+    Plan shape (the q06 member-array pattern, replacing an earlier
+    equi-self-join): the capped blocks collect into one member-array row
+    per (lang, size_block) — reusing the window's hash partitioning, so
+    no second shuffle of the gram sets — then an explicit-width
+    round-robin repartition spreads the block rows before in-row pair
+    expansion. A self-join here would re-shuffle both sides onto the
+    same few block keys and AQE's byte-based coalescing would serialize
+    the O(cap^2) ``array_intersect`` scoring into one task; the
+    member-array form does strictly less shuffling and keeps the
+    compute-dense stage at full width.
     """
     tune_session(spark)
+    from ..session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
-    )
-    wblock = W.partitionBy("lang", "size_block").orderBy("doc_id")
-    g = (
-        docs.filter(F.size(toks) >= 2)
+    # toks materializes ONCE behind a projection boundary (the q55
+    # lesson: inlining the split makes every element_at re-split the
+    # text — O(tokens^2) interpreted string work), and the up-front
+    # round-robin spread keeps the gram build at full width even when
+    # the input is a handful of parquet row groups.
+    t = (
+        docs.repartition(default_parallelism())
         .select(
             "doc_id",
             "lang",
             (F.col("n_chars") / 100).cast("long").alias("size_block"),
-            grams.alias("grams"),
+            F.split("text", " ").alias("toks"),
         )
+        .filter(F.size("toks") >= 2)
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+        )
+    )
+    wblock = W.partitionBy("lang", "size_block").orderBy("doc_id")
+    g = (
+        t.select("doc_id", "lang", "size_block", grams.alias("grams"))
         .withColumn("_rn", F.row_number().over(wblock))
         .filter(F.col("_rn") <= _BUCKET_CAP)
         .drop("_rn")
     )
-    a, b = g.alias("a"), g.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.size_block") == F.col("b.size_block"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    members = (
+        g.groupBy("lang", "size_block")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "grams"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .repartition(default_parallelism())
     )
-    n_common = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    jaccard = n_common.cast("double") / (
-        F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - n_common
-    )
-    return (
-        joined.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            n_common.alias("n_common"),
-            jaccard.alias("jaccard"),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["grams"].alias("ga"),
+                    b["grams"].alias("gb"),
+                ),
+            ),
         )
-        .filter(F.col("jaccard") >= 0.2)
     )
+    pairs = members.select(F.explode(pair_arr).alias("p"))
+    n_common = F.size(F.array_intersect("p.ga", "p.gb"))
+    jaccard = n_common.cast("double") / (
+        F.size("p.ga") + F.size("p.gb") - n_common
+    )
+    return pairs.select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        n_common.alias("n_common"),
+        jaccard.alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)
 
 
 # --------------------------------------------------------------------------
@@ -1058,6 +1090,15 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
         .filter(F.size("ms") > 1)
+        # The pair-expansion stage below is compute-dense but byte-light
+        # (one capped member-array row per bucket): AQE's byte-based
+        # coalescing serializes it into one task, and a bucket-keyed
+        # repartition is elided as redundant with the groupBy's hash
+        # partitioning. Explicit-width round-robin survives both, so the
+        # O(cap^2 * dim) scoring runs one task per bucket row; the extra
+        # exchange moves only the capped member table (cap * dim per
+        # bucket — negligible next to the cap^2 * dim scoring it unlocks).
+        .repartition(default_parallelism())
     )
     pair_arr = F.flatten(
         F.transform(
