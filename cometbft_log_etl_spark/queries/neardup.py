@@ -205,6 +205,8 @@ def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
     # each bucket array, capped at `cap` members per bucket (see module
     # docstring — the degenerate-bucket guard).
     wrank = W.partitionBy("band", "bucket").orderBy("doc_id")
+    from ..session import default_parallelism
+
     members = (
         banded.withColumn("_rn", F.row_number().over(wrank))
         .filter(F.col("_rn") <= cap)
@@ -212,6 +214,12 @@ def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
         .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
+        # Explicit-width round-robin before the compute-dense in-row pair
+        # expansion: the member rows are byte-light, so AQE would coalesce
+        # the O(cap^2)-per-bucket scoring stage into one task (and a
+        # bucket-keyed repartition is elided as redundant with the groupBy
+        # partitioning). Same reasoning as q06/q57.
+        .repartition(default_parallelism())
     )
     pair_arr = F.flatten(
         F.transform(
