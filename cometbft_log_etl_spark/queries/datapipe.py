@@ -375,35 +375,49 @@ WHERE rank <= 10
 def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline.
 
-    The dot product is computed as an exploded position-join + exact
-    decimal sum (order-independent, so the shuffled aggregation is
-    bit-stable); at scale the probe side is small → broadcast, and the
-    candidate side streams. The LSH-bucketed scale path is
-    q58_ann_lsh (queries/neardup.py).
+    The dot product is an in-row zip_with + exact decimal fold
+    (order-independent, bit-stable vs the oracle's exploded sum); the
+    probe side is small by construction → broadcast, and the candidate
+    side streams. The LSH-bucketed scale path is q58_ann_lsh
+    (queries/neardup.py).
     """
     tune_session(spark)
-    probe = _exploded_embeddings(spark, sf_dir, "probe_id", F.col("vec_id") < 5)
-    cand = _exploded_embeddings(spark, sf_dir, "cand_id")
-    prod = F.col("p.x") * F.col("c.x")
-    # Norms are FOLDED into the per-(probe, cand) aggregation — the q39
-    # pattern (queries/neardup.py q39_ann_ivf): within a group every
-    # position of both vectors appears exactly once, so sum(p.x²) /
-    # sum(c.x²) ARE the squared norms, via the same decimal terms as the
-    # oracle's `norms` CTE (decimal addition is exact, so fold order
-    # can't change the result). The ONLY broadcast is the small probe
-    # side; no corpus-sized table is ever built or broadcast.
+    from ..session import default_parallelism
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(28,12)")
+
+    zero = F.lit(0).cast("decimal(28,12)")
+
+    def dfold(arr: F.Column) -> F.Column:
+        return F.aggregate(arr, zero, lambda acc, v: dec(acc + v)).cast("double")
+
+    # Array-native scoring (the q39 pattern, queries/neardup.py): each
+    # vector stays ONE row, the probe side (small by construction)
+    # broadcasts with its norm folded map-side, and every probe-candidate
+    # dot is a zip_with decimal fold in place — the same decimal terms as
+    # the oracle's exploded SUM (decimal addition is exact, so fold order
+    # can't change the result), with no per-dimension row blowup and NO
+    # scoring shuffle: the only exchange left is the top-k window on
+    # (probe_id, cosine). No corpus-sized table is built or broadcast.
     # PRECONDITION: fixed-dimension embeddings (q49's check screens).
+    nrm = F.sqrt(dfold(F.transform("embedding", lambda x: dec(x.cast("double") * x.cast("double")))))
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(default_parallelism())
+        .select("vec_id", F.col("embedding").alias("emb"), nrm.alias("nrm"))
+    )
+    probe = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"), F.col("nrm").alias("pnrm")
+    )
+    ddot = dfold(
+        F.zip_with("pemb", "cemb", lambda x, y: dec(x.cast("double") * y.cast("double")))
+    )
     scored = (
-        F.broadcast(probe.alias("p"))
-        .join(cand.alias("c"), F.col("p.pos") == F.col("c.pos"))
-        .filter(F.col("p.probe_id") != F.col("c.cand_id"))
-        .groupBy("p.probe_id", "c.cand_id")
-        .agg(
-            F.sum(prod.cast("decimal(28,12)")).cast("double").alias("dot"),
-            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
-            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
-        )
-        .select("probe_id", "cand_id", (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm"))
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select("probe_id", "cand_id", (ddot / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
     )
     from pyspark.sql import Window as W
 

@@ -898,38 +898,62 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its nearest centroid cell (argmax cosine, centroid-id
     tie-break); a probe scores only vectors in its nprobe nearest
     cells. At 100 TB the centroid set stays small and BROADCASTS, the
-    assignment is one map-side join + per-vector agg, and the inverted
-    file is just a (cell_id → members) partitioning of the corpus —
+    assignment is one map-side broadcast cross join (argmax in a
+    per-vector window), and the inverted file is just a
+    (cell_id → members) partitioning of the corpus —
     recall grows with nprobe, cost with cell count, the standard IVF
     trade. All dot products go through DECIMAL sums so Spark and DuckDB
     agree bit-for-bit.
     """
     tune_session(spark)
-    from .datapipe import _exploded_embeddings
+    from ..session import default_parallelism
 
-    elems = _exploded_embeddings(spark, sf_dir, "vec_id")
-    cent = (
-        elems.filter(F.col("vec_id") % _IVF_SEED_STEP == 0)
-        .select(F.col("vec_id").alias("cent_id"), F.col("pos").alias("cpos"), F.col("x").alias("cx"))
-    )
-    # Norms are folded into the per-(vec, centroid) aggregation: within a
-    # group every position of both vectors appears exactly once, so
-    # sum(x*x) / sum(cx*cx) ARE the squared norms, via the same decimal
-    # expression as the oracle's `norms` CTE (exact, order-insensitive) —
-    # no corpus-sized norms table to build, shuffle, or broadcast.
-    # PRECONDITION: fixed-dimension embeddings (cosine between ragged
-    # vectors is undefined; the pos-equality join would then cover only
-    # the dimension intersection, unlike a full-vector norms table).
-    # q49_embedding_stats' dimension check is the screen for violations.
-    vc = (
-        elems.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
-        .groupBy("vec_id", "cent_id")
-        .agg(
-            F.sum((F.col("x") * F.col("cx")).cast("decimal(28,12)")).cast("double").alias("dot"),
-            F.sqrt(F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double")).alias("vnrm"),
-            F.sqrt(F.sum((F.col("cx") * F.col("cx")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(28,12)")
+
+    zero = F.lit(0).cast("decimal(28,12)")
+
+    def ddot(a: F.Column, b: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: dec(x.cast("double") * y.cast("double"))),
+            zero,
+            lambda acc, v: dec(acc + v),
+        ).cast("double")
+
+    def dnrm(a: F.Column) -> F.Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: dec(x.cast("double") * x.cast("double"))),
+                zero,
+                lambda acc, v: dec(acc + v),
+            ).cast("double")
         )
-        .select("vec_id", "cent_id", (F.col("dot") / (F.col("vnrm") * F.col("cnrm"))).alias("cos"))
+
+    # Array-native scoring (replacing an earlier exploded-(vec, pos, x)
+    # formulation): each vector stays ONE row and every dot product is a
+    # zip_with decimal fold in place, so cell assignment is a broadcast
+    # cross join of corpus x centroids with no per-dimension row blowup
+    # and no (vec, cent)-keyed aggregation shuffle — the exploded form
+    # pushed corpus x centroids x dim rows through two groupBys for the
+    # identical decimal sums. Norms are folded map-side ONCE per vector
+    # (the same decimal expression as the oracle's `norms` CTE — exact,
+    # order-insensitive), never built as a corpus-sized side table.
+    # PRECONDITION: fixed-dimension embeddings (zip_with over ragged
+    # vectors would null out the tail where the oracle's pos-equality
+    # join covers the intersection); q49_embedding_stats' dimension
+    # check is the screen for violations.
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(default_parallelism())
+        .select("vec_id", F.col("embedding").alias("emb"), dnrm(F.col("embedding")).alias("nrm"))
+    )
+    cent = emb.filter(F.col("vec_id") % _IVF_SEED_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    vc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (ddot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
     )
     ranked_cells = vc.withColumn(
         "cell_rank",
@@ -947,25 +971,31 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", F.col("vec_id").alias("cand_id"), "cell_id")
     )
-    p, c = elems.alias("p"), elems.alias("c")
-    # Same norm-folding as vc: probe/candidate norms come out of the group
-    # itself, so scoring needs no join against a corpus-sized norms table.
-    scored = (
-        F.broadcast(cand)
-        .join(p, F.col("p.vec_id") == F.col("probe_id"))
-        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
-        .groupBy("probe_id", "cand_id", "cell_id")
-        .agg(
-            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
-            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
-            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
-        )
-        .select(
+    # Probe embeddings ride the broadcast (|probes| * nprobe-cell rows);
+    # the candidate side streams — one broadcast-hash join against the
+    # corpus, then the dot is an in-row fold. No scoring shuffle at all.
+    probes = F.broadcast(
+        cand.join(
+            emb.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("emb").alias("pemb"),
+                F.col("nrm").alias("pnrm"),
+            ),
             "probe_id",
-            "cand_id",
-            "cell_id",
-            (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"),
         )
+    )
+    scored = probes.join(
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("cemb2"),
+            F.col("nrm").alias("cnrm2"),
+        ),
+        "cand_id",
+    ).select(
+        "probe_id",
+        "cand_id",
+        "cell_id",
+        (ddot(F.col("pemb"), F.col("cemb2")) / (F.col("pnrm") * F.col("cnrm2"))).alias("cosine"),
     )
     ranked = scored.withColumn(
         "rank",

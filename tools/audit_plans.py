@@ -38,7 +38,12 @@ EXPECTATIONS = {
     # the ONLY explicit broadcast hint is the tiny probe side; norms are
     # folded into the dot-product agg (the q39 pattern), so a 2nd hint
     # means a corpus-derived table got broadcast again
-    "q04_cosine_topk": {"codegen": True, "broadcasts": 1, "no_smj": True, "max_hint_broadcasts": 1},
+    # the probe side broadcasts into a nested-loop cross join (array-
+    # native scoring has no equi-key); a shuffle-based CartesianProduct
+    # or SMJ would mean the corpus side stopped streaming
+    "q04_cosine_topk": {"codegen": True, "no_smj": True, "max_hint_broadcasts": 1,
+                        "contains": ["BroadcastNestedLoopJoin"],
+                        "contains_not": ["CartesianProduct"]},
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
     "q71_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
