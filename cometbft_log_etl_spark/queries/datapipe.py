@@ -1195,14 +1195,20 @@ def q96_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per document.
     """
     tune_session(spark)
+    from ..session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
     k = _SHINGLE_K
     # guard: Spark's sequence(1, n) DESCENDS for n <= 0 and slice with a
     # 0/negative start throws, so a sub-k-token document would kill the
     # task; the oracle's generate_series(1, n<=0) is simply empty, and
     # filtering matches that (the doc emits no shingle rows).
+    # Up-front round-robin spread (q55 staging rationale): the shingle
+    # build runs twice off this subtree (ownership + join side) and a
+    # few-row-group input would otherwise run both single-task.
     sh = (
-        docs.withColumn("toks", F.split("text", " "))
+        docs.repartition(default_parallelism())
+        .withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= k)
         .select(
             "doc_id",
@@ -1667,20 +1673,30 @@ def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training shuffles are vocab- and class-bounded after
     map-side partial agg; the dense (token × class) log-prob table is
-    vocab-sized and joins the token stream on the token key (stopword
-    keys are the AQE skew-join case); scoring is one (doc, class)
-    aggregation. Per-token log-probs are rounded then decimal-summed
+    model-sized by construction and BROADCASTS back over the token
+    stream (see the inline note), so scoring is a map-side pass plus
+    one (doc, class) aggregation. Per-token log-probs are rounded then
+    decimal-summed
     (the q19 determinism contract), and argmax ties break on class
     name, so both engines pick identical predictions.
     """
     tune_session(spark)
+    from ..session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
-    occ = docs.select(
+    # Up-front round-robin spread (the q55 staging rationale): both the
+    # fit and the scoring pass hang off this explode, and a small input
+    # of a few parquet row groups would otherwise run it single-task.
+    occ = docs.repartition(default_parallelism()).select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
+    # tl / vocab / v all derive FROM tc rather than from occ: the three
+    # aggregates then hang off tc's (tok, cls) exchange, which Spark
+    # executes once and wires up as ReusedExchange — the token explode
+    # runs twice per job (tc + scoring), not four times.
     tc = occ.groupBy("tok", F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("c"))
-    tl = occ.groupBy(F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("t"))
-    vocab = occ.select("tok").distinct()
+    tl = tc.groupBy("cls").agg(F.sum("c").alias("t"))
+    vocab = tc.select("tok").distinct()
     v = vocab.agg(F.count(F.lit(1)).alias("v"))
     classes = docs.select(F.col("lang").alias("cls")).distinct()
     dense = (
@@ -1707,8 +1723,16 @@ def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n_cls").cast("double") / F.col("n_total")), 9).alias("prior"),
         )
     )
+    # The fitted model BROADCASTS: dense is (vocab x classes) — model-
+    # sized by construction (a usable classifier must fit in executor
+    # memory; fasttext-style models do by design), never corpus-sized.
+    # Without the hint the token stream shuffles onto Zipf-skewed token
+    # keys to meet a kilobyte-scale table — the classic skew join this
+    # broadcast sidesteps entirely: scoring becomes one map-side pass
+    # with partial aggregation, and the only corpus shuffle left is the
+    # (doc, cls)-keyed score reduction.
     scores = (
-        occ.join(dense, "tok")
+        occ.join(F.broadcast(dense), "tok")
         .join(F.broadcast(priors), "cls")
         .groupBy("doc_id", "cls")
         .agg(

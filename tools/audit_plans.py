@@ -115,9 +115,11 @@ EXPECTATIONS = {
     # all, both decisions are windows inside the fp groups
     "q13_incremental_dedup": {"codegen": True, "max_scan_cols": 2,
                               "contains_not": ["SortMergeJoin", "BroadcastHashJoin"]},
-    # NB language ID: the scan stays 3 columns; the class/prior/vocab-size
-    # sides all broadcast (the only big-big join is token-keyed)
-    "q15_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2},
+    # NB language ID: the scan stays 3 columns; the fitted model (dense,
+    # vocab x classes — model-sized by construction) and the class/prior/
+    # vocab-size sides ALL broadcast, so scoring is a map-side pass and
+    # no corpus-sized join shuffles onto Zipf-skewed token keys
+    "q15_nb_langid": {"codegen": True, "max_scan_cols": 3, "broadcasts": 3, "no_smj": True},
     # token-budget mix: rate table broadcast back over the corpus; an
     # SMJ here means the per-source rates joined as a big side
     "q14_token_budget_mix": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1, "no_smj": True},
