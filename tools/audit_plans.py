@@ -52,7 +52,12 @@ EXPECTATIONS = {
     "q76_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
     # no codegen span at all — see _minhash_sigs docstring)
-    "q55_minhash_lsh": {"codegen": True, "max_scan_cols": 2},
+    # contains_n RoundRobin x2: the up-front input spread AND the
+    # explicit-width spread of the capped member rows before pair
+    # expansion (AQE would coalesce the byte-light, compute-dense
+    # scoring stage to one task without it — round-6 hardening)
+    "q55_minhash_lsh": {"codegen": True, "max_scan_cols": 2,
+                        "contains_n": {"RoundRobinPartitioning": 2}},
     # degenerate-bucket guard must stay a MAP-SIDE limit: the Partial
     # WindowGroupLimit truncates oversized buckets before the shuffle.
     # Allowed hints: probe buckets + capped candidate pairs (both
@@ -63,13 +68,15 @@ EXPECTATIONS = {
     # blocked/tiered similarity: both must keep their degenerate-block
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
     # q07 inherits q55's bucket cap via lsh_band_pairs)
-    "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"]},
+    "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
+                          "contains_n": {"RoundRobinPartitioning": 2}},
     "q86_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
     # embedding near-dup scores pairs INSIDE capped buckets (zip_with
     # folds over member arrays) — the plan must stay join-free with the
     # cap as a map-side rank limit; no codegen expectation (higher-order
     # lambdas don't enter codegen by design)
     "q06_embedding_neardup": {"max_scan_cols": 2, "contains": ["WindowGroupLimit"],
+                              "contains_n": {"RoundRobinPartitioning": 2},
                               "contains_not": ["SortMergeJoin", "BroadcastNestedLoopJoin",
                                                "CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
@@ -225,6 +232,12 @@ def audit(spark, sf_dir: str) -> list[str]:
         for needle in exp.get("contains", ()):
             if needle not in plan:
                 failures.append(f"{name}: expected physical operator {needle!r} missing")
+        for needle, want_n in exp.get("contains_n", {}).items():
+            got_n = plan.count(needle)
+            if got_n < want_n:
+                failures.append(
+                    f"{name}: {needle!r} appears {got_n}x (expected >= {want_n})"
+                )
         for needle in exp.get("contains_not", ()):
             if needle in plan:
                 failures.append(f"{name}: forbidden physical operator {needle!r} present")
