@@ -476,7 +476,7 @@ def q49_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q08/q10/q11/q13/q38: filtering / sampling / packing / contamination — the rest of
+# q87/q88/q89/q90/q38: filtering / sampling / packing / contamination — the rest of
 # the training-data curation loop.
 
 _EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
@@ -871,7 +871,7 @@ def q92_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q16/q18/q19/q41 — retrieval / language-model / vocab operators for the curation
+# q93/q94/q95/q97 — retrieval / language-model / vocab operators for the curation
 # loop: TF-IDF, BM25, bigram-LM likelihood, shingle novelty, vocab coverage.
 
 
@@ -1348,7 +1348,7 @@ def q08_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q89 — adaptive quality filter: per-language positional quantile cutoffs
+# q11 — adaptive quality filter: per-language positional quantile cutoffs
 
 @register(
     "q11_adaptive_quality_filter",
@@ -1453,7 +1453,7 @@ def q11_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q90 — incremental dedup: new batch vs. already-ingested history
+# q13 — incremental dedup: new batch vs. already-ingested history
 
 @register(
     "q13_incremental_dedup",
@@ -1523,7 +1523,7 @@ def q13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q91 — token-budget mixture resampling: weights → rates → actual sample
+# q14 — token-budget mixture resampling: weights → rates → actual sample
 
 @register(
     "q14_token_budget_mix",
@@ -1564,7 +1564,7 @@ FROM sampled GROUP BY source
 """,
 )
 def q14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The final mix-building step: turn q15's temperature weights into
+    """The final mix-building step: turn q92's temperature weights into
     per-source sampling RATES against a global token budget (40% of the
     corpus), apply them as a deterministic hash sample, and report the
     achieved per-source token counts next to the targets.
@@ -1616,7 +1616,7 @@ def q14_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q92 — learned language ID: Naive-Bayes trained and scored in-engine
+# q15 — learned language ID: Naive-Bayes trained and scored in-engine
 
 @register(
     "q15_nb_langid",
@@ -1677,7 +1677,7 @@ def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (see the inline note), so scoring is a map-side pass plus
     one (doc, class) aggregation. Per-token log-probs are rounded then
     decimal-summed
-    (the q19 determinism contract), and argmax ties break on class
+    (the q95 determinism contract), and argmax ties break on class
     name, so both engines pick identical predictions.
     """
     tune_session(spark)
@@ -1753,7 +1753,7 @@ def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q95 — per-source quality drift: KL(source band mix ‖ corpus band mix)
+# q19 — per-source quality drift: KL(source band mix ‖ corpus band mix)
 
 @register(
     "q19_quality_drift",
@@ -1841,7 +1841,7 @@ def q19_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q98 — KMV distinct sketch: mergeable cardinality estimation, exactly
+# q42 — KMV distinct sketch: mergeable cardinality estimation, exactly
 # reproducible cross-engine (md5-derived hashes, no HLL tolerance band)
 
 _KMV_K = 32
@@ -1913,7 +1913,7 @@ def q42_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q99 — cross-modal curation screen: text quality × embedding health
+# q43 — cross-modal curation screen: text quality × embedding health
 
 @register(
     "q43_crossmodal_screen",

@@ -662,7 +662,7 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q96 — weekly retention cohorts
+# q40 — weekly retention cohorts
 
 @register(
     "q40_retention_cohorts",
@@ -730,7 +730,7 @@ def q40_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q97 — ordered funnel conversion: view → click → purchase
+# q41 — ordered funnel conversion: view → click → purchase
 
 @register(
     "q41_funnel_conversion",
@@ -848,7 +848,7 @@ def q101_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate anomaly detection: hours whose per-type event count
     sits ≥2 population standard deviations from that type's mean — the
     alerting pass a monitoring pipeline runs over its own rollups
-    (q95 watches composition drift; this watches volume).
+    (q19 watches composition drift; this watches volume).
 
     Scale shape: the corpus-sized pass is one (type, hour) count with
     map-side partial agg; stats reduce the hourly matrix per type

@@ -630,7 +630,7 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q07 — bounded edit-distance verification tier
+# q86 — bounded edit-distance verification tier
 
 
 @register(
@@ -741,7 +741,7 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
 
 def cluster_labels(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id): near-dup connected components over LSH
-    candidate pairs — the shared front half of q37/q88. cluster_id is
+    candidate pairs — the shared front half of q37/q10. cluster_id is
     the component's minimum doc_id (Hash-Min fixpoint)."""
     pairs = lsh_band_pairs(_minhash_sigs(docs))
     agree = F.size(
@@ -765,7 +765,7 @@ def cluster_labels(docs: DataFrame) -> DataFrame:
 
 # Shared oracle CTE chain: LSH pairs → edges → transitive closure →
 # per-doc min-reachable label (the recursive-CTE cross-check of
-# hash_min_components). Used by q37 and q88.
+# hash_min_components). Used by q37 and q10.
 _CC_SQL_CTES = f"""{_Q55_CTES},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -1007,7 +1007,7 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q85 — embedding-cosine near-duplicate pairs (the dedup-by-embedding tier)
+# q06 — embedding-cosine near-duplicate pairs (the dedup-by-embedding tier)
 
 _ND_PLANES = 4  # coarser cells than q58's 8: near-dup wants recall over speed
 _ND_COSINE = 0.35  # dedup-edge threshold (tuned to the synthetic corpus)
@@ -1176,7 +1176,7 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q86 — multi-probe LSH ANN (the recall tier on top of q58's single-probe)
+# q07 — multi-probe LSH ANN (the recall tier on top of q58's single-probe)
 
 _MP_PLANES = 4  # coarser cells than q58's 8 — multi-probe trades cell
 #                 selectivity for reachable neighbors
@@ -1375,7 +1375,7 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q88 — canonical-corpus resolution: clusters + quality → keep decision
+# q10 — canonical-corpus resolution: clusters + quality → keep decision
 
 @register(
     "q10_canonical_corpus",
@@ -1475,7 +1475,7 @@ def q100_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training pair mining over the corpus:
 
     - POSITIVES: adjacent overlapping context-window chunks of the same
-      document (the q14 chunker's 64/48 geometry — each consecutive
+      document (the q91 chunker's 64/48 geometry — each consecutive
       chunk pair shares a 16-token overlap), counted per doc as
       chunks−1. Pure arithmetic on token counts, map-only.
     - HARD NEGATIVES: document pairs that collide in an LSH band (so

@@ -1,6 +1,6 @@
 """Distributed BPE tokenizer fitting over the documents corpus.
 
-The vocab-induction story so far counts whole tokens (q41) and applies
+The vocab-induction story so far counts whole tokens (q97) and applies
 a BPE-ish regex (q62); this module FITS the merge table itself — the
 iterative half of training a tokenizer — as a driver-looped sequence of
 DataFrame jobs, the same bounded-iteration shape as the Hash-Min
@@ -25,7 +25,7 @@ sequence is a pure function of the corpus, attested in
 tests/test_tokenizer.py against an independent single-process Python
 implementation (ground-truth attestation, the q82/q83 pattern for
 operators whose iterative semantics SQL cannot express; the driver
-records a rows-only check for q93).
+records a rows-only check for q16).
 """
 
 from __future__ import annotations
@@ -145,7 +145,7 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
 @register("q18_bpe_token_counts", tags=("datapipe", "text", "tokenizer"))
 def q18_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subtoken counts under the corpus-fitted BPE
-    tokenizer (q93's merges applied): the real version of what q62
+    tokenizer (q16's merges applied): the real version of what q62
     approximates with a fixed regex. Word→length comes STRAIGHT from
     the fit's final checkpointed symbol state (no re-derive, no
     re-merge chain) and joins back onto the token stream (vocab-keyed

@@ -113,7 +113,7 @@ def stream_exact_dedup_bounded(
 def stream_incremental_dedup(
     spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
 ) -> DataFrame:
-    """Streaming half of q90: screen a live ingest stream against the
+    """Streaming half of q13: screen a live ingest stream against the
     already-ingested history with a stream-static join.
 
     The history fingerprint set is a STATIC DataFrame (the lake's
@@ -125,7 +125,7 @@ def stream_incremental_dedup(
     state (ingestion time is the event time, the
     stream_exact_dedup_bounded contract): state is arrival-rate ×
     horizon, duplicates farther apart than the horizon fall through to
-    the next batch-q90 compaction. First arrival wins, matching q90's
+    the next batch-q13 compaction. First arrival wins, matching q13's
     min-doc_id batch rule for id-ordered arrival. Emits only surviving
     (keep=true) documents.
     """
@@ -134,7 +134,7 @@ def stream_incremental_dedup(
     fp = F.md5(F.col("text").cast("binary"))
     incoming = (
         stream_documents(spark, sf_dir)
-        .filter(F.col("doc_id") % 10 >= 8)  # q90's incoming-batch slice
+        .filter(F.col("doc_id") % 10 >= 8)  # q13's incoming-batch slice
         .withColumn("fp", fp)
     )
     history = (
@@ -158,7 +158,7 @@ def stream_incremental_dedup(
 
 
 def stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming slice of the q87 data card: per-source doc/token/short
+    """Streaming slice of the q08 data card: per-source doc/token/short
     counts as a continuously-updating aggregate (complete output mode).
 
     Exactly the streamable subset — the batch card's distinct-text-hash

@@ -70,7 +70,7 @@ def test_staged_dir_reused_not_leaked(spark, sf_dir):
 
 
 def test_stream_incremental_dedup_matches_q90(spark, sf_dir):
-    """Stream-static screen == batch q90: the surviving doc_ids of the
+    """Stream-static screen == batch q13: the surviving doc_ids of the
     streaming path must be exactly the keep=true rows of the batch
     incremental-dedup query."""
     from cometbft_log_etl_spark.streaming.curation import stream_incremental_dedup
@@ -88,7 +88,7 @@ def test_stream_incremental_dedup_matches_q90(spark, sf_dir):
 
 
 def test_stream_source_stats_matches_batch_card(spark, sf_dir):
-    """The streaming data-card slice must equal the batch q87 columns it
+    """The streaming data-card slice must equal the batch q08 columns it
     mirrors (complete-mode agg over the whole table read as a stream)."""
     from cometbft_log_etl_spark.streaming.curation import stream_source_stats
 

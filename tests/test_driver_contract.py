@@ -75,7 +75,7 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
 
-    # Multi-probe (q86) is the recall fix on top of q58: coarser cells +
+    # Multi-probe (q07) is the recall fix on top of q58: coarser cells +
     # least-confident bit-flip probes. It must strictly dominate the
     # single-probe tier and clear a real floor (measured 5/15 at
     # sf0.001, 11/15 at sf0.01; q58 finds 0 at both).

@@ -173,14 +173,30 @@ def test_manifest_seeds_empty_shards(spark, tmp_path):
 
 
 def test_mongo_sink_real_pymongo_surface(spark):
-    """Exercise insert_many batching through pymongo's REAL API surface
-    via mongomock (or a live mongod at $MONGO_TEST_URI). Skipped cleanly
-    when neither is available — in-container CI has no Mongo driver.
+    """Exercise insert_many batching through pymongo's REAL API surface:
+    against a live mongod when $MONGO_TEST_URI is set (pymongo), else
+    via mongomock. Skipped cleanly when neither is available —
+    in-container CI has no Mongo driver.
 
-    mongomock is in-process, and Spark executors are separate processes,
-    so the test drives the module-level partition kernel directly —
-    byte-for-byte the code `store` ships to every executor."""
-    mongomock = pytest.importorskip("mongomock")
+    Both backends are in-process/driver-side, and Spark executors are
+    separate processes, so the test drives the module-level partition
+    kernel directly — byte-for-byte the code `store` ships to every
+    executor."""
+    import os
+
+    live_uri = os.environ.get("MONGO_TEST_URI")
+    if live_uri:
+        pymongo = pytest.importorskip("pymongo")
+
+        class _LiveBackend:
+            def MongoClient(self):
+                client = pymongo.MongoClient(live_uri, serverSelectionTimeoutMS=2000)
+                client["sim-x"]["vote_latency"].drop()  # idempotent re-runs
+                return client
+
+        mongomock = _LiveBackend()
+    else:
+        mongomock = pytest.importorskip("mongomock")
 
     from cometbft_log_etl_spark.sinks import insert_rows_batched
 

@@ -246,7 +246,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_streaming_rate_anomalies_match_batch(spark, tmp_path):
+def test_streaming_rate_anomalies_match_batch(spark, sf_dir, tmp_path):
     """q101 parity: the hourly rollup as a watermarked windowed stream,
     the shared anomalies_from_hourly pass applied to the accumulated
     rollup — output must equal the batch query on the same events."""
@@ -255,7 +255,6 @@ def test_streaming_rate_anomalies_match_batch(spark, tmp_path):
     from cometbft_log_etl_spark.streaming.analytics import streaming_hourly_rates
     from cometbft_log_etl_spark.tables import load
 
-    sf_dir = "/root/testdata/sf0.001"
     ev = load(spark, sf_dir, "events").select("event_type", "ts")
     src = str(tmp_path / "events_stream")
     ev.write.mode("overwrite").parquet(src)  # micros timestamps for readStream
@@ -280,7 +279,7 @@ def test_streaming_rate_anomalies_match_batch(spark, tmp_path):
     rollup = spark.createDataFrame(rollup_rows.collect(), rollup_rows.schema)
     got = {tuple(r) for r in anomalies_from_hourly(rollup).collect()}
     want = {tuple(r) for r in queries()["q101_rate_anomalies"](spark, sf_dir).collect()}
-    assert want, "batch q101 found no anomalies at sf0.001 — parity test is vacuous"
+    assert want, "batch q101 found no anomalies at the test sf — parity test is vacuous"
     assert got == want
 
 

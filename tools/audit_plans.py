@@ -35,12 +35,11 @@ EXPECTATIONS = {
     "q21_fifo_pairing": {"codegen": True, "max_scan_cols": 6},
     "q23_sessionization": {"codegen": True, "max_scan_cols": 6},
     "q26_latency_histogram": {"codegen": True, "max_scan_cols": 6},
-    # the ONLY explicit broadcast hint is the tiny probe side; norms are
-    # folded into the dot-product agg (the q39 pattern), so a 2nd hint
-    # means a corpus-derived table got broadcast again
-    # the probe side broadcasts into a nested-loop cross join (array-
-    # native scoring has no equi-key); a shuffle-based CartesianProduct
-    # or SMJ would mean the corpus side stopped streaming
+    # the ONLY explicit broadcast hint is the tiny probe side, which
+    # broadcasts into a nested-loop cross join (array-native scoring has
+    # no equi-key); a 2nd hint means a corpus-derived table got
+    # broadcast again, and a shuffle-based CartesianProduct or SMJ
+    # would mean the corpus side stopped streaming
     "q04_cosine_topk": {"codegen": True, "no_smj": True, "max_hint_broadcasts": 1,
                         "contains": ["BroadcastNestedLoopJoin"],
                         "contains_not": ["CartesianProduct"]},
@@ -67,7 +66,7 @@ EXPECTATIONS = {
     "q58_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
     # blocked/tiered similarity: both must keep their degenerate-block
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
-    # q07 inherits q55's bucket cap via lsh_band_pairs)
+    # q86 inherits q55's bucket cap via lsh_band_pairs)
     "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
                           "contains_n": {"RoundRobinPartitioning": 2}},
     "q86_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
@@ -233,7 +232,11 @@ def audit(spark, sf_dir: str) -> list[str]:
             if needle not in plan:
                 failures.append(f"{name}: expected physical operator {needle!r} missing")
         for needle, want_n in exp.get("contains_n", {}).items():
-            got_n = plan.count(needle)
+            # count ONLY the executed (AQE Final) section — the plan
+            # string repeats every operator under "== Initial Plan ==",
+            # which would let a single occurrence satisfy a >= 2 gate
+            final = plan.split("== Initial Plan ==")[0]
+            got_n = final.count(needle)
             if got_n < want_n:
                 failures.append(
                     f"{name}: {needle!r} appears {got_n}x (expected >= {want_n})"
