@@ -829,6 +829,13 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_SEED_STEP = 37  # every 37th vector seeds a cell (no RNG, no k-means)
 _IVF_NPROBE = 2  # cells searched per probe
+# FIXED centroid budget: an index whose cell count tracks the corpus is
+# not an inverted file — the assignment cross join would grow
+# quadratically with N (measured 32x wall time at a 10x corpus before
+# this cap). Real IVF picks k up front; here the k lowest-id seeds,
+# deterministic and oracle-mirrored. Both driver scale factors sit
+# below the cap, so results are unchanged where attested.
+_IVF_MAX_CENTROIDS = 64
 
 
 @register(
@@ -844,7 +851,9 @@ norms AS (
   SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
   FROM elems GROUP BY vec_id
 ),
-cent AS (SELECT vec_id AS cent_id, pos, x FROM elems WHERE vec_id % {_IVF_SEED_STEP} = 0),
+cent AS (SELECT vec_id AS cent_id, pos, x FROM elems
+         WHERE vec_id % {_IVF_SEED_STEP} = 0
+           AND vec_id < {_IVF_SEED_STEP * _IVF_MAX_CENTROIDS}),
 vc AS (
   SELECT e.vec_id, c.cent_id,
          CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
@@ -891,8 +900,10 @@ SELECT probe_id, cand_id, cell_id, round(cosine, 9) AS cosine, rank FROM (
 )
 def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbours: inverted-file cells from
-    deterministic seed centroids (every 37th vector — reproducible, no
-    RNG/k-means iteration), nprobe=2 cell search.
+    deterministic seed centroids (the first _IVF_MAX_CENTROIDS vectors
+    at every 37th id — reproducible, no RNG/k-means iteration, and a
+    FIXED cell budget so the index never grows with the corpus),
+    nprobe=2 cell search.
 
     The other standard ANN family next to LSH (q58): every vector is
     assigned to its nearest centroid cell (argmax cosine, centroid-id
@@ -947,7 +958,10 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(default_parallelism())
         .select("vec_id", F.col("embedding").alias("emb"), dnrm(F.col("embedding")).alias("nrm"))
     )
-    cent = emb.filter(F.col("vec_id") % _IVF_SEED_STEP == 0).select(
+    cent = emb.filter(
+        (F.col("vec_id") % _IVF_SEED_STEP == 0)
+        & (F.col("vec_id") < _IVF_SEED_STEP * _IVF_MAX_CENTROIDS)
+    ).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
     )
     vc = emb.crossJoin(F.broadcast(cent)).select(
