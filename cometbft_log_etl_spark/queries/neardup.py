@@ -827,7 +827,8 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q39 — IVF ANN: inverted-file index with deterministic seed centroids
 
-_IVF_SEED_STEP = 37  # every 37th vector seeds a cell (no RNG, no k-means)
+_IVF_SEED_STEP = 37  # every 37th vector is a seed CANDIDATE (no RNG/k-means);
+#                      only the _IVF_MAX_CENTROIDS lowest-id ones seed cells
 _IVF_NPROBE = 2  # cells searched per probe
 # FIXED centroid budget: an index whose cell count tracks the corpus is
 # not an inverted file — the assignment cross join would grow
@@ -851,9 +852,10 @@ norms AS (
   SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
   FROM elems GROUP BY vec_id
 ),
-cent AS (SELECT vec_id AS cent_id, pos, x FROM elems
-         WHERE vec_id % {_IVF_SEED_STEP} = 0
-           AND vec_id < {_IVF_SEED_STEP * _IVF_MAX_CENTROIDS}),
+seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % {_IVF_SEED_STEP} = 0
+          ORDER BY vec_id LIMIT {_IVF_MAX_CENTROIDS}),
+cent AS (SELECT e.vec_id AS cent_id, pos, x FROM elems e
+         JOIN seeds s ON s.vec_id = e.vec_id),
 vc AS (
   SELECT e.vec_id, c.cent_id,
          CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
@@ -958,11 +960,18 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(default_parallelism())
         .select("vec_id", F.col("embedding").alias("emb"), dnrm(F.col("embedding")).alias("nrm"))
     )
-    cent = emb.filter(
-        (F.col("vec_id") % _IVF_SEED_STEP == 0)
-        & (F.col("vec_id") < _IVF_SEED_STEP * _IVF_MAX_CENTROIDS)
-    ).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    # The k lowest-id qualifying seeds via a distributed top-k
+    # (TakeOrderedAndProject: map-side partial top-k, never a global
+    # sort) — rank-based, so an id space that starts at 10^9 still
+    # seeds exactly k cells, where an absolute id-range cutoff would
+    # silently yield ZERO centroids and an empty result.
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_SEED_STEP == 0)
+        .orderBy("vec_id")
+        .limit(_IVF_MAX_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+        )
     )
     vc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
