@@ -1049,13 +1049,16 @@ def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("bm25"),
         F.count(F.lit(1)).alias("n_query_terms_hit"),
     )
-    ranked = per_doc.withColumn(
+    # Global top-10 via orderBy().limit(): TakeOrderedAndProject keeps
+    # a 10-row heap per partition and merges — the row_number-then-
+    # filter form pulls EVERY matching doc into one partition first
+    # (the empty-partition-spec window never gets a WindowGroupLimit).
+    # The rank window then runs over <= 10 rows by construction.
+    top = per_doc.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    return top.withColumn(
         "doc_rank",
         F.row_number().over(W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")),
-    )
-    return ranked.filter(F.col("doc_rank") <= 10).select(
-        "doc_id", "bm25", "n_query_terms_hit", "doc_rank"
-    )
+    ).select("doc_id", "bm25", "n_query_terms_hit", "doc_rank")
 
 
 @register(
@@ -1268,12 +1271,13 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab be to cover X% of the stream" curve.
 
     Scale shape: token counting is one map-side-combinable aggregation
-    whose shuffle is vocab-sized; the rank and running-coverage windows
-    run over the AGGREGATED vocabulary (bounded by distinct tokens, not
-    corpus size), with the rank filter compiling to a WindowGroupLimit
-    so only top-k rows reach the final single partition. Integer
-    cumulative sums divide the broadcast total once, rounded — exact in
-    both engines.
+    whose shuffle is vocab-sized; the top-k cut is a
+    TakeOrderedAndProject (map-side k-row heaps — a rank filter on an
+    empty-partition-spec window does NOT compile to a WindowGroupLimit,
+    so the window form would single-partition the whole vocabulary),
+    and the rank + running-coverage windows then cover <= k rows by
+    construction. Integer cumulative sums divide the broadcast total
+    once, rounded — exact in both engines.
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
@@ -1283,9 +1287,14 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total_tokens"))
-    ranked = counts.withColumn(
+    # Top-k via orderBy().limit() (TakeOrderedAndProject: map-side k-row
+    # heaps, no full-vocab single-partition window — the rank filter
+    # does NOT compile to a WindowGroupLimit on an empty partition
+    # spec); rank + running coverage then run over <= k rows.
+    top = counts.orderBy(F.col("n").desc(), "token").limit(_VOCAB_TOP_K)
+    ranked = top.withColumn(
         "vocab_rank", F.row_number().over(W.partitionBy().orderBy(F.col("n").desc(), "token"))
-    ).filter(F.col("vocab_rank") <= _VOCAB_TOP_K)
+    )
     cum = W.partitionBy().orderBy("vocab_rank").rowsBetween(W.unboundedPreceding, W.currentRow)
     return ranked.join(F.broadcast(total)).select(
         "vocab_rank",

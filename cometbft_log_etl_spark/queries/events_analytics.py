@@ -652,13 +652,16 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n_occurrences"))
-    ranked = paths.withColumn(
+    # Global top-20 via orderBy().limit() (TakeOrderedAndProject) so
+    # the path-count table never lands in one partition whole; the rank
+    # window then covers <= 20 rows by construction.
+    top = paths.orderBy(F.col("n_occurrences").desc(), "path").limit(20)
+    return top.withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy().orderBy(F.col("n_occurrences").desc(), "path")
         ),
     )
-    return ranked.filter(F.col("rank") <= 20)
 
 
 # --------------------------------------------------------------------------

@@ -100,7 +100,15 @@ EXPECTATIONS = {
     "q93_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
     "q95_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
     "q96_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
-    "q97_vocab_coverage": {"codegen": True, "max_scan_cols": 1},
+    # global top-k must stay a TakeOrderedAndProject (map-side k-row
+    # heaps): the rank-filter window form single-partitions the whole
+    # aggregate (empty partition spec gets no WindowGroupLimit)
+    "q97_vocab_coverage": {"codegen": True, "max_scan_cols": 1,
+                           "contains": ["TakeOrderedAndProject"]},
+    "q94_bm25_search": {"codegen": True, "max_scan_cols": 2,
+                        "contains": ["TakeOrderedAndProject"]},
+    "q32_event_paths": {"codegen": True, "max_scan_cols": 4,
+                        "contains": ["TakeOrderedAndProject"]},
     # vote-string render+parse is a pure map pass: any Exchange means a
     # shuffle crept into the Arrow kernel pipeline
     "q98_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
