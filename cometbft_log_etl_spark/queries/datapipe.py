@@ -1049,11 +1049,14 @@ def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("bm25"),
         F.count(F.lit(1)).alias("n_query_terms_hit"),
     )
-    # Global top-10 via orderBy().limit(): TakeOrderedAndProject keeps
-    # a 10-row heap per partition and merges — the row_number-then-
-    # filter form pulls EVERY matching doc into one partition first
-    # (the empty-partition-spec window never gets a WindowGroupLimit).
-    # The rank window then runs over <= 10 rows by construction.
+    # Global top-10 via an EXPLICIT orderBy().limit(): plans as
+    # TakeOrderedAndProject (10-row heap per partition, small merge).
+    # The rank-filter window form compiles to the same operator today
+    # (LimitPushDownThroughWindow), but only while its preconditions
+    # hold — the explicit limit states the bound in the code and the
+    # plan gate pins the operator, so an edit that breaks the pushdown
+    # (a different rank function, a reordered filter) fails the audit
+    # instead of silently single-partitioning every matching doc.
     top = per_doc.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
     return top.withColumn(
         "doc_rank",
@@ -1271,13 +1274,12 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab be to cover X% of the stream" curve.
 
     Scale shape: token counting is one map-side-combinable aggregation
-    whose shuffle is vocab-sized; the top-k cut is a
-    TakeOrderedAndProject (map-side k-row heaps — a rank filter on an
-    empty-partition-spec window does NOT compile to a WindowGroupLimit,
-    so the window form would single-partition the whole vocabulary),
-    and the rank + running-coverage windows then cover <= k rows by
-    construction. Integer cumulative sums divide the broadcast total
-    once, rounded — exact in both engines.
+    whose shuffle is vocab-sized; the top-k cut is an explicit
+    orderBy().limit(k) → TakeOrderedAndProject (map-side k-row heaps),
+    gate-pinned so the full vocabulary can never silently
+    single-partition, and the rank + running-coverage windows then
+    cover <= k rows by construction. Integer cumulative sums divide
+    the broadcast total once, rounded — exact in both engines.
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
@@ -1287,10 +1289,9 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total_tokens"))
-    # Top-k via orderBy().limit() (TakeOrderedAndProject: map-side k-row
-    # heaps, no full-vocab single-partition window — the rank filter
-    # does NOT compile to a WindowGroupLimit on an empty partition
-    # spec); rank + running coverage then run over <= k rows.
+    # Explicit top-k cut (TakeOrderedAndProject: map-side k-row heaps);
+    # see q94's note — the bound is stated in code and gate-pinned
+    # rather than relying on LimitPushDownThroughWindow's preconditions.
     top = counts.orderBy(F.col("n").desc(), "token").limit(_VOCAB_TOP_K)
     ranked = top.withColumn(
         "vocab_rank", F.row_number().over(W.partitionBy().orderBy(F.col("n").desc(), "token"))

@@ -652,9 +652,10 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n_occurrences"))
-    # Global top-20 via orderBy().limit() (TakeOrderedAndProject) so
-    # the path-count table never lands in one partition whole; the rank
-    # window then covers <= 20 rows by construction.
+    # Explicit top-20 cut (TakeOrderedAndProject: map-side heaps); see
+    # q94's note — the bound is stated in code and gate-pinned rather
+    # than relying on LimitPushDownThroughWindow's preconditions. The
+    # rank window then covers <= 20 rows by construction.
     top = paths.orderBy(F.col("n_occurrences").desc(), "path").limit(20)
     return top.withColumn(
         "rank",

@@ -101,8 +101,11 @@ EXPECTATIONS = {
     "q95_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
     "q96_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
     # global top-k must stay a TakeOrderedAndProject (map-side k-row
-    # heaps): the rank-filter window form single-partitions the whole
-    # aggregate (empty partition spec gets no WindowGroupLimit)
+    # heaps). The operator currently also arises from a rank-filter
+    # window via LimitPushDownThroughWindow; the gate pins it so any
+    # edit that breaks that pushdown's preconditions (different rank
+    # function, reordered filter) fails here instead of silently
+    # single-partitioning the whole aggregate
     "q97_vocab_coverage": {"codegen": True, "max_scan_cols": 1,
                            "contains": ["TakeOrderedAndProject"]},
     "q94_bm25_search": {"codegen": True, "max_scan_cols": 2,
