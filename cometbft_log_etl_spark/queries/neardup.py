@@ -730,7 +730,14 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
-            print(f"[hash_min_components] converged after {it} iteration(s)")
+            # stderr, never stdout: bench.py's contract is ONE JSON line on
+            # stdout, and q37 is in the headline set that bench times.
+            import sys
+
+            print(
+                f"[hash_min_components] converged after {it} iteration(s)",
+                file=sys.stderr,
+            )
             return labels
     raise RuntimeError(
         f"hash_min_components: no fixpoint after {max_iters} iterations — "

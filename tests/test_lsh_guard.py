@@ -73,3 +73,21 @@ def test_hash_min_components_converges_on_path_graph(spark):
     # instead of returning half-propagated labels.
     with pytest.raises(RuntimeError, match="no fixpoint"):
         hash_min_components(labels, sym, max_iters=2)
+
+
+def test_hash_min_components_keeps_stdout_clean(spark, capsys):
+    """The convergence note must go to stderr, never stdout: bench.py's
+    driver contract is ONE JSON line on stdout, and q37 (which runs this
+    loop) is in the timed headline set — a stdout print there corrupts
+    the recorded BENCH artifact."""
+    from cometbft_log_etl_spark.queries.neardup import hash_min_components
+
+    edges = spark.createDataFrame([(0, 1)], "a long, b long")
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = spark.range(2).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+    )
+    hash_min_components(labels, sym, max_iters=5).collect()
+    captured = capsys.readouterr()
+    assert captured.out == ""
+    assert "converged" in captured.err
