@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import load
 from . import register
+from ._topk import global_topk
 
 # Portable 32-bit-ish hash: int(md5(s)[:8], 16). Identical in Spark
 # (conv) and DuckDB (0x-prefix cast); used as the MinHash base hash.
@@ -1049,18 +1050,10 @@ def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("bm25"),
         F.count(F.lit(1)).alias("n_query_terms_hit"),
     )
-    # Global top-10 via an EXPLICIT orderBy().limit(): plans as
-    # TakeOrderedAndProject (10-row heap per partition, small merge).
-    # The rank-filter window form compiles to the same operator today
-    # (LimitPushDownThroughWindow), but only while its preconditions
-    # hold — the explicit limit states the bound in the code and the
-    # plan gate pins the operator, so an edit that breaks the pushdown
-    # (a different rank function, a reordered filter) fails the audit
-    # instead of silently single-partitioning every matching doc.
-    top = per_doc.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
-    return top.withColumn(
-        "doc_rank",
-        F.row_number().over(W.partitionBy().orderBy(F.col("bm25").desc(), "doc_id")),
+    # Global top-10 as TakeOrderedAndProject + bounded rank window (the
+    # shared gate-pinned shape — see _topk.global_topk's docstring).
+    return global_topk(
+        per_doc, 10, [F.col("bm25").desc(), "doc_id"], "doc_rank"
     ).select("doc_id", "bm25", "n_query_terms_hit", "doc_rank")
 
 
@@ -1289,12 +1282,10 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total_tokens"))
-    # Explicit top-k cut (TakeOrderedAndProject: map-side k-row heaps);
-    # see q94's note — the bound is stated in code and gate-pinned
-    # rather than relying on LimitPushDownThroughWindow's preconditions.
-    top = counts.orderBy(F.col("n").desc(), "token").limit(_VOCAB_TOP_K)
-    ranked = top.withColumn(
-        "vocab_rank", F.row_number().over(W.partitionBy().orderBy(F.col("n").desc(), "token"))
+    # Gate-pinned TakeOrderedAndProject top-k + bounded rank window
+    # (see _topk.global_topk's docstring).
+    ranked = global_topk(
+        counts, _VOCAB_TOP_K, [F.col("n").desc(), "token"], "vocab_rank"
     )
     cum = W.partitionBy().orderBy("vocab_rank").rowsBetween(W.unboundedPreceding, W.currentRow)
     return ranked.join(F.broadcast(total)).select(

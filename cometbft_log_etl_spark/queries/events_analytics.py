@@ -17,6 +17,7 @@ from ..session import tune_session
 from ..tables import load
 from . import register
 from ._det import dsum, sql_dsum
+from ._topk import global_topk
 
 # Shared CTE text for FIFO send/receive pairing (q21/q22 oracles).
 _FIFO_CTES = """
@@ -652,17 +653,9 @@ def q32_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n_occurrences"))
-    # Explicit top-20 cut (TakeOrderedAndProject: map-side heaps); see
-    # q94's note — the bound is stated in code and gate-pinned rather
-    # than relying on LimitPushDownThroughWindow's preconditions. The
-    # rank window then covers <= 20 rows by construction.
-    top = paths.orderBy(F.col("n_occurrences").desc(), "path").limit(20)
-    return top.withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy().orderBy(F.col("n_occurrences").desc(), "path")
-        ),
-    )
+    # Gate-pinned TakeOrderedAndProject top-20 + bounded rank window
+    # (see _topk.global_topk's docstring).
+    return global_topk(paths, 20, [F.col("n_occurrences").desc(), "path"], "rank")
 
 
 # --------------------------------------------------------------------------

@@ -197,6 +197,11 @@ def audit(spark, sf_dir: str) -> list[str]:
         # AQE settles on the final plan with codegen stages compiled
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # The executed (AQE Final) section only: the plan string repeats
+        # every operator under "== Initial Plan ==", so presence/count
+        # checks against the full string can be satisfied by a stale
+        # pre-replan copy of an operator AQE removed at runtime.
+        final = plan.split("== Initial Plan ==")[0]
         hint_cap = exp.get("max_hint_broadcasts")
         if hint_cap is not None:
             # Count only BROADCAST hints: ResolvedHint prints its strategy
@@ -218,9 +223,6 @@ def audit(spark, sf_dir: str) -> list[str]:
         widest = max((len(s.split(",")) for s in scans), default=0)
         scan_cap = exp.get("max_scans")
         if scan_cap is not None:
-            # count ONLY the executed (AQE Final) section — the plan
-            # string repeats every operator under "== Initial Plan =="
-            final = plan.split("== Initial Plan ==")[0]
             n_scans = len(re.findall(r"FileScan parquet \[", final))
             if n_scans > scan_cap:
                 failures.append(
@@ -240,13 +242,14 @@ def audit(spark, sf_dir: str) -> list[str]:
         if exp.get("no_smj") and "SortMergeJoin" in plan:
             failures.append(f"{name}: SortMergeJoin appeared where broadcast was expected")
         for needle in exp.get("contains", ()):
-            if needle not in plan:
+            # checked against the executed section: an operator present
+            # only under "== Initial Plan ==" was re-planned away by AQE
+            # — exactly the silent regression the presence gate exists
+            # to catch
+            if needle not in final:
                 failures.append(f"{name}: expected physical operator {needle!r} missing")
         for needle, want_n in exp.get("contains_n", {}).items():
-            # count ONLY the executed (AQE Final) section — the plan
-            # string repeats every operator under "== Initial Plan ==",
-            # which would let a single occurrence satisfy a >= 2 gate
-            final = plan.split("== Initial Plan ==")[0]
+            # a single pre-replan occurrence must not satisfy a >= 2 gate
             got_n = final.count(needle)
             if got_n < want_n:
                 failures.append(
