@@ -9,3 +9,46 @@ def test_headline_plans_hold(spark, sf_dir):
 
     failures = audit(spark, sf_dir)
     assert not failures, "\n".join(failures)
+
+
+def test_presence_gates_read_only_the_executed_section():
+    """An operator surviving only in the stale '== Initial Plan =='
+    section (i.e. re-planned away by AQE at runtime) must NOT satisfy a
+    presence or count gate — that silent re-plan is exactly what the
+    gates exist to catch."""
+    from tools.audit_plans import check_plan
+
+    stale = "SomeOp\n== Initial Plan ==\nTakeOrderedAndProject\n"
+    live = "TakeOrderedAndProject\n== Initial Plan ==\nTakeOrderedAndProject\n"
+
+    gate = {"contains": ["TakeOrderedAndProject"]}
+    assert any("missing" in f for f in check_plan("q", stale, "", gate))
+    assert check_plan("q", live, "", gate) == []
+
+    # a single pre-replan occurrence must not satisfy a >= 2 count gate
+    twice = "Exchange\nExchange\n== Initial Plan ==\nExchange\nExchange\n"
+    once = "Exchange\n== Initial Plan ==\nExchange\nExchange\n"
+    n_gate = {"contains_n": {"Exchange": 2}}
+    assert check_plan("q", twice, "", n_gate) == []
+    assert any("appears 1x" in f for f in check_plan("q", once, "", n_gate))
+
+    # scan counting likewise ignores the Initial Plan repeats
+    scans = (
+        "FileScan parquet [a]\n== Initial Plan ==\n"
+        "FileScan parquet [a]\nFileScan parquet [a]\n"
+    )
+    assert check_plan("q", scans, "", {"max_scans": 1}) == []
+
+
+def test_hint_gate_counts_only_broadcast_hints():
+    from tools.audit_plans import check_plan
+
+    analyzed = (
+        "ResolvedHint (strategy=broadcast)\n"
+        "ResolvedHint (strategy=rebalance)\n"
+        "ResolvedHint (strategy=broadcast)\n"
+    )
+    gate = {"max_hint_broadcasts": 1}
+    fails = check_plan("q", "plan", analyzed, gate)
+    assert any("2 explicit broadcast hints" in f for f in fails)
+    assert check_plan("q", "plan", analyzed, {"max_hint_broadcasts": 2}) == []

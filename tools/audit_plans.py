@@ -197,67 +197,82 @@ def audit(spark, sf_dir: str) -> list[str]:
         # AQE settles on the final plan with codegen stages compiled
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # The executed (AQE Final) section only: the plan string repeats
-        # every operator under "== Initial Plan ==", so presence/count
-        # checks against the full string can be satisfied by a stale
-        # pre-replan copy of an operator AQE removed at runtime.
-        final = plan.split("== Initial Plan ==")[0]
-        hint_cap = exp.get("max_hint_broadcasts")
-        if hint_cap is not None:
-            # Count only BROADCAST hints: ResolvedHint prints its strategy
-            # on the same line (e.g. "ResolvedHint (strategy=broadcast)"),
-            # and other hint types (repartition, merge) must not trip or
-            # mask the cap.
-            analyzed = df._jdf.queryExecution().analyzed().toString()
-            n_hints = sum(
-                1
-                for line in analyzed.splitlines()
-                if "ResolvedHint" in line and "broadcast" in line.lower()
+        analyzed = (
+            df._jdf.queryExecution().analyzed().toString()
+            if exp.get("max_hint_broadcasts") is not None
+            else ""
+        )
+        failures.extend(check_plan(name, plan, analyzed, exp))
+    return failures
+
+
+def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
+    """Evaluate one query's gate expectations against its plan strings.
+
+    Pure (no Spark session) so the gate mechanics themselves are
+    unit-testable with synthetic plan text — see
+    tests/test_plan_audit.py."""
+    failures: list[str] = []
+    # The executed (AQE Final) section only: the plan string repeats
+    # every operator under "== Initial Plan ==", so presence/count
+    # checks against the full string can be satisfied by a stale
+    # pre-replan copy of an operator AQE removed at runtime.
+    final = plan.split("== Initial Plan ==")[0]
+    hint_cap = exp.get("max_hint_broadcasts")
+    if hint_cap is not None:
+        # Count only BROADCAST hints: ResolvedHint prints its strategy
+        # on the same line (e.g. "ResolvedHint (strategy=broadcast)"),
+        # and other hint types (repartition, merge) must not trip or
+        # mask the cap.
+        n_hints = sum(
+            1
+            for line in analyzed.splitlines()
+            if "ResolvedHint" in line and "broadcast" in line.lower()
+        )
+        if n_hints > hint_cap:
+            failures.append(
+                f"{name}: {n_hints} explicit broadcast hints (cap {hint_cap}) — "
+                "a corpus-derived table is being broadcast"
             )
-            if n_hints > hint_cap:
-                failures.append(
-                    f"{name}: {n_hints} explicit broadcast hints (cap {hint_cap}) — "
-                    "a corpus-derived table is being broadcast"
-                )
-        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-        widest = max((len(s.split(",")) for s in scans), default=0)
-        scan_cap = exp.get("max_scans")
-        if scan_cap is not None:
-            n_scans = len(re.findall(r"FileScan parquet \[", final))
-            if n_scans > scan_cap:
-                failures.append(
-                    f"{name}: {n_scans} parquet scans (cap {scan_cap}) — a source is read repeatedly"
-                )
-        n_broadcast = plan.count("BroadcastHashJoin")
-        # codegen stages print as "WholeStageCodegen (n)" or "*(n)"
-        has_codegen = "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan)
-        if exp.get("codegen") and not has_codegen:
-            failures.append(f"{name}: no WholeStageCodegen span")
-        cap = exp.get("max_scan_cols")
-        if cap is not None and widest > cap:
-            failures.append(f"{name}: widest scan reads {widest} cols (cap {cap}) — pruning lost")
-        want_b = exp.get("broadcasts")
-        if want_b is not None and n_broadcast < want_b:
-            failures.append(f"{name}: {n_broadcast} broadcast joins (expected >= {want_b})")
-        if exp.get("no_smj") and "SortMergeJoin" in plan:
-            failures.append(f"{name}: SortMergeJoin appeared where broadcast was expected")
-        for needle in exp.get("contains", ()):
-            # checked against the executed section: an operator present
-            # only under "== Initial Plan ==" was re-planned away by AQE
-            # — exactly the silent regression the presence gate exists
-            # to catch
-            if needle not in final:
-                failures.append(f"{name}: expected physical operator {needle!r} missing")
-        for needle, want_n in exp.get("contains_n", {}).items():
-            # a single pre-replan occurrence must not satisfy a >= 2 gate
-            got_n = final.count(needle)
-            if got_n < want_n:
-                failures.append(
-                    f"{name}: {needle!r} appears {got_n}x (expected >= {want_n})"
-                )
-        for needle in exp.get("contains_not", ()):
-            if needle in plan:
-                failures.append(f"{name}: forbidden physical operator {needle!r} present")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    widest = max((len(s.split(",")) for s in scans), default=0)
+    scan_cap = exp.get("max_scans")
+    if scan_cap is not None:
+        n_scans = len(re.findall(r"FileScan parquet \[", final))
+        if n_scans > scan_cap:
+            failures.append(
+                f"{name}: {n_scans} parquet scans (cap {scan_cap}) — a source is read repeatedly"
+            )
+    n_broadcast = plan.count("BroadcastHashJoin")
+    # codegen stages print as "WholeStageCodegen (n)" or "*(n)"
+    has_codegen = "WholeStageCodegen" in plan or re.search(r"\*\(\d+\)", plan)
+    if exp.get("codegen") and not has_codegen:
+        failures.append(f"{name}: no WholeStageCodegen span")
+    cap = exp.get("max_scan_cols")
+    if cap is not None and widest > cap:
+        failures.append(f"{name}: widest scan reads {widest} cols (cap {cap}) — pruning lost")
+    want_b = exp.get("broadcasts")
+    if want_b is not None and n_broadcast < want_b:
+        failures.append(f"{name}: {n_broadcast} broadcast joins (expected >= {want_b})")
+    if exp.get("no_smj") and "SortMergeJoin" in plan:
+        failures.append(f"{name}: SortMergeJoin appeared where broadcast was expected")
+    for needle in exp.get("contains", ()):
+        # checked against the executed section: an operator present
+        # only under "== Initial Plan ==" was re-planned away by AQE
+        # — exactly the silent regression the presence gate exists
+        # to catch
+        if needle not in final:
+            failures.append(f"{name}: expected physical operator {needle!r} missing")
+    for needle, want_n in exp.get("contains_n", {}).items():
+        # a single pre-replan occurrence must not satisfy a >= 2 gate
+        got_n = final.count(needle)
+        if got_n < want_n:
+            failures.append(
+                f"{name}: {needle!r} appears {got_n}x (expected >= {want_n})"
+            )
+    for needle in exp.get("contains_not", ()):
+        if needle in plan:
+            failures.append(f"{name}: forbidden physical operator {needle!r} present")
     return failures
 
 
