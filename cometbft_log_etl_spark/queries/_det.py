@@ -45,6 +45,47 @@ def dmean(col, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
 
 
+# Array-embedding folds (the similarity family: q04/q06/q39/...).
+# decimal(28,12): wide enough for |dot| of unit-ish embedding vectors,
+# 12 fractional digits so per-term products round identically to the
+# oracles' exploded SUM(CAST(.. AS DECIMAL(28,12))) terms. Decimal
+# addition is exact and associative, so the in-row fold, Spark's
+# partial aggregation, and DuckDB's exploded sum all yield the same
+# bits. Inputs are cast to double per-element first (deterministic
+# per-row), matching the oracle CTEs term-for-term.
+DEC12 = "decimal(28,12)"
+
+
+def dec12(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC12)
+
+
+def dfold12(arr) -> Column:
+    """Exact decimal sum of an array of decimal terms, output DOUBLE."""
+    return F.aggregate(
+        arr, F.lit(0).cast(DEC12), lambda acc, v: dec12(acc + v)
+    ).cast("double")
+
+
+def ddot12(a, b) -> Column:
+    """Exact-decimal dot product of two double arrays, output DOUBLE.
+
+    PRECONDITION: fixed-dimension embeddings — zip_with over ragged
+    vectors nulls the tail where an oracle's pos-equality join covers
+    the intersection; q49_embedding_stats' dimension check screens."""
+    return dfold12(
+        F.zip_with(a, b, lambda x, y: dec12(x.cast("double") * y.cast("double")))
+    )
+
+
+def dnrm12(a) -> Column:
+    """Exact-decimal L2 norm of a double array, output DOUBLE."""
+    return F.sqrt(
+        dfold12(F.transform(a, lambda x: dec12(x.cast("double") * x.cast("double"))))
+    )
+
+
 # SQL-side (DuckDB) mirrors — keep these textually in sync with the above.
 SQL_DEC = "DECIMAL(28,6)"
 

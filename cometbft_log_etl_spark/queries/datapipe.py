@@ -384,14 +384,7 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     from ..session import default_parallelism
-
-    def dec(c: F.Column) -> F.Column:
-        return c.cast("decimal(28,12)")
-
-    zero = F.lit(0).cast("decimal(28,12)")
-
-    def dfold(arr: F.Column) -> F.Column:
-        return F.aggregate(arr, zero, lambda acc, v: dec(acc + v)).cast("double")
+    from ._det import ddot12, dnrm12
 
     # Array-native scoring (the q39 pattern, queries/neardup.py): each
     # vector stays ONE row, the probe side (small by construction)
@@ -402,23 +395,23 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring shuffle: the only exchange left is the top-k window on
     # (probe_id, cosine). No corpus-sized table is built or broadcast.
     # PRECONDITION: fixed-dimension embeddings (q49's check screens).
-    nrm = F.sqrt(dfold(F.transform("embedding", lambda x: dec(x.cast("double") * x.cast("double")))))
     emb = (
         load(spark, sf_dir, "embeddings")
         .repartition(default_parallelism())
-        .select("vec_id", F.col("embedding").alias("emb"), nrm.alias("nrm"))
+        .select("vec_id", F.col("embedding").alias("emb"), dnrm12("embedding").alias("nrm"))
     )
     probe = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("pemb"), F.col("nrm").alias("pnrm")
-    )
-    ddot = dfold(
-        F.zip_with("pemb", "cemb", lambda x, y: dec(x.cast("double") * y.cast("double")))
     )
     scored = (
         emb.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm"))
         .crossJoin(F.broadcast(probe))
         .filter(F.col("probe_id") != F.col("cand_id"))
-        .select("probe_id", "cand_id", (ddot / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (ddot12("pemb", "cemb") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"),
+        )
     )
     from pyspark.sql import Window as W
 

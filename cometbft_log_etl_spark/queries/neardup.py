@@ -918,8 +918,8 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its nearest centroid cell (argmax cosine, centroid-id
     tie-break); a probe scores only vectors in its nprobe nearest
     cells. At 100 TB the centroid set stays small and BROADCASTS, the
-    assignment is one map-side broadcast cross join (argmax in a
-    per-vector window), and the inverted file is just a
+    assignment is one map-side broadcast cross join + partial-agg
+    argmax (max_by), and the inverted file is just a
     (cell_id → members) partitioning of the corpus —
     recall grows with nprobe, cost with cell count, the standard IVF
     trade. All dot products go through DECIMAL sums so Spark and DuckDB
@@ -927,45 +927,24 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     from ..session import default_parallelism
-
-    def dec(c: F.Column) -> F.Column:
-        return c.cast("decimal(28,12)")
-
-    zero = F.lit(0).cast("decimal(28,12)")
-
-    def ddot(a: F.Column, b: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: dec(x.cast("double") * y.cast("double"))),
-            zero,
-            lambda acc, v: dec(acc + v),
-        ).cast("double")
-
-    def dnrm(a: F.Column) -> F.Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: dec(x.cast("double") * x.cast("double"))),
-                zero,
-                lambda acc, v: dec(acc + v),
-            ).cast("double")
-        )
+    from ._det import ddot12, dnrm12
 
     # Array-native scoring (replacing an earlier exploded-(vec, pos, x)
     # formulation): each vector stays ONE row and every dot product is a
-    # zip_with decimal fold in place, so cell assignment is a broadcast
-    # cross join of corpus x centroids with no per-dimension row blowup
-    # and no (vec, cent)-keyed aggregation shuffle — the exploded form
-    # pushed corpus x centroids x dim rows through two groupBys for the
-    # identical decimal sums. Norms are folded map-side ONCE per vector
-    # (the same decimal expression as the oracle's `norms` CTE — exact,
-    # order-insensitive), never built as a corpus-sized side table.
-    # PRECONDITION: fixed-dimension embeddings (zip_with over ragged
-    # vectors would null out the tail where the oracle's pos-equality
-    # join covers the intersection); q49_embedding_stats' dimension
-    # check is the screen for violations.
+    # zip_with decimal fold in place (shared _det.py helpers — the same
+    # decimal terms as the oracle's exploded SUM), so cell assignment is
+    # a broadcast cross join of corpus x centroids with no per-dimension
+    # row blowup. Norms are folded map-side ONCE per vector, never built
+    # as a corpus-sized side table. PRECONDITION: fixed-dimension
+    # embeddings (see ddot12); q49_embedding_stats' check screens.
     emb = (
         load(spark, sf_dir, "embeddings")
         .repartition(default_parallelism())
-        .select("vec_id", F.col("embedding").alias("emb"), dnrm(F.col("embedding")).alias("nrm"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
     )
     # The k lowest-id qualifying seeds via a distributed top-k
     # (TakeOrderedAndProject: map-side partial top-k, never a global
@@ -983,29 +962,44 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cent_id",
-        (ddot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+        (ddot12(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
     )
-    ranked_cells = vc.withColumn(
-        "cell_rank",
-        F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")),
+    # Cell assignment as a map-side argmax: max_by over (cos, -cent_id)
+    # partially aggregates the corpus x centroids rows on the scan side
+    # (every vector's centroid rows are produced on one input partition
+    # by the broadcast cross join), so ONE skinny row per vector reaches
+    # the shuffle — where the earlier rank-window form shuffled all
+    # |centroids| rows per vector just to keep rank 1. The (cos DESC,
+    # cent_id ASC) order matches the oracle's row_number tie-break, and
+    # cos is a decimal-folded double, so the comparison is bit-exact in
+    # both engines.
+    assign = vc.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nt"))).alias(
+            "cell_id"
+        )
     )
-    assign = ranked_cells.filter(F.col("cell_rank") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell_id")
+    probe_cells = (
+        vc.filter(F.col("vec_id") < 3)
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cent_id")
+            ),
+        )
+        .filter(F.col("cell_rank") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), F.col("cent_id").alias("cell_id"))
     )
-    probe_cells = ranked_cells.filter(
-        (F.col("vec_id") < 3) & (F.col("cell_rank") <= _IVF_NPROBE)
-    ).select(F.col("vec_id").alias("probe_id"), F.col("cent_id").alias("cell_id"))
-    cand = (
-        F.broadcast(probe_cells)
-        .join(assign, "cell_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("cand_id"), "cell_id")
-    )
-    # Probe embeddings ride the broadcast (|probes| * nprobe-cell rows);
-    # the candidate side streams — one broadcast-hash join against the
-    # corpus, then the dot is an in-row fold. No scoring shuffle at all.
-    probes = F.broadcast(
-        cand.join(
+    # The broadcast side is PROBE-BOUNDED: |probes| * nprobe rows, each
+    # carrying one probe embedding + folded norm. The corpus side
+    # (assignment re-joined with its embedding on the unique vec_id —
+    # linear, co-partitioned) STREAMS through the broadcast-hash join on
+    # cell_id, and each candidate's dot is an in-row fold: no scoring
+    # shuffle, and nothing candidate- or corpus-proportional is ever
+    # broadcast (an earlier form broadcast the candidate set with the
+    # probe embedding duplicated per candidate row — cell-sized, i.e.
+    # corpus/|cells|, which grows with the corpus).
+    probe_info = F.broadcast(
+        probe_cells.join(
             emb.select(
                 F.col("vec_id").alias("probe_id"),
                 F.col("emb").alias("pemb"),
@@ -1014,18 +1008,18 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
         )
     )
-    scored = probes.join(
-        emb.select(
+    member = assign.join(emb, "vec_id")
+    scored = (
+        member.join(probe_info, "cell_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
             F.col("vec_id").alias("cand_id"),
-            F.col("emb").alias("cemb2"),
-            F.col("nrm").alias("cnrm2"),
-        ),
-        "cand_id",
-    ).select(
-        "probe_id",
-        "cand_id",
-        "cell_id",
-        (ddot(F.col("pemb"), F.col("cemb2")) / (F.col("pnrm") * F.col("cnrm2"))).alias("cosine"),
+            "cell_id",
+            (ddot12(F.col("pemb"), F.col("emb")) / (F.col("pnrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
     )
     ranked = scored.withColumn(
         "rank",
@@ -1115,25 +1109,19 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from ..session import default_parallelism
 
+    from ._det import dec12, ddot12, dfold12, dnrm12
+
     emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
-
-    def dec(c: F.Column) -> F.Column:
-        return c.cast("decimal(28,12)")
-
-    zero = F.lit(0).cast("decimal(28,12)")
-
-    def dfold(arr: F.Column) -> F.Column:
-        return F.aggregate(arr, zero, lambda acc, v: dec(acc + v)).cast("double")
 
     def weight(j: int, i: F.Column) -> F.Column:
         return _h32_expr(F.concat_ws("", F.lit(f"{j}:"), i.cast("string"))) % 2 * 2 - 1
 
     bits = [
         (
-            dfold(
+            dfold12(
                 F.transform(
                     "embedding",
-                    lambda x, i: dec(F.round(x.cast("double"), 9) * weight(j, i)),
+                    lambda x, i: dec12(F.round(x.cast("double"), 9) * weight(j, i)),
                 )
             )
             > 0
@@ -1143,7 +1131,7 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = sum(
         [F.when(b, F.lit(1 << j)).otherwise(F.lit(0)) for j, b in enumerate(bits)], F.lit(0)
     )
-    nrm = F.sqrt(dfold(F.transform("embedding", lambda x: dec(x.cast("double") * x.cast("double")))))
+    nrm = dnrm12("embedding")
     staged = emb.select(
         "vec_id",
         F.col("embedding").alias("emb"),
@@ -1176,15 +1164,7 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda b: F.struct(
                     a["vec_id"].alias("vec_a"),
                     b["vec_id"].alias("vec_b"),
-                    F.aggregate(
-                        F.zip_with(
-                            a["emb"], b["emb"], lambda x, y: dec(x.cast("double") * y.cast("double"))
-                        ),
-                        zero,
-                        lambda acc, v: dec(acc + v),
-                    )
-                    .cast("double")
-                    .alias("dot"),
+                    ddot12(a["emb"], b["emb"]).alias("dot"),
                     a["nrm"].alias("nrm_a"),
                     b["nrm"].alias("nrm_b"),
                 ),

@@ -39,6 +39,26 @@ def test_presence_gates_read_only_the_executed_section():
     )
     assert check_plan("q", scans, "", {"max_scans": 1}) == []
 
+    # broadcast floors and codegen presence: stale copies don't count
+    b_stale = "SomeOp\n== Initial Plan ==\nBroadcastHashJoin\nWholeStageCodegen (1)\n"
+    fails = check_plan("q", b_stale, "", {"broadcasts": 1, "codegen": True})
+    assert any("broadcast joins" in f for f in fails)
+    assert any("WholeStageCodegen" in f for f in fails)
+
+    # forbidden operators are the deliberate exception: the gate asserts
+    # broadcast-by-construction, so an SMJ/cartesian in the Initial Plan
+    # (converted away only by runtime stats) still fails
+    smj_stale = "BroadcastHashJoin\n== Initial Plan ==\nSortMergeJoin\n"
+    assert any(
+        "SortMergeJoin" in f
+        for f in check_plan("q", smj_stale, "", {"no_smj": True})
+    )
+    cart_stale = "BroadcastHashJoin\n== Initial Plan ==\nCartesianProduct\n"
+    assert any(
+        "forbidden" in f
+        for f in check_plan("q", cart_stale, "", {"contains_not": ["CartesianProduct"]})
+    )
+
 
 def test_hint_gate_counts_only_broadcast_hints():
     from tools.audit_plans import check_plan
