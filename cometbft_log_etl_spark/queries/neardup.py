@@ -764,10 +764,23 @@ def cluster_labels(docs: DataFrame) -> DataFrame:
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    # Iterate ONLY over edge endpoints: an isolated vertex has no
+    # neighbors, so Hash-Min can never move it off its own id — it needs
+    # no seat in the loop. At production scale this is the difference
+    # between shuffling the dup-graph (|V_edges| ≈ a few % of docs) per
+    # iteration and shuffling the whole corpus per iteration; the
+    # corpus-sized labels table is touched exactly once, by the final
+    # join-back. `sym` is symmetric, so column `a` alone enumerates all
+    # endpoints, and the endpoint table derives from the checkpointed
+    # edge list — no lineage to cut before the loop.
+    touched = sym.select(F.col("a").alias("doc_id")).distinct()
+    seed = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    resolved = hash_min_components(seed, sym)
+    return (
+        docs.select("doc_id")
+        .join(resolved, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
-    return hash_min_components(labels, sym)
 
 
 # Shared oracle CTE chain: LSH pairs → edges → transitive closure →
