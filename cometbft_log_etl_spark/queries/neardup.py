@@ -705,11 +705,22 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     """Hash-Min connected components to fixpoint, bounded at max_iters.
 
     ``labels`` is (doc_id, cluster_id) seeded with cluster_id = doc_id;
-    ``sym`` is the symmetrized edge list (a, b). Each iteration is one
-    shuffle (labels joined to edges, min-aggregated) + localCheckpoint
-    to cut lineage; no driver-side graph state. Raises RuntimeError if
-    the fixpoint isn't reached within ``max_iters`` — wrong labels are
-    worse than a failed job.
+    ``sym`` is the symmetrized edge list (a, b). Each iteration is a
+    propagate step (labels joined to edges, min-aggregated), from
+    iteration 3 followed by a pointer-jump step (each label mapped
+    through ITS OWN current label), then localCheckpoint to cut
+    lineage; no driver-side graph state. Propagation alone moves a
+    label one hop per iteration, so a transitive near-dup CHAIN deeper
+    than max_iters — a legitimate input — would trip the bound; the
+    jump compresses label paths so convergence is logarithmic in
+    component diameter, the same reason GraphFrames-style CC uses star
+    contractions. It is gated to iteration >= 3 because the common
+    near-dup component is a dense clique (diameter 1-2) that converges
+    before the gate opens and never pays the extra self-join shuffle. Labels only ever decrease, and a label always
+    names a vertex present in ``labels`` (it is some vertex's id that
+    won a min), so the jump's self-join lookup is total. Raises
+    RuntimeError if the fixpoint isn't reached within ``max_iters`` —
+    wrong labels are worse than a failed job.
     """
     for it in range(1, max_iters + 1):
         neighbor_min = (
@@ -717,15 +728,29 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
             .groupBy(F.col("b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+        prop = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("_old"),
+            F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("_mid"),
+        )
+        if it >= 3:
+            # Near-dup components are usually dense cliques (diameter
+            # 1-2) that converge before this branch runs — they never
+            # pay the jump's extra self-join shuffle. A graph still
+            # unconverged at iteration 3 is deep, and from here the
+            # jump doubles the propagated distance per iteration.
+            parent = prop.select(
+                F.col("doc_id").alias("_pid"), F.col("_mid").alias("_plabel")
             )
+            prop = prop.join(parent, prop["_mid"] == parent["_pid"], "left").select(
+                "doc_id",
+                "_old",
+                F.least("_mid", F.coalesce("_plabel", "_mid")).alias("_mid"),
+            )
+        updated = (
+            prop.select("doc_id", F.col("_mid").alias("cluster_id"), "_old")
+            .withColumn("_changed", F.col("cluster_id") < F.col("_old"))
+            .drop("_old")
         ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")

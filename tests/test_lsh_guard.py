@@ -54,10 +54,13 @@ def test_hash_min_components_converges_on_path_graph(spark):
 
     from cometbft_log_etl_spark.queries.neardup import hash_min_components
 
-    # Path graph 0-1-2-...-19: worst case for Hash-Min (diameter 19;
-    # min-label propagation still finishes in O(log·diam)-ish rounds
-    # because labels leapfrog through already-lowered neighbors).
-    n = 20
+    # Path graph 0-1-...-199: worst case for min-label propagation
+    # (diameter 199 > the default 30-iteration bound — propagate-only
+    # Hash-Min moves a label ONE hop per iteration and would trip the
+    # backstop on this legitimate input). The pointer-jump step makes
+    # convergence logarithmic in diameter, so the default bound holds
+    # with two orders of magnitude to spare.
+    n = 200
     edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
     )
