@@ -94,3 +94,53 @@ def test_hash_min_components_keeps_stdout_clean(spark, capsys):
     captured = capsys.readouterr()
     assert captured.out == ""
     assert "converged" in captured.err
+
+
+def test_hash_min_components_matches_union_find_on_random_graphs(spark):
+    """Cross-check the distributed CC (propagate + gated pointer-jump)
+    against an independent single-process union-find on random graphs —
+    including sparse ones whose long chains exercise the jump branch."""
+    import random
+
+    from cometbft_log_etl_spark.queries.neardup import hash_min_components
+
+    for seed, n, m in [(1, 40, 15), (2, 60, 30), (3, 80, 200), (4, 50, 8)]:
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # chain a long path into seed 4's graph so the jump branch runs
+        if seed == 4:
+            edge_list += [(i, i + 1) for i in range(5, n - 1)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # expected label = min node id of each component
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in range(n)}
+
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in edge_list if a != b] or [(0, 0)], "a long, b long"
+        )
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        labels = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("cluster_id")
+        )
+        got = {
+            r.doc_id: r.cluster_id
+            for r in hash_min_components(labels, sym).collect()
+        }
+        assert got == expected, f"seed {seed}: CC labels diverge from union-find"
