@@ -93,7 +93,16 @@ def main() -> None:
         "q05_nation_revenue", "q21_fifo_pairing", "q23_sessionization",
         "q26_latency_histogram", "q55_minhash_lsh",
     )
-    r1_comparable = round(sum(timings[n] for n in _R1_SET if n in timings), 3)
+    # Emit null rather than a silently-shrunken sum if a rename/removal
+    # ever drops an r1 query: a partial subtotal would read as a phantom
+    # speedup against the 7.051s baseline — the exact misreading this
+    # field exists to prevent.
+    if all(n in timings for n in _R1_SET):
+        r1_comparable = round(sum(timings[n] for n in _R1_SET), 3)
+    else:
+        missing = [n for n in _R1_SET if n not in timings]
+        print(f"# value_r1_comparable: null (missing {missing})", file=sys.stderr)
+        r1_comparable = None
 
     # ETL-path headline: the full parse→normalize→plugins pipeline on a
     # fixed generated scenario (4 nodes × 4 clones, 120 heights ≈ 50k

@@ -177,23 +177,11 @@ def run_pipeline(
         results["parse_rejects"] = read_parse_rejects(spark, log_dir)
     results.update(run_plugins(events, enabled=plugins))
     if root is not None:
-        to_write = {n: df for n, df in results.items() if n != "events"}
-        # Two-phase fan-out, same discipline as the bench's count path:
-        # the network-latency tables share persisted intermediates whose
-        # caches fill on first touch, so concurrent first-touch jobs
-        # would each recompute them — that family writes serially first.
-        # The remaining independent tables write concurrently; Spark's
-        # scheduler interleaves the jobs across executor slots, which is
-        # what keeps a wide cluster busy through 14 narrow write stages.
-        for name in [n for n in to_write if n.startswith("network_latency")]:
-            to_write.pop(name).write.mode("overwrite").parquet(f"{root}/{name}")
-        from concurrent.futures import ThreadPoolExecutor
+        from .plans.registry import two_phase_fanout
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            list(
-                pool.map(
-                    lambda kv: kv[1].write.mode("overwrite").parquet(f"{root}/{kv[0]}"),
-                    to_write.items(),
-                )
-            )
+        to_write = {n: df for n, df in results.items() if n != "events"}
+        two_phase_fanout(
+            to_write,
+            lambda name, df: df.write.mode("overwrite").parquet(f"{root}/{name}"),
+        )
     return results

@@ -99,3 +99,51 @@ def run_plugins(
                 raise ValueError(f"plugin {name!r} re-emits table {table!r}")
             out[table] = df
     return out
+
+
+# The network-latency tables share persisted intermediates (the
+# matched/unmatched split) whose caches fill on FIRST touch; concurrent
+# first-touch jobs would each recompute the unfilled cache (measured
+# 2-3x slower all-parallel). Tables matching this prefix therefore
+# execute serially before any concurrent fan-out.
+CACHE_SHARING_PREFIX = "network_latency"
+
+
+def two_phase_fanout(tables: dict, action, max_workers: int = 6) -> dict:
+    """Execute ``action(name, df)`` for every result table, two-phase: the
+    cache-sharing family (CACHE_SHARING_PREFIX) serially first, then the
+    independent rest concurrently — Spark's scheduler interleaves those
+    jobs across executor slots, the shape that keeps a wide cluster busy
+    through many narrow stages. Shared by the production sink fan-out
+    (pipeline.run_pipeline) and the bench count path (tools/bench_etl)
+    so the first-touch discipline can't drift between them.
+
+    Returns {table: action result} in ``tables`` order. Fail-fast with
+    full diagnostics: the first exception is re-raised after the pool
+    drains, and every additional failure is logged rather than silently
+    discarded (ThreadPoolExecutor.map would swallow them).
+    """
+    import logging
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: dict = {
+        name: action(name, df)
+        for name, df in tables.items()
+        if name.startswith(CACHE_SHARING_PREFIX)
+    }
+    rest = {n: df for n, df in tables.items() if n not in results}
+    failures: list[tuple[str, Exception]] = []
+    if rest:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {n: pool.submit(action, n, df) for n, df in rest.items()}
+            for n, fut in futures.items():
+                try:
+                    results[n] = fut.result()
+                except Exception as exc:  # noqa: BLE001 — collected, first re-raised
+                    failures.append((n, exc))
+    if failures:
+        for n, exc in failures[1:]:
+            logging.getLogger(__name__).error("fan-out of %r also failed: %s", n, exc)
+        name, exc = failures[0]
+        raise RuntimeError(f"fan-out of {name!r} failed") from exc
+    return {n: results[n] for n in tables if n in results}

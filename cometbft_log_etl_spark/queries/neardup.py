@@ -716,9 +716,10 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     component diameter, the same reason GraphFrames-style CC uses star
     contractions. It is gated to iteration >= 3 because the common
     near-dup component is a dense clique (diameter 1-2) that converges
-    before the gate opens and never pays the extra self-join shuffle. Labels only ever decrease, and a label always
-    names a vertex present in ``labels`` (it is some vertex's id that
-    won a min), so the jump's self-join lookup is total. Raises
+    before the gate opens and never pays the extra self-join shuffle.
+    Labels only ever decrease, and a label always names a vertex
+    present in ``labels`` (it is some vertex's id that won a min), so
+    the jump's self-join lookup is total. Raises
     RuntimeError if the fixpoint isn't reached within ``max_iters`` —
     wrong labels are worse than a failed job.
     """

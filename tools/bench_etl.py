@@ -86,25 +86,13 @@ def _one_etl_run(spark, logdir: str, lake_root: str, n_lines: int) -> dict:
     t_etl = time.time() - t0
 
     def count_tables(tables: dict) -> dict:
-        # Two-phase materialization: the network-latency tables share
-        # persisted intermediates (matched/unmatched split), and
-        # concurrent FIRST-touch jobs would each recompute the
-        # unfilled cache (measured 2-3x slower all-parallel). So the
-        # cache-sharing family runs serially first; the remaining
-        # independent tables then count concurrently — the production
-        # fan-out shape, Spark's scheduler interleaving the jobs
-        # across executor slots.
-        from concurrent.futures import ThreadPoolExecutor
+        # Shared two-phase discipline (cache-sharing family serial
+        # first, independent rest concurrent) — one definition for the
+        # bench count path and the production sink fan-out, see
+        # plans/registry.two_phase_fanout.
+        from cometbft_log_etl_spark.plans.registry import two_phase_fanout
 
-        counts = {
-            name: df.count()
-            for name, df in tables.items()
-            if name.startswith("network_latency")
-        }
-        rest = {n: df for n, df in tables.items() if n not in counts}
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            counts.update(zip(rest, pool.map(lambda df: df.count(), rest.values())))
-        return counts
+        return two_phase_fanout(tables, lambda name, df: df.count())
 
     t1 = time.time()
     counts = count_tables(run_plugins(events))
