@@ -56,3 +56,53 @@ def tiny_sf_dir(spark, sf_dir, tmp_path_factory):
 def test_query_survives_single_row_corpus(spark, tiny_sf_dir, name):
     df = catalog()[name].fn(spark, tiny_sf_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine parity on the empty corpus: both engines must agree cell
+# for cell, not merely survive. This is the degenerate-input analog of
+# tools/check_correctness.py — it catches NULL-vs-NaN/zero-division
+# style divergences that only fire when a group or denominator is
+# absent (the q97 funnel guard came from exactly this class).
+
+# ANSI grouping sets emit the grand-total () row even over EMPTY input
+# (an ungrouped aggregate always yields one row), and DuckDB follows;
+# Spark's cube()/rollup() yield zero rows on empty input. The
+# divergence exists ONLY on a fully empty corpus, and matching ANSI
+# would mean grafting a union-ed fallback aggregate (an extra scan)
+# onto an otherwise single-shuffle Expand plan — a real-scale cost for
+# a degenerate case. Documented and pinned instead: if either engine
+# changes behavior, this test fails and the adjudication gets re-made.
+_ENGINE_DIVERGENT_ON_EMPTY = {"q60_cube_native", "q71_rollup_native"}
+
+
+@pytest.fixture(scope="module")
+def empty_oracle_sf_dir(sf_dir, tmp_path_factory):
+    """Schema-faithful empty tables as SINGLE parquet files (pyarrow):
+    the DuckDB views read `<dir>/<table>.parquet` as one file, and a
+    Spark limit(0) write emits a directory with no part files at all."""
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("empty-oracle-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        schema = pq.read_schema(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in catalog().items() if q.oracle)
+)
+def test_query_matches_oracle_on_empty_corpus(spark, empty_oracle_sf_dir, name):
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    res = run_compare(spark, catalog()[name], empty_oracle_sf_dir)
+    if name in _ENGINE_DIVERGENT_ON_EMPTY:
+        # pin the KNOWN divergence exactly: Spark 0 rows, oracle 1
+        # (the ANSI grand-total row) — anything else is a regression
+        assert (res.ok, res.spark_rows, res.oracle_rows) == (False, 0, 1), str(res)
+    else:
+        assert res.ok, str(res)
