@@ -72,21 +72,28 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """The mapInPandas kernel: per-batch 'decode' producing typed
     metadata. Deterministic md5 arithmetic stands in for the real
     decoder (see decode_media_real)."""
+    # NULL content degrades to NULL-valued content-derived fields (never
+    # raises into the task): the same null propagation SQL gives —
+    # octet_length(NULL) and md5(NULL || salt) are NULL — so the DuckDB
+    # oracles agree cell-for-cell on corpora with null blobs.
+    def dim(c, salt: str, mod: int):
+        return None if c is None else _pseudo_dim(c, salt, mod)
+
     for pdf in batches:
         out = {
             "doc_id": pdf["doc_id"],
             "media_type": pdf["media_type"],
-            "n_bytes": pdf["content"].map(len),
+            "n_bytes": pdf["content"].map(lambda c: None if c is None else len(c)),
             "width": [
-                _pseudo_dim(c, ":w", 1920) if t == "image" or t == "video" else 0
+                dim(c, ":w", 1920) if t == "image" or t == "video" else 0
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ],
             "height": [
-                _pseudo_dim(c, ":h", 1080) if t in ("image", "video") else 0
+                dim(c, ":h", 1080) if t in ("image", "video") else 0
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ],
             "n_frames": [
-                _pseudo_dim(c, ":f", 240) if t == "video" else (1 if t == "image" else 0)
+                dim(c, ":f", 240) if t == "video" else (1 if t == "image" else 0)
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ],
             "sample_rate": [
@@ -194,7 +201,7 @@ def parse_media_header(b: bytes) -> dict:
                 # leave n_samples null rather than raise into the task.
                 if data_size is not None and channels and bits and bits >= 8:
                     out["n_samples"] = data_size // (channels * (bits // 8))
-    except (IndexError, ValueError, ZeroDivisionError):
+    except (IndexError, ValueError, ZeroDivisionError, TypeError):
         out = {"format": "unknown", "width": None, "height": None, "sample_rate": None,
                "n_samples": None, "orientation": None, "n_frames": None}
     return out
@@ -263,7 +270,11 @@ def _exif_orientation(tiff: bytes):
 
 def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        parsed = [parse_media_header(bytes(c)) for c in pdf["content"]]
+        # a NULL blob sniffs as 'unknown' (all-null fields) and keeps a
+        # NULL n_bytes — degrade, never raise into the task
+        parsed = [
+            parse_media_header(b"" if c is None else bytes(c)) for c in pdf["content"]
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -276,7 +287,7 @@ def _real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     for p in parsed
                 ],
                 "format": [p["format"] for p in parsed],
-                "n_bytes": pdf["content"].map(len),
+                "n_bytes": pdf["content"].map(lambda c: None if c is None else len(c)),
                 "width": [p["width"] for p in parsed],
                 "height": [p["height"] for p in parsed],
                 "sample_rate": [p["sample_rate"] for p in parsed],
@@ -431,7 +442,7 @@ def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                decoded = decode_png_gray(bytes(content))
+                decoded = None if content is None else decode_png_gray(bytes(content))
                 if decoded is None:
                     rows.append((doc_id, None, None, None, None, False, content))
                     continue

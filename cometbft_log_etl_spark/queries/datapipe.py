@@ -301,7 +301,10 @@ def q62_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "fingerprint"),
     oracle=f"""
 WITH tok AS (
+  -- a NULL text has no token sequence to fingerprint; excluded in both
+  -- engines (their NULL-vs-[seed] fold semantics differ)
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL
 ),
 fp AS (
   SELECT doc_id,
@@ -333,7 +336,8 @@ def q85_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % 2_147_483_647,
     )
     return (
-        docs.select("doc_id", fp.alias("fingerprint"))
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
     )
@@ -395,8 +399,13 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring shuffle: the only exchange left is the top-k window on
     # (probe_id, cosine). No corpus-sized table is built or broadcast.
     # PRECONDITION: fixed-dimension embeddings (q49's check screens).
+    # NULL embeddings are excluded from the index explicitly — the
+    # oracle's unnest-based CTEs drop them implicitly (a NULL array
+    # unnests to zero rows), and without this filter Spark would rank
+    # them as null-cosine candidates.
     emb = (
         load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .repartition(default_parallelism())
         .select("vec_id", F.col("embedding").alias("emb"), dnrm12("embedding").alias("nrm"))
     )

@@ -23,7 +23,10 @@ from . import register
     tags=("agg", "collect"),
     oracle="""
 SELECT user_id,
-       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS seen_types,
+       coalesce(
+         array_to_string(
+           list_sort(list(DISTINCT event_type) FILTER (event_type IS NOT NULL)), ','),
+         '') AS seen_types,
        count(DISTINCT event_type) AS n_types,
        count(*) AS n_events
 FROM events
@@ -52,7 +55,12 @@ WITH counts AS (
   FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       string_agg(event_type || ':' || CAST(n AS VARCHAR), ';' ORDER BY event_type) AS type_counts,
+       -- null event_type makes the concat NULL in both engines;
+       -- Spark's collect_list then yields '' for an all-null group
+       -- where string_agg yields NULL — coalesce to match
+       coalesce(
+         string_agg(event_type || ':' || CAST(n AS VARCHAR), ';' ORDER BY event_type),
+         '') AS type_counts,
        sum(n)::BIGINT AS n_events
 FROM counts
 GROUP BY user_id

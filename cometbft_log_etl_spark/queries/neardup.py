@@ -976,8 +976,13 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row blowup. Norms are folded map-side ONCE per vector, never built
     # as a corpus-sized side table. PRECONDITION: fixed-dimension
     # embeddings (see ddot12); q49_embedding_stats' check screens.
+    # NULL embeddings are excluded from the index explicitly — the
+    # oracle's unnest CTEs drop them implicitly (a NULL array unnests
+    # to zero rows); without this Spark would give them null-cosine
+    # cells and candidate ranks.
     emb = (
         load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
         .repartition(default_parallelism())
         .select(
             "vec_id",

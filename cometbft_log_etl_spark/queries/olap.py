@@ -336,8 +336,16 @@ ex AS (
   FROM cents GROUP BY l_returnflag
 )
 SELECT l_returnflag, n, exact_p50, exact_p95,
-       abs(CAST(ap50 AS DOUBLE) - exact_p50) / exact_p50 <= 0.05 AS p50_within_5pct,
-       abs(CAST(ap95 AS DOUBLE) - exact_p95) / exact_p95 <= 0.05 AS p95_within_5pct
+       -- the 5 percent tolerance is a STATISTICAL contract: on degenerate
+       -- groups (a handful of rows) t-digest/GK interpolation can land
+       -- anywhere between two far-apart values, so the assertion is
+       -- only made at meaningful sample sizes (NULL = no claim)
+       CASE WHEN n >= 10 THEN
+         CAST(abs(CAST(ap50 AS DOUBLE) - exact_p50) / exact_p50 <= 0.05 AS INT)
+       END AS p50_within_5pct,
+       CASE WHEN n >= 10 THEN
+         CAST(abs(CAST(ap95 AS DOUBLE) - exact_p95) / exact_p95 <= 0.05 AS INT)
+       END AS p95_within_5pct
 FROM ex
 """,
 )
@@ -370,13 +378,24 @@ def q78_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "exact_p50",
         "exact_p95",
-        (
-            F.abs(F.col("_ap50").cast("double") - F.col("exact_p50")) / F.col("exact_p50")
-            <= 0.05
+        # tolerance asserted only at meaningful sample sizes — see the
+        # oracle's comment (sketch interpolation on tiny groups is
+        # unbounded relative to the discrete quantile)
+        F.when(
+            F.col("n") >= 10,
+            (
+                F.abs(F.col("_ap50").cast("double") - F.col("exact_p50"))
+                / F.col("exact_p50")
+                <= 0.05
+            ).cast("int"),
         ).alias("p50_within_5pct"),
-        (
-            F.abs(F.col("_ap95").cast("double") - F.col("exact_p95")) / F.col("exact_p95")
-            <= 0.05
+        F.when(
+            F.col("n") >= 10,
+            (
+                F.abs(F.col("_ap95").cast("double") - F.col("exact_p95"))
+                / F.col("exact_p95")
+                <= 0.05
+            ).cast("int"),
         ).alias("p95_within_5pct"),
     )
 

@@ -55,8 +55,12 @@ SELECT doc_id,
        upper(lang) AS lang_upper,
        length(text) AS text_len,
        len(string_split(text, ' ')) AS n_tokens,
-       split_part(text, ' ', 1) AS first_token,
-       split_part(source || '@' || lang, '@', 1) AS peer_id,
+       -- DuckDB's split_part returns '' on NULL input where Spark's
+       -- substring_index null-propagates; guard so both emit NULL
+       CASE WHEN text IS NULL THEN NULL
+            ELSE split_part(text, ' ', 1) END AS first_token,
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE split_part(source || '@' || lang, '@', 1) END AS peer_id,
        substr(text, 1, 12) AS head12,
        regexp_extract(text, '([a-z]+)', 1) AS first_word,
        replace(substr(text, 1, 20), ' ', '_') AS head_snake,

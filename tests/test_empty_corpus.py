@@ -140,3 +140,50 @@ def test_query_matches_oracle_on_single_row_corpus(spark, one_row_oracle_sf_dir,
         assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
     else:
         assert res.ok, str(res)
+
+
+@pytest.fixture(scope="module")
+def null_cell_oracle_sf_dir(sf_dir, tmp_path_factory):
+    """Three rows per table, plus — for documents/embeddings/events — one
+    appended row whose every non-id column is NULL. Real lakes have null
+    cells; a kernel that crashes on a null blob or a query whose null
+    semantics silently diverge from SQL's is a 100 TB incident, not a
+    test artifact (this fixture caught a mapInPandas crash on null media
+    content and five cross-engine null-propagation divergences)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("null-cell-oracle-sf")
+    with_null_row = {"documents.parquet", "embeddings.parquet", "events.parquet"}
+    ids = {"doc_id", "vec_id", "event_id"}
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        fname = f"{t}.parquet"
+        head = pq.read_table(os.path.join(sf_dir, fname)).slice(0, 3)
+        if fname in with_null_row:
+            cols = []
+            for i, fld in enumerate(head.schema):
+                tail = pa.array(
+                    [999999] if fld.name in ids else [None], type=fld.type
+                )
+                cols.append(pa.concat_arrays(list(head.column(i).chunks) + [tail]))
+            head = pa.Table.from_arrays(cols, schema=head.schema)
+        pq.write_table(head, str(out / fname))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in catalog().items() if q.oracle)
+)
+def test_query_matches_oracle_on_null_cell_corpus(spark, null_cell_oracle_sf_dir, name):
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    res = run_compare(spark, catalog()[name], null_cell_oracle_sf_dir)
+    if name in _ENGINE_DIVERGENT_ON_EMPTY:
+        # q71's joins drop all 3 rows here, so its EFFECTIVE input is
+        # empty and the grand-total grouping-set divergence fires
+        assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
+    else:
+        assert res.ok, str(res)
