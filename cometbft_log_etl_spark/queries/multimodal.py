@@ -38,7 +38,10 @@ _H32 = "CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)"
 WITH f AS (
   SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         -- encode(), not CAST(.. AS BLOB): the cast REJECTS non-ASCII
+         -- ("must be escaped with hex codes") where encode() is the
+         -- UTF-8 serialization Spark's encode(text,'UTF-8') performs
+         octet_length(encode(text)) AS n_bytes,
          CASE WHEN doc_id % 3 IN (0, 2) THEN ({_H32.format(e="text || ':w'")}) % 1920 + 1 ELSE 0 END AS width,
          CASE WHEN doc_id % 3 IN (0, 2) THEN ({_H32.format(e="text || ':h'")}) % 1080 + 1 ELSE 0 END AS height,
          CASE doc_id % 3 WHEN 2 THEN ({_H32.format(e="text || ':f'")}) % 240 + 1

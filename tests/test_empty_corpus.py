@@ -187,3 +187,53 @@ def test_query_matches_oracle_on_null_cell_corpus(spark, null_cell_oracle_sf_dir
         assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
     else:
         assert res.ok, str(res)
+
+
+@pytest.fixture(scope="module")
+def unicode_oracle_sf_dir(sf_dir, tmp_path_factory):
+    """Five documents of adversarial text — multi-byte UTF-8 (CJK,
+    diacritics), emoji, RTL scripts, a 5000-char single token, embedded
+    tabs/newlines/multi-spaces. The md5-based portable hashes and the
+    shingle/token operators must treat text as UTF-8 bytes identically
+    in both engines (this fixture caught q61's oracle using
+    CAST(text AS BLOB), which DuckDB rejects for non-ASCII)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    weird = [
+        "héllo wörld naïve café über señor 日本語のテキストです スペースなし",
+        "🎉🚀 emoji soup 🌍 mixed with text 🔥 and more 🎯 tokens here now",
+        "עברית וערבית مرحبا بالعالم mixed rtl text with latin words between",
+        "a" * 5000 + " single giant token then normal words follow here",
+        "tab\tseparated\tand\nnewline embedded  double  spaces   triple",
+    ]
+    out = tmp_path_factory.mktemp("unicode-oracle-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        fname = f"{t}.parquet"
+        head = pq.read_table(os.path.join(sf_dir, fname)).slice(0, 5)
+        if fname == "documents.parquet":
+            cols = [
+                pa.array(weird, type=fld.type)
+                if fld.name == "text"
+                else head.column(i).combine_chunks()
+                for i, fld in enumerate(head.schema)
+            ]
+            head = pa.Table.from_arrays(cols, schema=head.schema)
+        pq.write_table(head, str(out / fname))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in catalog().items() if q.oracle)
+)
+def test_query_matches_oracle_on_unicode_corpus(spark, unicode_oracle_sf_dir, name):
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    res = run_compare(spark, catalog()[name], unicode_oracle_sf_dir)
+    if name in _ENGINE_DIVERGENT_ON_EMPTY:
+        assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
+    else:
+        assert res.ok, str(res)
