@@ -90,9 +90,52 @@ def dnrm12(a) -> Column:
 SQL_DEC = "DECIMAL(28,6)"
 
 
+# The finiteness guard mirrors Spark's double→decimal cast, which
+# yields NULL for NaN/Inf (then skipped by sum) where DuckDB's CAST
+# errors outright: both engines therefore sum exactly the finite
+# values. `x - x = 0` is the ENGINE-PORTABLE finiteness test (NaN-NaN
+# and Inf-Inf are NaN, any finite numeric gives 0) — it must stay
+# portable because q72 interpolates this macro into Spark SQL, where
+# DuckDB's isfinite() doesn't exist. dmean's denominator stays
+# count(expr) — non-null values including a poisoned Inf — matching
+# Spark's F.count(c) precisely.
+
+
 def sql_dsum(expr: str) -> str:
-    return f"CAST(sum(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE)"
+    return (
+        f"CAST(sum(CAST((CASE WHEN (({expr}) - ({expr})) = 0 THEN ({expr}) END)"
+        f" AS {SQL_DEC})) AS DOUBLE)"
+    )
 
 
 def sql_dmean(expr: str) -> str:
-    return f"(CAST(sum(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE) / count({expr}))"
+    return f"({sql_dsum(expr)} / count({expr}))"
+
+
+# --- Non-finite screening for the embedding family -----------------------
+# The decimal-exactness contract cannot represent NaN/Inf: Spark's
+# double→decimal cast yields NULL (which then poisons zip_with folds),
+# DuckDB's errors outright. An embedding with ANY non-finite component
+# is garbage — a real 100 TB pipeline screens it at index build, and
+# that is the cross-engine-symmetric semantics here: screened vectors
+# simply don't exist for ANN/near-dup/stats purposes. The Spark filter
+# also drops NULL embeddings (exists() over a NULL array is NULL, which
+# the filter rejects), matching the SQL's IS NOT NULL conjunct.
+
+
+def finite_embeddings(df, col: str = "embedding"):
+    """Rows whose embedding is non-null with only finite components."""
+    return df.filter(
+        ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    )
+
+
+# DuckDB source replacing a bare `FROM embeddings` in the oracles —
+# aliased back to `embeddings` so surrounding SQL is unchanged. A
+# trailing `WHERE ...` in the caller still applies (it binds to the
+# outer FROM, not the screened subquery).
+SQL_EMB_FINITE = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+)
+SQL_EMB_SRC = f"(SELECT * FROM embeddings WHERE {SQL_EMB_FINITE}) embeddings"

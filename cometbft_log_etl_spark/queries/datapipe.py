@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import load
 from . import register
+from ._det import SQL_EMB_SRC
 from ._topk import global_topk
 
 # Portable 32-bit-ish hash: int(md5(s)[:8], 16). Identical in Spark
@@ -219,7 +220,11 @@ def q54_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exploded_embeddings(spark: SparkSession, sf_dir: str, id_alias: str, filter_expr=None) -> DataFrame:
     from ..session import default_parallelism
 
-    emb = load(spark, sf_dir, "embeddings")
+    from ._det import finite_embeddings
+
+    # same screen as the oracles' SQL_EMB_SRC: null / non-finite
+    # vectors don't exist for embedding math
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings"))
     if filter_expr is not None:
         emb = emb.filter(filter_expr)
     # Spread vectors across the cluster BEFORE the explode: the downstream
@@ -236,13 +241,17 @@ def _exploded_embeddings(spark: SparkSession, sf_dir: str, id_alias: str, filter
 
 # DuckDB: unnest(generate_series(...)) in the SELECT list expands rows
 # (lateral generate_series over a column is not supported).
-_SQL_EXPLODE = """
-  SELECT {id_alias}, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+# The source is screened through SQL_EMB_SRC: vectors that are NULL or
+# carry a non-finite component don't exist for embedding math (their
+# decimal-cast terms would error in DuckDB and NULL-poison Spark's
+# folds) — mirrored Spark-side by _det.finite_embeddings.
+_SQL_EXPLODE = f"""
+  SELECT {{id_alias}}, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (
-    SELECT vec_id AS {id_alias}, embedding AS emb,
+    SELECT vec_id AS {{id_alias}}, embedding AS emb,
            unnest(generate_series(1, len(embedding))) AS i
-    FROM embeddings
-    {where}
+    FROM {SQL_EMB_SRC}
+    {{where}}
   )
 """
 
@@ -399,13 +408,13 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring shuffle: the only exchange left is the top-k window on
     # (probe_id, cosine). No corpus-sized table is built or broadcast.
     # PRECONDITION: fixed-dimension embeddings (q49's check screens).
-    # NULL embeddings are excluded from the index explicitly — the
-    # oracle's unnest-based CTEs drop them implicitly (a NULL array
-    # unnests to zero rows), and without this filter Spark would rank
-    # them as null-cosine candidates.
+    # NULL and non-finite embeddings are excluded from the index — the
+    # oracle's CTEs go through the screened SQL_EMB_SRC; without this
+    # Spark would rank the poisoned vectors as null-cosine candidates.
+    from ._det import finite_embeddings
+
     emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
         .repartition(default_parallelism())
         .select("vec_id", F.col("embedding").alias("emb"), dnrm12("embedding").alias("nrm"))
     )

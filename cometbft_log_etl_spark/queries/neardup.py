@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import load
 from . import register
+from ._det import SQL_EMB_SRC, finite_embeddings
 from .datapipe import _h32
 
 _MINHASH_K = 8  # hash functions
@@ -489,7 +490,7 @@ def _bucket_sql(src_filter: str, id_alias: str, nplanes: int = _PLANES) -> str:
       SELECT vec_id AS {id_alias}, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
       FROM (SELECT vec_id, embedding AS emb,
                    unnest(generate_series(1, len(embedding))) AS i
-            FROM embeddings {src_filter})
+            FROM {SQL_EMB_SRC} {src_filter})
     ) GROUP BY {id_alias}
   )
 """
@@ -517,7 +518,7 @@ cand_pairs AS (
 elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
-               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
 ),
 dots AS (
   SELECT cp.probe_id, cp.cand_id, cp.bucket,
@@ -559,7 +560,9 @@ def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same staging rationale as datapipe._exploded_embeddings: spread the
     # compact vectors before exploding so bucket signs + dot products run
     # cluster-wide instead of inside a one-task scan stage.
-    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
+        default_parallelism()
+    )
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
@@ -892,13 +895,13 @@ _IVF_MAX_CENTROIDS = 64
 WITH elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
-               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
 ),
 norms AS (
   SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
   FROM elems GROUP BY vec_id
 ),
-seeds AS (SELECT vec_id FROM embeddings WHERE vec_id % {_IVF_SEED_STEP} = 0
+seeds AS (SELECT vec_id FROM {SQL_EMB_SRC} WHERE vec_id % {_IVF_SEED_STEP} = 0
           ORDER BY vec_id LIMIT {_IVF_MAX_CENTROIDS}),
 cent AS (SELECT e.vec_id AS cent_id, pos, x FROM elems e
          JOIN seeds s ON s.vec_id = e.vec_id),
@@ -976,13 +979,12 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row blowup. Norms are folded map-side ONCE per vector, never built
     # as a corpus-sized side table. PRECONDITION: fixed-dimension
     # embeddings (see ddot12); q49_embedding_stats' check screens.
-    # NULL embeddings are excluded from the index explicitly — the
-    # oracle's unnest CTEs drop them implicitly (a NULL array unnests
-    # to zero rows); without this Spark would give them null-cosine
-    # cells and candidate ranks.
+    # NULL / non-finite embeddings are excluded from the index — the
+    # oracle goes through the screened SQL_EMB_SRC; without this Spark
+    # would give the poisoned vectors null-cosine cells and candidate
+    # ranks.
     emb = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
         .repartition(default_parallelism())
         .select(
             "vec_id",
@@ -1098,7 +1100,7 @@ capped AS (
 elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
-               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
 ),
 norms AS (
   SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
@@ -1155,7 +1157,9 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._det import dec12, ddot12, dfold12, dnrm12
 
-    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
+        default_parallelism()
+    )
 
     def weight(j: int, i: F.Column) -> F.Column:
         return _h32_expr(F.concat_ws("", F.lit(f"{j}:"), i.cast("string"))) % 2 * 2 - 1
@@ -1246,7 +1250,7 @@ pe AS (
   SELECT vec_id AS probe_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
                unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings WHERE vec_id < 3)
+        FROM {SQL_EMB_SRC} WHERE vec_id < 3)
 ),
 ps AS (
   -- per-plane signed sums: the sign is the bit, |sum| is the margin
@@ -1286,7 +1290,7 @@ cand AS (
 elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
-               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
 ),
 dots AS (
   SELECT cp.probe_id, cp.cand_id,
@@ -1327,7 +1331,9 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from ..session import default_parallelism
 
-    emb = load(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
+        default_parallelism()
+    )
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
     ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))

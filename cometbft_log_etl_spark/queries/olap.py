@@ -323,7 +323,10 @@ def q64_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("olap", "approx", "sketch"),
     oracle="""
 WITH cents AS (
-  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  -- TRY_CAST: a NaN/Inf price must become NULL (skipped by every
+  -- quantile below) in BOTH engines, not kill the job — Spark's ANSI
+  -- cast throws CAST_OVERFLOW on Infinity, DuckDB errors outright
+  SELECT l_returnflag, TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS c
   FROM lineitem
 ),
 ex AS (
@@ -362,7 +365,10 @@ def q78_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        # try_cast, not cast: NULL for NaN/Inf (quantiles skip NULLs)
+        # instead of an ANSI CAST_OVERFLOW killing the task — mirrored
+        # by the oracle's TRY_CAST
+        F.expr("try_cast(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
     )
     ex = li.groupBy("l_returnflag").agg(
         F.percentile("c", 0.5).cast("bigint").alias("_ep50_raw"),
@@ -524,12 +530,12 @@ def q67_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q34_unpivot_melt",
     tags=("olap", "unpivot"),
-    oracle="""
+    oracle=f"""
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
-         CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+         {sql_dsum('l_quantity')} AS sum_qty,
+         {sql_dsum('l_extendedprice')} AS sum_price,
+         {sql_dsum('l_discount')} AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, metric, value

@@ -237,3 +237,58 @@ def test_query_matches_oracle_on_unicode_corpus(spark, unicode_oracle_sf_dir, na
         assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
     else:
         assert res.ok, str(res)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_oracle_sf_dir(sf_dir, tmp_path_factory):
+    """Six rows per table with a NaN poisoned into one embedding and
+    Inf/NaN into lineitem prices. The decimal-exactness contract cannot
+    represent non-finite doubles (Spark's cast NULLs them, DuckDB's
+    errors), so the engine's posture is explicit screening: poisoned
+    embeddings don't exist for the similarity family (SQL_EMB_SRC /
+    finite_embeddings), money sums skip non-finite addends identically
+    in both engines (sql_dsum's portable x-x=0 guard), and q78's cents
+    cast is a try_cast (Spark's ANSI cast would otherwise KILL the task
+    on Infinity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("nonfinite-oracle-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        fname = f"{t}.parquet"
+        head = pq.read_table(os.path.join(sf_dir, fname)).slice(0, 6)
+        poison = {
+            "embeddings.parquet": ("embedding", 3, lambda v: [float("nan")] + v[1:]),
+            "lineitem.parquet": ("l_extendedprice", 2, lambda v: float("inf")),
+        }
+        if fname in poison:
+            col_name, row, fn = poison[fname]
+            cols = []
+            for i, fld in enumerate(head.schema):
+                col = head.column(i).combine_chunks()
+                if fld.name == col_name:
+                    pylist = col.to_pylist()
+                    pylist[row] = fn(pylist[row])
+                    if fname == "lineitem.parquet":
+                        pylist[4] = float("nan")
+                    col = pa.array(pylist, type=fld.type)
+                cols.append(col)
+            head = pa.Table.from_arrays(cols, schema=head.schema)
+        pq.write_table(head, str(out / fname))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in catalog().items() if q.oracle)
+)
+def test_query_matches_oracle_on_nonfinite_corpus(spark, nonfinite_oracle_sf_dir, name):
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    res = run_compare(spark, catalog()[name], nonfinite_oracle_sf_dir)
+    if name in _ENGINE_DIVERGENT_ON_EMPTY:
+        assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
+    else:
+        assert res.ok, str(res)
