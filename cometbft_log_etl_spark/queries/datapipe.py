@@ -78,7 +78,14 @@ def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a cheap document fingerprint), keep clusters with >1 member."""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).cast("binary"))
+    # concat_ws SWALLOWS a null array (→ md5('')), which would lump
+    # null-text docs into the empty-text fingerprint cluster; the when()
+    # restores SQL's null propagation (md5(NULL) = NULL) so both engines
+    # group null-text docs under a NULL fingerprint instead
+    fp = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).cast("binary")),
+    )
     return (
         docs.groupBy(fp.alias("fingerprint"))
         .agg(

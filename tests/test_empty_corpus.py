@@ -292,3 +292,70 @@ def test_query_matches_oracle_on_nonfinite_corpus(spark, nonfinite_oracle_sf_dir
         assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
     else:
         assert res.ok, str(res)
+
+
+@pytest.fixture(scope="module")
+def combined_adversarial_sf_dir(sf_dir, tmp_path_factory):
+    """All hazard classes interacting in one corpus: null text NEXT TO
+    empty-string text (caught q51's concat_ws null-swallowing lumping
+    both under one fingerprint), unicode + giant token, null embedding
+    next to Inf- and NaN-poisoned ones, NaN/Inf prices, and a row of
+    null metadata columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    weird = "🎉 héllo 日本語 مرحبا " + "z" * 2000
+    out = tmp_path_factory.mktemp("combined-adversarial-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        fname = f"{t}.parquet"
+        tab = pq.read_table(os.path.join(sf_dir, fname)).slice(0, 6)
+        cols = None
+        if fname == "documents.parquet":
+            cols = []
+            for i, fld in enumerate(tab.schema):
+                pylist = tab.column(i).combine_chunks().to_pylist()
+                if fld.name == "text":
+                    pylist[1] = None; pylist[2] = weird; pylist[4] = ""
+                elif fld.name != "doc_id":
+                    pylist[3] = None
+                cols.append(pa.array(pylist, type=fld.type))
+        elif fname == "embeddings.parquet":
+            cols = []
+            for i, fld in enumerate(tab.schema):
+                pylist = tab.column(i).combine_chunks().to_pylist()
+                if fld.name == "embedding":
+                    pylist[0] = None
+                    v = pylist[2]; v[0] = float("inf"); pylist[2] = v
+                    v2 = pylist[5]; v2[-1] = float("nan"); pylist[5] = v2
+                elif fld.name != "vec_id":
+                    pylist[4] = None
+                cols.append(pa.array(pylist, type=fld.type))
+        elif fname == "lineitem.parquet":
+            cols = []
+            for i, fld in enumerate(tab.schema):
+                pylist = tab.column(i).combine_chunks().to_pylist()
+                if fld.name == "l_extendedprice":
+                    pylist[0] = float("nan"); pylist[5] = float("inf")
+                cols.append(pa.array(pylist, type=fld.type))
+        if cols is not None:
+            tab = pa.Table.from_arrays(cols, schema=tab.schema)
+        pq.write_table(tab, str(out / fname))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in catalog().items() if q.oracle)
+)
+def test_query_matches_oracle_on_combined_adversarial_corpus(
+    spark, combined_adversarial_sf_dir, name
+):
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    res = run_compare(spark, catalog()[name], combined_adversarial_sf_dir)
+    if name in _ENGINE_DIVERGENT_ON_EMPTY:
+        assert res.ok or (res.spark_rows, res.oracle_rows) == (0, 1), str(res)
+    else:
+        assert res.ok, str(res)
