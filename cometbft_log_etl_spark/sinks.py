@@ -81,6 +81,25 @@ class MongoResultSink:
 
         df.foreachPartition(write_partition)
 
+    def store_epoch(self, name: str, df: DataFrame, epoch_id: int) -> None:
+        """Idempotent per-epoch store for streaming ``foreachBatch``
+        (streaming/sink.py): rows are stamped with the epoch id and the
+        epoch's previous documents are deleted first, so a replayed
+        epoch — foreachBatch's native delivery is at-least-once —
+        overwrites itself instead of duplicating. The delete is one
+        driver-side filter call; the inserts stay distributed
+        per-partition unordered batches via store()."""
+        from pyspark.sql import functions as F
+
+        client = self._factory(self.uri)
+        try:
+            client[self.db_name][name].delete_many({"_epoch": int(epoch_id)})
+        finally:
+            close = getattr(client, "close", None)
+            if close is not None:
+                close()
+        self.store(name, df.withColumn("_epoch", F.lit(int(epoch_id))))
+
 
 def insert_rows_batched(rows, client_factory, uri, db_name, name, batch_size) -> None:
     """The per-partition write kernel (module-level so tests can run the
