@@ -17,7 +17,12 @@ family, distributed batched inserts — sinks.MongoResultSink).
         --dir /path/to/logs --simulation run42 \
         (--out /data/lake | --mongo-uri mongodb://host:27017) \
         [--plugins vote-latency,network-latency | --config config.yaml] \
-        [--no-strict] [--partition-by-date] [--cpus 32]
+        [--stream] [--no-strict] [--partition-by-date] [--cpus 32]
+
+`--stream` ingests through the Structured-Streaming path (the
+reference's dormant ParseStream entry) with an availableNow drain into
+the lake's exactly-once file sink before the plugin fan-out — same
+results, checkpointed restartable ingestion.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mongo-uri", default=None, help="MongoDB URI (reference -mongo-uri); store results there, db = simulation id")
     ap.add_argument("--plugins", default=None, help="comma-separated plugin subset (default: all)")
     ap.add_argument("--config", default=None, help="YAML config path with the reference's plugins block (ignored when --plugins is given)")
+    ap.add_argument("--stream", action="store_true", help="ingest via Structured Streaming (availableNow drain into the lake, exactly-once file sink) instead of the batch reader; requires --out")
     ap.add_argument("--no-strict", action="store_true", help="tolerate files without identity lines")
     ap.add_argument("--with-rejects", action="store_true", help="also emit the per-file parse-drop counters table")
     ap.add_argument("--partition-by-date", action="store_true", help="hive-partition events on event_date")
@@ -42,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if not args.out and not args.mongo_uri:
         ap.error("provide an output: --out lake root and/or --mongo-uri")
+    if args.stream and not args.out:
+        ap.error("--stream requires --out (the lake write is the streaming materialization the plugin fan-out reads)")
 
     from .pipeline import etl_events, generate_sim_id, write_events
     from .plans.registry import run_plugins
@@ -64,11 +72,32 @@ def main(argv: list[str] | None = None) -> int:
     dests = []
     if args.out:
         out_root = f"{args.out.rstrip('/')}/{sim_id}"
-        staged = etl_events(spark, args.dir, strict=not args.no_strict)
-        write_events(staged, out_root, partition_by_date=args.partition_by_date)
+        if args.stream:
+            # Streaming ingest (the reference's dormant ParseStream entry,
+            # dispatcher.go:101-121) drained into the lake with the
+            # exactly-once file sink; the plugin fan-out then reads the
+            # drained columnar table — same staged shape as the batch
+            # path, minus the global time sort (a stream cannot sort;
+            # event_date partitioning is the pruned-read replacement).
+            from .streaming.ingest import stream_events
+            from .streaming.sink import stream_events_to_lake
+
+            schema = stream_events(spark, args.dir, strict=not args.no_strict).schema
+            q, out_root = stream_events_to_lake(
+                spark,
+                args.dir,
+                args.out,
+                sim_id=sim_id,
+                strict=not args.no_strict,
+                partition_by_date=args.partition_by_date,
+            )
+            q.awaitTermination()
+        else:
+            staged = etl_events(spark, args.dir, strict=not args.no_strict)
+            write_events(staged, out_root, partition_by_date=args.partition_by_date)
+            schema = staged.schema
         # explicit schema so a zero-event run reads back as an empty
         # table instead of failing parquet schema inference
-        schema = staged.schema
         if args.partition_by_date:
             from pyspark.sql import types as T
 
@@ -83,16 +112,22 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.logs import read_parse_rejects
 
         results["parse_rejects"] = read_parse_rejects(spark, args.dir)
+    # Result tables fan out concurrently (cache-sharing family serial
+    # first) — the same two-phase discipline as run_pipeline, so the CLI
+    # and the library path can't drift apart on first-touch behavior.
+    from .plans.registry import two_phase_fanout
+
     if args.out:
-        for name, df in results.items():
-            df.write.mode("overwrite").parquet(f"{out_root}/{name}")
+        two_phase_fanout(
+            results,
+            lambda name, df: df.write.mode("overwrite").parquet(f"{out_root}/{name}"),
+        )
     if args.mongo_uri:
         from .sinks import MongoResultSink
 
         sink = MongoResultSink(args.mongo_uri, sim_id)
         sink.store("events", events)
-        for name, df in results.items():
-            sink.store(name, df)
+        two_phase_fanout(results, lambda name, df: sink.store(name, df))
         dests.append(f"{args.mongo_uri}/{sim_id}")
     print(
         f"processed {n_events} events -> {len(results) + 1} tables "
