@@ -11,6 +11,17 @@ def test_headline_plans_hold(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
+def test_plugin_fanout_plans_hold(spark):
+    """The production ETL fan-out keeps its scale-invariant plan
+    properties (pruned staged scans, pushed dispatch filters, bounded
+    scan counts, codegen, no cartesians) — and every produced plugin
+    table must carry a gate, so a new plugin can't ship ungated."""
+    from tools.audit_plans import audit_plugins
+
+    failures = audit_plugins(spark)
+    assert not failures, "\n".join(failures)
+
+
 def test_presence_gates_read_only_the_executed_section():
     """An operator surviving only in the stale '== Initial Plan =='
     section (i.e. re-planned away by AQE at runtime) must NOT satisfy a

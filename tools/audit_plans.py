@@ -204,6 +204,79 @@ EXPECTATIONS = {
 }
 
 
+# Production ETL fan-out gates: every plugin result table, planned over
+# a STAGED parquet events table (the run_pipeline / 100 TB shape, ~48
+# event columns). Only SCALE-INVARIANT properties are gated — column
+# pruning (a plugin scan reading the full event schema is wrong),
+# dispatch-filter pushdown (the event_type predicate must reach the
+# parquet scan), bounded scan counts (each table re-reads the staged
+# table a fixed number of times), codegen, cartesian-freedom. Join
+# strategy is deliberately NOT gated: the matched-pair joins are
+# events-scale on BOTH sides, so the broadcast AQE picks at fixture
+# size would legitimately be a sort-merge join at production scale.
+PLUGIN_EXPECTATIONS = {
+    "block_part_latencies": {"codegen": True, "max_scans": 2, "max_scan_cols": 9, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "consensus_steps": {"codegen": True, "max_scans": 1, "max_scan_cols": 26, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "consensus_timing": {"codegen": True, "max_scans": 3, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_duplicates_debug": {"codegen": True, "max_scans": 7, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_global_stats": {"codegen": True, "max_scans": 5, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_measurements": {"codegen": True, "max_scans": 5, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_node_stats": {"codegen": True, "max_scans": 7, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_nodepair_summary": {"codegen": True, "max_scans": 5, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "p2p_messages": {"codegen": True, "max_scans": 2, "max_scan_cols": 16, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    # the timeout family's clusters/events tables read only the family's
+    # shared pre-filtered intermediate (no parquet scan of their own)
+    "timeout_analysis_clusters": {"codegen": True, "contains_not": ["CartesianProduct"]},
+    "timeout_analysis_events": {"codegen": True, "contains_not": ["CartesianProduct"]},
+    "timeout_analysis_summary": {"codegen": True, "max_scans": 1, "max_scan_cols": 1, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "tracer_events": {"codegen": True, "max_scans": 3, "max_scan_cols": 26, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "validator_participation": {"codegen": True, "max_scans": 4, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "vote_latencies": {"codegen": True, "max_scans": 2, "max_scan_cols": 10, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+}
+
+
+def audit_plugins(spark) -> list[str]:
+    """Plan gates for the production ETL fan-out (PLUGIN_EXPECTATIONS).
+
+    Builds a fixture scenario, stages events to parquet exactly like
+    run_pipeline's lake path, plans every plugin off the staged scan,
+    and checks each executed plan. Every produced table MUST have a
+    gate (and vice versa) so a new plugin can't ship ungated."""
+    import shutil
+    import tempfile
+
+    from cometbft_log_etl_spark.pipeline import etl_events, write_events
+    from cometbft_log_etl_spark.plans.registry import run_plugins
+    from tests.fixtures import build_scenario, write_logs
+
+    work = tempfile.mkdtemp(prefix="plugin-audit-")
+    failures: list[str] = []
+    try:
+        logdir = os.path.join(work, "logs")
+        write_logs(build_scenario(heights=4), logdir)
+        root = os.path.join(work, "lake")
+        staged_src = etl_events(spark, logdir)
+        write_events(staged_src, root)
+        events = spark.read.schema(staged_src.schema).parquet(
+            os.path.join(root, "events")
+        )
+        tables = run_plugins(events)
+        for n in sorted(set(PLUGIN_EXPECTATIONS) - set(tables)):
+            failures.append(f"plugin table {n!r} gated but not produced")
+        for n in sorted(set(tables) - set(PLUGIN_EXPECTATIONS)):
+            failures.append(f"plugin table {n!r} has no plan gate — add one")
+        for name, exp in PLUGIN_EXPECTATIONS.items():
+            if name not in tables:
+                continue
+            df = tables[name]
+            df.collect()  # settle AQE on the final plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            failures.extend(check_plan(f"plugin:{name}", plan, "", exp))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return failures
+
+
 def audit(spark, sf_dir: str) -> list[str]:
     from cometbft_log_etl_spark.queries import queries
 
@@ -271,6 +344,14 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
     cap = exp.get("max_scan_cols")
     if cap is not None and widest > cap:
         failures.append(f"{name}: widest scan reads {widest} cols (cap {cap}) — pruning lost")
+    if exp.get("pushed_filters"):
+        # at least one scan carries a non-empty PushedFilters list; the
+        # printed list may be truncated, so only the opening is matched
+        if not re.search(r"PushedFilters: \[(?!\])", plan):
+            failures.append(
+                f"{name}: no pushed filters on any scan — the dispatch "
+                "predicate is not reaching parquet"
+            )
     want_b = exp.get("broadcasts")
     if want_b is not None and n_broadcast < want_b:
         failures.append(f"{name}: {n_broadcast} broadcast joins (expected >= {want_b})")
@@ -307,11 +388,14 @@ def main() -> int:
     from cometbft_log_etl_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans")
-    failures = audit(spark, sf_dir)
+    failures = audit(spark, sf_dir) + audit_plugins(spark)
     for f in failures:
         print(f"[BAD] {f}")
     if not failures:
-        print(f"all {len(EXPECTATIONS)} headline plans hold their scale properties")
+        print(
+            f"all {len(EXPECTATIONS)} headline plans and "
+            f"{len(PLUGIN_EXPECTATIONS)} plugin fan-out plans hold their scale properties"
+        )
     return 1 if failures else 0
 
 
