@@ -71,7 +71,6 @@ def main(argv: list[str] | None = None) -> int:
     # localCheckpoint truncates lineage for the fan-out.
     dests = []
     if args.out:
-        out_root = f"{args.out.rstrip('/')}/{sim_id}"
         if args.stream:
             # Streaming ingest (the reference's dormant ParseStream entry,
             # dispatcher.go:101-121) drained into the lake with the
@@ -82,7 +81,10 @@ def main(argv: list[str] | None = None) -> int:
             from .streaming.ingest import stream_events
             from .streaming.sink import stream_events_to_lake
 
-            schema = stream_events(spark, args.dir, strict=not args.no_strict).schema
+            # schema probe only — strict=False so the eager identity
+            # validation job runs ONCE (inside stream_events_to_lake),
+            # not twice; the schema is identical either way
+            schema = stream_events(spark, args.dir, strict=False).schema
             q, out_root = stream_events_to_lake(
                 spark,
                 args.dir,
@@ -93,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination()
         else:
+            out_root = f"{args.out.rstrip('/')}/{sim_id}"
             staged = etl_events(spark, args.dir, strict=not args.no_strict)
             write_events(staged, out_root, partition_by_date=args.partition_by_date)
             schema = staged.schema

@@ -47,6 +47,31 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
     return spark
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (cached DataFrames, persisted
+    intermediates, localCheckpoints). Snapshot before a bounded piece of
+    work, then pass to release_new_persists after — the surgical
+    alternative to catalog.clearCache() for harnesses (bench rounds,
+    plan audits) that share a long-lived session and must not drop
+    OTHER work's caches."""
+    return {e for e in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def release_new_persists(spark: SparkSession, before: set[int]) -> int:
+    """Unpersist every RDD persisted since the ``before`` snapshot
+    (non-blocking); returns how many were released. Repeated harness
+    runs otherwise accumulate pinned blocks (each plugin fan-out pins
+    its shared intermediates, each localCheckpoint pins its RDD) —
+    block-manager pressure that shows up as run-to-run timing noise."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for rid in list(jmap.keySet().toArray()):
+        if rid not in before:
+            jmap.get(rid).unpersist(False)
+            released += 1
+    return released
+
+
 def get_spark(
     app_name: str = "cometbft-log-etl-spark",
     cpus: int | None = None,

@@ -81,24 +81,41 @@ class MongoResultSink:
 
         df.foreachPartition(write_partition)
 
-    def store_epoch(self, name: str, df: DataFrame, epoch_id: int) -> None:
+    def store_epoch(
+        self, name: str, df: DataFrame, epoch_id: int, ingest_id: str | None = None
+    ) -> None:
         """Idempotent per-epoch store for streaming ``foreachBatch``
         (streaming/sink.py): rows are stamped with the epoch id and the
         epoch's previous documents are deleted first, so a replayed
         epoch — foreachBatch's native delivery is at-least-once —
         overwrites itself instead of duplicating. The delete is one
         driver-side filter call; the inserts stay distributed
-        per-partition unordered batches via store()."""
+        per-partition unordered batches via store().
+
+        ``ingest_id`` scopes the replay guard to one checkpoint
+        lifecycle: Structured Streaming restarts epoch numbering at 0
+        for a FRESH checkpoint, so without the discriminator a second
+        ingestion into the same collection would delete the first run's
+        epoch-0 documents instead of its own replays. Pass the same
+        value for every epoch of one query (streaming/sink.py derives
+        it from the checkpoint location); distinct ingestions then
+        coexist, and re-ingesting the same data under a new checkpoint
+        APPENDS — use a fresh collection or simulation id for that."""
         from pyspark.sql import functions as F
 
+        flt: dict = {"_epoch": int(epoch_id)}
+        stamped = df.withColumn("_epoch", F.lit(int(epoch_id)))
+        if ingest_id is not None:
+            flt["_ingest_id"] = ingest_id
+            stamped = stamped.withColumn("_ingest_id", F.lit(ingest_id))
         client = self._factory(self.uri)
         try:
-            client[self.db_name][name].delete_many({"_epoch": int(epoch_id)})
+            client[self.db_name][name].delete_many(flt)
         finally:
             close = getattr(client, "close", None)
             if close is not None:
                 close()
-        self.store(name, df.withColumn("_epoch", F.lit(int(epoch_id))))
+        self.store(name, stamped)
 
 
 def insert_rows_batched(rows, client_factory, uri, db_name, name, batch_size) -> None:

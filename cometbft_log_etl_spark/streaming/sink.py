@@ -51,9 +51,12 @@ def stream_events_to_lake(
 
     Layout matches the batch pipeline (O4 database-per-simulation
     naming): events land under ``<out_dir>/<sim_id>/events`` with the
-    stream's checkpoint beside them under ``_checkpoints/events`` — the
-    checkpoint travels with the table it guards, so a relocated lake
-    keeps its exactly-once history.
+    stream's checkpoint beside them under ``_checkpoints/events`` — one
+    self-contained simulation directory holds the table, its
+    ``_spark_metadata`` sink log, and the checkpoint that guards it.
+    (Both logs record absolute paths, so the directory must stay at —
+    or be remounted to — the same path for resume and read-back; moving
+    it is a migration, not a rename.)
 
     ``available_now=True`` drains everything currently in the directory
     and terminates (batch-equivalent semantics, what tests and backfills
@@ -92,18 +95,29 @@ def stream_events_to_mongo(
     """Stream a log directory into a MongoDB collection via foreachBatch.
 
     ``sink`` is a ``sinks.MongoResultSink`` (or anything exposing its
-    ``store_epoch(name, df, epoch_id)`` contract). Each micro-batch is
-    written through ``store_epoch``, which stamps rows with the epoch id
-    and deletes the epoch's prior documents before inserting — the
-    standard idempotent-foreachBatch pattern, so Structured Streaming's
-    epoch replays (after a crash between sink write and checkpoint
-    commit) overwrite themselves instead of duplicating. Inserts remain
-    distributed per-partition unordered batches (reference parity,
-    mongo.go:80-96); only the one delete filter runs driver-side.
+    ``store_epoch(name, df, epoch_id, ingest_id)`` contract). Each
+    micro-batch is written through ``store_epoch``, which stamps rows
+    with (epoch id, ingest id) and deletes that pair's prior documents
+    before inserting — the standard idempotent-foreachBatch pattern, so
+    Structured Streaming's epoch replays (after a crash between sink
+    write and checkpoint commit) overwrite themselves instead of
+    duplicating. The ingest id is derived from the checkpoint location
+    — stable across restarts of the SAME query (where replays happen),
+    distinct for a fresh checkpoint (whose epoch numbering restarts at
+    0 and must not delete an earlier ingestion's documents). Inserts
+    remain distributed per-partition unordered batches (reference
+    parity, mongo.go:80-96); only the one delete filter runs
+    driver-side.
     """
+    import hashlib
+    import os
+
+    ingest_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir.rstrip("/")).encode()
+    ).hexdigest()[:12]
 
     def write_batch(batch_df, epoch_id) -> None:
-        sink.store_epoch(table, batch_df, epoch_id)
+        sink.store_epoch(table, batch_df, epoch_id, ingest_id=ingest_id)
 
     stream = (
         stream_events(spark, log_dir, strict=strict, max_files_per_trigger=max_files_per_trigger)

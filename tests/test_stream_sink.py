@@ -131,17 +131,20 @@ def test_stream_mongo_epochs_idempotent(spark, tmp_path):
     docs = _all_docs(root, "sim_stream", "events")
     batch_n = etl_events(spark, d).count()
     assert len(docs) == batch_n > 0
-    assert all("_epoch" in doc for doc in docs)
+    assert all("_epoch" in doc and "_ingest_id" in doc for doc in docs)
+    assert len({doc["_ingest_id"] for doc in docs}) == 1  # one query, one scope
     # one epoch per input file under maxFilesPerTrigger=1
     assert len({doc["_epoch"] for doc in docs}) >= 2
     for p in glob.glob(os.path.join(root, "sim_stream", "events", "*.json")):
         with open(p) as fh:
             assert len(json.load(fh)) <= 7
 
-    # replayed epoch: delete-then-insert leaves the count unchanged
+    # fresh-checkpoint isolation: epoch 0 under a DIFFERENT ingest id
+    # must not delete the first ingestion's epoch-0 documents...
     replay = spark.range(5).select(F.col("id").alias("replayed"))
-    sink.store_epoch("events", replay, 999)
+    sink.store_epoch("events", replay, 0, ingest_id="other-ckpt")
     c1 = len(_all_docs(root, "sim_stream", "events"))
     assert c1 == batch_n + 5
-    sink.store_epoch("events", replay, 999)
+    # ...while a replay WITHIN that scope overwrites itself
+    sink.store_epoch("events", replay, 0, ingest_id="other-ckpt")
     assert len(_all_docs(root, "sim_stream", "events")) == c1

@@ -247,10 +247,12 @@ def audit_plugins(spark) -> list[str]:
 
     from cometbft_log_etl_spark.pipeline import etl_events, write_events
     from cometbft_log_etl_spark.plans.registry import run_plugins
+    from cometbft_log_etl_spark.session import persistent_rdd_ids, release_new_persists
     from tests.fixtures import build_scenario, write_logs
 
     work = tempfile.mkdtemp(prefix="plugin-audit-")
     failures: list[str] = []
+    persisted_before = persistent_rdd_ids(spark)
     try:
         logdir = os.path.join(work, "logs")
         write_logs(build_scenario(heights=4), logdir)
@@ -273,6 +275,11 @@ def audit_plugins(spark) -> list[str]:
             plan = df._jdf.queryExecution().executedPlan().toString()
             failures.extend(check_plan(f"plugin:{name}", plan, "", exp))
     finally:
+        # the fan-out pins shared intermediates (network-latency family)
+        # whose source parquet rmtree deletes below — release them so a
+        # shared session (pytest) neither holds dead blocks nor ever
+        # recomputes against the removed path
+        release_new_persists(spark, persisted_before)
         shutil.rmtree(work, ignore_errors=True)
     return failures
 
@@ -345,9 +352,11 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
     if cap is not None and widest > cap:
         failures.append(f"{name}: widest scan reads {widest} cols (cap {cap}) — pruning lost")
     if exp.get("pushed_filters"):
-        # at least one scan carries a non-empty PushedFilters list; the
-        # printed list may be truncated, so only the opening is matched
-        if not re.search(r"PushedFilters: \[(?!\])", plan):
+        # at least one EXECUTED scan carries a non-empty PushedFilters
+        # list (the printed list may be truncated, so only the opening
+        # is matched); a stale Initial-Plan copy must not satisfy the
+        # presence gate, same rule as `contains`
+        if not re.search(r"PushedFilters: \[(?!\])", final):
             failures.append(
                 f"{name}: no pushed filters on any scan — the dispatch "
                 "predicate is not reaching parquet"

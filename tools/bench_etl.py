@@ -57,10 +57,25 @@ def run_etl_bench(spark, heights: int, repeat: int, rounds: int = 2) -> dict:
             sum(1 for _ in open(os.path.join(logdir, f))) for f in os.listdir(logdir)
         )
 
-        runs = [
-            _one_etl_run(spark, logdir, os.path.join(work, f"lake{i}"), n_lines)
-            for i in range(max(1, rounds))
-        ]
+        # snapshot/release around each round: every round pins a fresh
+        # localCheckpoint plus the plugin fan-out's shared intermediates,
+        # and the accumulated blocks from earlier rounds (and the
+        # headline queries before the ETL bench) are block-manager
+        # pressure that reads as round-to-round timing noise
+        from cometbft_log_etl_spark.session import (
+            persistent_rdd_ids,
+            release_new_persists,
+        )
+
+        runs = []
+        for i in range(max(1, rounds)):
+            before = persistent_rdd_ids(spark)
+            try:
+                runs.append(
+                    _one_etl_run(spark, logdir, os.path.join(work, f"lake{i}"), n_lines)
+                )
+            finally:
+                release_new_persists(spark, before)
         # Report the single run with the best total, NOT per-field minima:
         # independent minima would mix timings from different runs into
         # one record, breaking total == etl + plugins and creating
