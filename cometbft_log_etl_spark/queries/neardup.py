@@ -704,6 +704,49 @@ _CLUSTER_JACCARD = 0.5  # est_jaccard threshold for a dedup edge
 _CC_MAX_ITERS = 30
 
 
+def cc_propagate(labels: DataFrame, sym: DataFrame, with_jump: bool) -> DataFrame:
+    """ONE Hash-Min iteration's plan: propagate (labels joined to edges,
+    min-aggregated, joined back) and — with ``with_jump`` — the pointer
+    jump (each label mapped through ITS OWN current label). Returns
+    (doc_id, cluster_id, _changed); the caller checkpoints and counts.
+
+    Extracted from the hash_min_components loop body so the plan-shape
+    audit (tools/audit_plans.py CC_EXPECTATIONS) gates the EXACT code
+    the loop executes: per-iteration cost must stay a bounded number of
+    shuffles over the dup-graph, with no corpus scan and no pairwise
+    blow-up inside the loop.
+    """
+    neighbor_min = (
+        labels.join(sym, labels["doc_id"] == sym["a"])
+        .groupBy(F.col("b").alias("doc_id"))
+        .agg(F.min("cluster_id").alias("nbr_min"))
+    )
+    prop = labels.join(neighbor_min, "doc_id", "left").select(
+        "doc_id",
+        F.col("cluster_id").alias("_old"),
+        F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("_mid"),
+    )
+    if with_jump:
+        # Near-dup components are usually dense cliques (diameter
+        # 1-2) that converge before this branch runs — they never
+        # pay the jump's extra self-join shuffle. A graph still
+        # unconverged at iteration 3 is deep, and from here the
+        # jump doubles the propagated distance per iteration.
+        parent = prop.select(
+            F.col("doc_id").alias("_pid"), F.col("_mid").alias("_plabel")
+        )
+        prop = prop.join(parent, prop["_mid"] == parent["_pid"], "left").select(
+            "doc_id",
+            "_old",
+            F.least("_mid", F.coalesce("_plabel", "_mid")).alias("_mid"),
+        )
+    return (
+        prop.select("doc_id", F.col("_mid").alias("cluster_id"), "_old")
+        .withColumn("_changed", F.col("cluster_id") < F.col("_old"))
+        .drop("_old")
+    )
+
+
 def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
     """Hash-Min connected components to fixpoint, bounded at max_iters.
 
@@ -727,35 +770,9 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     wrong labels are worse than a failed job.
     """
     for it in range(1, max_iters + 1):
-        neighbor_min = (
-            labels.join(sym, labels["doc_id"] == sym["a"])
-            .groupBy(F.col("b").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        updated = cc_propagate(labels, sym, with_jump=it >= 3).localCheckpoint(
+            eager=True
         )
-        prop = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("cluster_id").alias("_old"),
-            F.least("cluster_id", F.coalesce("nbr_min", "cluster_id")).alias("_mid"),
-        )
-        if it >= 3:
-            # Near-dup components are usually dense cliques (diameter
-            # 1-2) that converge before this branch runs — they never
-            # pay the jump's extra self-join shuffle. A graph still
-            # unconverged at iteration 3 is deep, and from here the
-            # jump doubles the propagated distance per iteration.
-            parent = prop.select(
-                F.col("doc_id").alias("_pid"), F.col("_mid").alias("_plabel")
-            )
-            prop = prop.join(parent, prop["_mid"] == parent["_pid"], "left").select(
-                "doc_id",
-                "_old",
-                F.least("_mid", F.coalesce("_plabel", "_mid")).alias("_mid"),
-            )
-        updated = (
-            prop.select("doc_id", F.col("_mid").alias("cluster_id"), "_old")
-            .withColumn("_changed", F.col("cluster_id") < F.col("_old"))
-            .drop("_old")
-        ).localCheckpoint(eager=True)
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
@@ -775,10 +792,11 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     )
 
 
-def cluster_labels(docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id): near-dup connected components over LSH
-    candidate pairs — the shared front half of q37/q10. cluster_id is
-    the component's minimum doc_id (Hash-Min fixpoint)."""
+def dup_edges(docs: DataFrame) -> DataFrame:
+    """Symmetrized near-dup edge list (a, b) over the LSH candidate
+    pairs, eagerly checkpointed — the loop re-scans EDGES only, never
+    the corpus; lineage is cut so iteration N's plan doesn't replay the
+    MinHash front half."""
     pairs = lsh_band_pairs(_minhash_sigs(docs))
     agree = F.size(
         F.filter(
@@ -791,20 +809,31 @@ def cluster_labels(docs: DataFrame) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
+    return sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
 
-    # Iterate ONLY over edge endpoints: an isolated vertex has no
-    # neighbors, so Hash-Min can never move it off its own id — it needs
-    # no seat in the loop. At production scale this is the difference
-    # between shuffling the dup-graph (|V_edges| ≈ a few % of docs) per
-    # iteration and shuffling the whole corpus per iteration; the
-    # corpus-sized labels table is touched exactly once, by the final
-    # join-back. `sym` is symmetric, so column `a` alone enumerates all
-    # endpoints, and the endpoint table derives from the checkpointed
-    # edge list — no lineage to cut before the loop.
+
+def cc_seed(sym: DataFrame) -> DataFrame:
+    """Seed labels (doc_id, cluster_id = doc_id) over EDGE ENDPOINTS
+    ONLY: an isolated vertex has no neighbors, so Hash-Min can never
+    move it off its own id — it needs no seat in the loop. At
+    production scale this is the difference between shuffling the
+    dup-graph (|V_edges| ≈ a few % of docs) per iteration and shuffling
+    the whole corpus per iteration; the corpus-sized labels table is
+    touched exactly once, by the final join-back. `sym` is symmetric,
+    so column `a` alone enumerates all endpoints, and the endpoint
+    table derives from the checkpointed edge list — no lineage to cut
+    before the loop, and NO corpus scan in the seed plan (gated:
+    tools/audit_plans.py CC_EXPECTATIONS)."""
     touched = sym.select(F.col("a").alias("doc_id")).distinct()
-    seed = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    resolved = hash_min_components(seed, sym)
+    return touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+
+def cluster_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): near-dup connected components over LSH
+    candidate pairs — the shared front half of q37/q10. cluster_id is
+    the component's minimum doc_id (Hash-Min fixpoint)."""
+    sym = dup_edges(docs)
+    resolved = hash_min_components(cc_seed(sym), sym)
     return (
         docs.select("doc_id")
         .join(resolved, "doc_id", "left")

@@ -11,6 +11,17 @@ def test_headline_plans_hold(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
+def test_cc_iteration_plans_hold(spark, sf_dir):
+    """The Hash-Min CC loop runs behind a localCheckpoint, invisible to
+    the catalog-level gates — its per-iteration plan must keep the loop
+    invariants: no corpus scan inside the loop, bounded shuffles per
+    iteration, map-side combine on the neighbor-min."""
+    from tools.audit_plans import audit_cc
+
+    failures = audit_cc(spark, sf_dir)
+    assert not failures, "\n".join(failures)
+
+
 def test_plugin_fanout_plans_hold(spark):
     """The production ETL fan-out keeps its scale-invariant plan
     properties (pruned staged scans, pushed dispatch filters, bounded
@@ -69,6 +80,19 @@ def test_presence_gates_read_only_the_executed_section():
         "forbidden" in f
         for f in check_plan("q", cart_stale, "", {"contains_not": ["CartesianProduct"]})
     )
+
+
+def test_max_n_gate_caps_only_the_executed_section():
+    """max_n is a per-run cost ceiling: it counts the EXECUTED section
+    (what actually ran), so a stale Initial-Plan copy of an operator
+    AQE removed must not trip it — the inverse of contains_n's floor."""
+    from tools.audit_plans import check_plan
+
+    plan = "Exchange hashpartitioning\n== Initial Plan ==\nExchange hashpartitioning\nExchange hashpartitioning\n"
+    gate = {"max_n": {"Exchange hashpartitioning": 1}}
+    assert check_plan("q", plan, "", gate) == []
+    tight = {"max_n": {"Exchange hashpartitioning": 0}}
+    assert any("cap 0" in f for f in check_plan("q", plan, "", tight))
 
 
 def test_hint_gate_counts_only_broadcast_hints():

@@ -235,6 +235,59 @@ PLUGIN_EXPECTATIONS = {
 }
 
 
+# The q37/q10 connected-components loop runs BEHIND a localCheckpoint,
+# so the catalog-level gates above never see its per-iteration plan —
+# these gate the loop's building blocks directly (the exact functions
+# hash_min_components/cluster_labels execute). The scale invariants:
+# the seed and every iteration read ONLY the checkpointed dup-graph
+# (no corpus FileScan inside the loop — the corpus-sized table is
+# touched once, by the final join-back), each iteration costs a BOUNDED
+# number of shuffles over edge-endpoint-sized tables, and the
+# neighbor-min keeps its map-side combine (partial_min) so shuffle
+# volume is one row per (endpoint, partition), not one per edge. Join
+# strategy is deliberately ungated: at toy scale AQE broadcasts the
+# small sides, at production scale dup-graph×labels legitimately SMJs.
+CC_EXPECTATIONS = {
+    "cc:seed": {"codegen": True,
+                "contains_not": ["FileScan parquet", "CartesianProduct",
+                                 "BroadcastNestedLoopJoin"],
+                "max_n": {"Exchange hashpartitioning": 1, "BroadcastExchange": 0}},
+    "cc:propagate": {"codegen": True, "contains": ["partial_min"],
+                     "contains_not": ["FileScan parquet", "CartesianProduct",
+                                      "BroadcastNestedLoopJoin"],
+                     "max_n": {"Exchange hashpartitioning": 3, "BroadcastExchange": 2}},
+    "cc:propagate_jump": {"codegen": True, "contains": ["partial_min"],
+                          "contains_not": ["FileScan parquet", "CartesianProduct",
+                                           "BroadcastNestedLoopJoin"],
+                          "max_n": {"Exchange hashpartitioning": 4, "BroadcastExchange": 4}},
+}
+
+
+def audit_cc(spark, sf_dir: str) -> list[str]:
+    """Gate the Hash-Min CC iteration plans (CC_EXPECTATIONS).
+
+    Builds the real dup-graph off ``sf_dir``'s documents and plans the
+    iteration-1 propagate (labels = seed, exactly what the loop's first
+    pass executes) and the pointer-jump variant."""
+    from cometbft_log_etl_spark.queries.neardup import cc_propagate, cc_seed, dup_edges
+    from cometbft_log_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sym = dup_edges(docs)
+    seed = cc_seed(sym)
+    failures: list[str] = []
+    plans = {
+        "cc:seed": seed,
+        "cc:propagate": cc_propagate(seed, sym, with_jump=False),
+        "cc:propagate_jump": cc_propagate(seed, sym, with_jump=True),
+    }
+    for name, df in plans.items():
+        df.collect()  # settle AQE on the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        failures.extend(check_plan(name, plan, "", CC_EXPECTATIONS[name]))
+    return failures
+
+
 def audit_plugins(spark) -> list[str]:
     """Plan gates for the production ETL fan-out (PLUGIN_EXPECTATIONS).
 
@@ -389,6 +442,16 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
     for needle in exp.get("contains_not", ()):
         if needle in plan:
             failures.append(f"{name}: forbidden physical operator {needle!r} present")
+    for needle, cap_n in exp.get("max_n", {}).items():
+        # ceiling on the EXECUTED section: caps the per-run cost that
+        # actually executed (e.g. shuffles per CC iteration) — an added
+        # join/shuffle trips it even when AQE broadcasts the new side
+        got_n = final.count(needle)
+        if got_n > cap_n:
+            failures.append(
+                f"{name}: {needle!r} appears {got_n}x (cap {cap_n}) — "
+                "extra per-run cost crept into the plan"
+            )
     return failures
 
 
@@ -397,12 +460,13 @@ def main() -> int:
     from cometbft_log_etl_spark.session import get_spark
 
     spark = get_spark(app_name="audit_plans")
-    failures = audit(spark, sf_dir) + audit_plugins(spark)
+    failures = audit(spark, sf_dir) + audit_cc(spark, sf_dir) + audit_plugins(spark)
     for f in failures:
         print(f"[BAD] {f}")
     if not failures:
         print(
-            f"all {len(EXPECTATIONS)} headline plans and "
+            f"all {len(EXPECTATIONS)} headline plans, "
+            f"{len(CC_EXPECTATIONS)} CC iteration plans and "
             f"{len(PLUGIN_EXPECTATIONS)} plugin fan-out plans hold their scale properties"
         )
     return 1 if failures else 0
