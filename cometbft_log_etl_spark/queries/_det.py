@@ -119,8 +119,12 @@ def sql_dmean(expr: str) -> str:
 # is garbage — a real 100 TB pipeline screens it at index build, and
 # that is the cross-engine-symmetric semantics here: screened vectors
 # simply don't exist for ANN/near-dup/stats purposes. The Spark filter
-# also drops NULL embeddings (exists() over a NULL array is NULL, which
-# the filter rejects), matching the SQL's IS NOT NULL conjunct.
+# also drops NULL embeddings and embeddings with a NULL element
+# (exists() over a NULL array — or with a NULL predicate result and no
+# TRUE — is NULL, which the filter rejects); the SQL mirrors both via
+# the IS NOT NULL conjunct and the `x IS NULL OR` arm of the element
+# screen (DuckDB's list_filter silently skips NULL-predicate elements,
+# so without that arm a NULL component would pass).
 
 
 def finite_embeddings(df, col: str = "embedding"):
@@ -136,6 +140,6 @@ def finite_embeddings(df, col: str = "embedding"):
 # outer FROM, not the screened subquery).
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 SQL_EMB_SRC = f"(SELECT * FROM embeddings WHERE {SQL_EMB_FINITE}) embeddings"

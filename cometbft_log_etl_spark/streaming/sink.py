@@ -82,6 +82,25 @@ def stream_events_to_lake(
     return stream.start(), root
 
 
+def ingest_id_for(checkpoint_dir: str) -> str:
+    """Stable ingest id for a checkpoint location.
+
+    Hash of the normalized location: local paths go through abspath so
+    relative/absolute spellings of the same directory share an id, but
+    URI locations (s3a://, hdfs://) hash as-is — abspath would prepend
+    the driver's cwd, making the id depend on where the job was
+    launched and breaking the epoch-replay idempotence guard when the
+    SAME query restarts from a different working directory.
+    """
+    import hashlib
+    import os
+
+    location = checkpoint_dir.rstrip("/")
+    if "://" not in location:
+        location = os.path.abspath(location)
+    return hashlib.md5(location.encode()).hexdigest()[:12]
+
+
 def stream_events_to_mongo(
     spark: SparkSession,
     log_dir: str,
@@ -109,12 +128,7 @@ def stream_events_to_mongo(
     parity, mongo.go:80-96); only the one delete filter runs
     driver-side.
     """
-    import hashlib
-    import os
-
-    ingest_id = hashlib.md5(
-        os.path.abspath(checkpoint_dir.rstrip("/")).encode()
-    ).hexdigest()[:12]
+    ingest_id = ingest_id_for(checkpoint_dir)
 
     def write_batch(batch_df, epoch_id) -> None:
         sink.store_epoch(table, batch_df, epoch_id, ingest_id=ingest_id)

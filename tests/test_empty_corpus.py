@@ -274,6 +274,13 @@ def nonfinite_oracle_sf_dir(sf_dir, tmp_path_factory):
                     pylist[row] = fn(pylist[row])
                     if fname == "lineitem.parquet":
                         pylist[4] = float("nan")
+                    if fname == "embeddings.parquet":
+                        # A NULL element inside an otherwise-finite
+                        # vector: Spark's exists() yields NULL (row
+                        # screened); DuckDB's list_filter skips
+                        # NULL-predicate elements, so the oracle screen
+                        # needs its explicit `x IS NULL` arm to agree.
+                        pylist[1] = [None] + pylist[1][1:]
                     col = pa.array(pylist, type=fld.type)
                 cols.append(col)
             head = pa.Table.from_arrays(cols, schema=head.schema)

@@ -148,3 +148,25 @@ def test_stream_mongo_epochs_idempotent(spark, tmp_path):
     # ...while a replay WITHIN that scope overwrites itself
     sink.store_epoch("events", replay, 0, ingest_id="other-ckpt")
     assert len(_all_docs(root, "sim_stream", "events")) == c1
+
+
+def test_ingest_id_stable_across_working_directories(tmp_path, monkeypatch):
+    """URI checkpoint locations must yield the same ingest id regardless
+    of the driver's cwd (abspath on an s3a:// string would prepend the
+    cwd and break epoch-replay idempotence on restart); local paths
+    normalize so relative/absolute spellings agree."""
+    from cometbft_log_etl_spark.streaming.sink import ingest_id_for
+
+    uri = "s3a://bucket/ckpts/run1/"
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    monkeypatch.chdir(tmp_path / "a")
+    id_a = ingest_id_for(uri)
+    rel_a = ingest_id_for("ckpt")
+    monkeypatch.chdir(tmp_path / "b")
+    assert ingest_id_for(uri) == id_a
+    assert ingest_id_for("ckpt") != rel_a  # different dirs, different scope
+    # relative and absolute spellings of the SAME local dir agree
+    assert ingest_id_for("ckpt") == ingest_id_for(str(tmp_path / "b" / "ckpt"))
+    # trailing slash is normalized in both schemes
+    assert ingest_id_for(uri) == ingest_id_for(uri.rstrip("/"))
