@@ -2017,3 +2017,123 @@ def q43_crossmodal_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("text_ok") & emb_ok).alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q09 — per-source boilerplate n-gram detection (RefinedWeb/CCNet-style
+# line-dedup analog: spans repeated across many documents of ONE source
+# are template boilerplate — headers, footers, nav chrome — and a
+# curation pipeline strips or downweights them before training)
+
+_BP_N = 3  # gram width (tokens)
+_BP_MIN_DOCS = 2  # a gram seen in >= this many docs of a source is boilerplate
+_BP_FLAG_FRAC = 0.5  # docs that are mostly boilerplate get flagged
+
+
+@register(
+    "q09_boilerplate_ngrams",
+    tags=("datapipe", "text", "quality"),
+    oracle=f"""
+WITH doc_grams AS (
+  SELECT doc_id, source,
+         list_distinct(
+           CASE WHEN len(string_split(text, ' ')) >= {_BP_N}
+                THEN list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - {_BP_N - 1}),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])
+                ELSE [] END) AS grams
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, source, unnest(grams) AS gram FROM doc_grams
+),
+gram_df AS (
+  SELECT source, gram, count(*) AS df_docs
+  FROM exploded GROUP BY source, gram
+),
+boiler_per_doc AS (
+  SELECT e.doc_id, count(*) AS n_boiler
+  FROM exploded e JOIN gram_df g ON g.source = e.source AND g.gram = e.gram
+  WHERE g.df_docs >= {_BP_MIN_DOCS}
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(len(d.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN len(d.grams) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / len(d.grams), 9)
+       END AS boiler_frac,
+       CASE WHEN len(d.grams) = 0 THEN FALSE
+            ELSE CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / len(d.grams) >= {_BP_FLAG_FRAC}
+       END AS is_flagged
+FROM doc_grams d LEFT JOIN boiler_per_doc b ON b.doc_id = d.doc_id
+""",
+)
+def q09_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate span detection: token {_BP_N}-grams that
+    recur across >= _BP_MIN_DOCS distinct documents of the SAME source
+    are template boilerplate; each document reports how much of its
+    distinct-gram set is boilerplate and is flagged when mostly so.
+
+    The line-dedup step of web-curation pipelines (RefinedWeb, CCNet)
+    restated over single-line synthetic text: "line" becomes "token
+    n-gram", source plays the role of the domain/template key.
+
+    Scale shape: the per-doc DISTINCT gram set is built entirely
+    MAP-SIDE (an in-array transform + array_distinct — each doc
+    contributes a gram at most once, so a plain count(*) after explode
+    IS the document frequency; no count-distinct shuffle). Two shuffles
+    total over gram-sized data: one groupBy (source, gram) with
+    map-side partial counts for the DF table, one join of the exploded
+    grams back to that table (both sides hash-partitioned on the gram
+    key — co-located, no skew beyond genuinely viral grams, which AQE
+    skew-join splits). Nothing corpus-quadratic, nothing collected.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    gram_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(_BP_N)]
+    )
+    # Spark's sequence(1, n) DESCENDS for n < 1 — gate short/null docs
+    # to an explicit empty list (mirrors the oracle's CASE ... ELSE []).
+    grams = F.when(
+        F.size(toks) >= _BP_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (_BP_N - 1)), gram_at
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = docs.select("doc_id", "source", grams.alias("grams"))
+    exploded = doc_grams.select("doc_id", "source", F.explode("grams").alias("gram"))
+    gram_df = exploded.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    boiler_per_doc = (
+        exploded.join(
+            gram_df.filter(F.col("df_docs") >= _BP_MIN_DOCS), ["source", "gram"]
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_grams = F.size("grams").cast("bigint")
+    n_boiler = F.coalesce("n_boiler", F.lit(0)).cast("bigint")
+    frac = n_boiler.cast("double") / n_grams
+    return (
+        doc_grams.join(boiler_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            n_grams.alias("n_grams"),
+            n_boiler.alias("n_boiler"),
+            F.when(n_grams == 0, F.lit(0.0))
+            .otherwise(F.round(frac, 9))
+            .alias("boiler_frac"),
+            F.when(n_grams == 0, F.lit(False))
+            .otherwise(frac >= _BP_FLAG_FRAC)
+            .alias("is_flagged"),
+        )
+    )

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import load
 from . import register
-from ._det import SQL_EMB_SRC, finite_embeddings
+from ._det import SQL_EMB_SRC, dec12, ddot12, dnrm12, finite_embeddings
 from .datapipe import _h32
 
 _MINHASH_K = 8  # hash functions
@@ -1603,3 +1603,315 @@ def q100_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("est_j") >= _CLUSTER_JACCARD).alias("n_excluded_neardups"),
     )
     return pos.crossJoin(F.broadcast(neg))
+
+
+# --------------------------------------------------------------------------
+# q17/q25 — semantic clustering (distributed Lloyd's k-means) and
+# SemDeDup-style within-cluster semantic deduplication.
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public) prunes
+# semantically redundant training data: cluster the embedding space,
+# then inside each cluster drop all but one member of every
+# high-cosine pair. The clustering makes the pairwise tier tractable —
+# pairs are only ever formed WITHIN a cluster (capped), never across
+# the corpus.
+#
+# Everything is deterministic and oracle-mirrored: seed centroids are
+# the _KM_K lowest ids at every _KM_SEED_STEP-th vector (no RNG), the
+# Lloyd iteration count is FIXED at 2 assignment rounds (1 centroid
+# update) so the whole computation is one static DataFrame plan — no
+# driver loop, no checkpoint — and the DuckDB oracle unrolls the same
+# two rounds as CTEs. Cluster ids are seed vec_ids (stable through the
+# update). All cosines go through the shared decimal folds.
+
+_KM_SEED_STEP = 23  # every 23rd vector is a seed candidate
+_KM_K = 8  # FIXED cluster budget (an index that grows with the corpus
+#            is the q39 anti-pattern; real k-means picks k up front)
+_KM_MEMBER_CAP = 512  # pairwise tier cap per cluster (driver SFs sit below)
+_KM_DUP_COS = 0.38  # within-cluster semantic-duplicate threshold
+#                     (tuned to the synthetic corpus, like q06's 0.35)
+
+# Shared oracle CTE chain: elems/norms → seeds → round-1 assignment →
+# centroid mean update → round-2 assignment. Used by q17 and q25.
+_KM_SQL_CTES = f"""elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+seeds AS (SELECT vec_id FROM {SQL_EMB_SRC} WHERE vec_id % {_KM_SEED_STEP} = 0
+          ORDER BY vec_id LIMIT {_KM_K}),
+cent1 AS (SELECT e.vec_id AS cluster_id, pos, x FROM elems e
+          JOIN seeds s ON s.vec_id = e.vec_id),
+vc1 AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (nv.nrm * nc.nrm) AS cos
+  FROM elems e
+  JOIN cent1 c ON c.pos = e.pos
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN norms nc ON nc.vec_id = c.cluster_id
+  GROUP BY e.vec_id, c.cluster_id, nv.nrm, nc.nrm
+),
+a1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM vc1) WHERE rn = 1
+),
+cent2 AS (
+  SELECT a1.cluster_id, e.pos,
+         CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+  FROM a1 JOIN elems e ON e.vec_id = a1.vec_id
+  GROUP BY a1.cluster_id, e.pos
+),
+cnorm2 AS (
+  SELECT cluster_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM cent2 GROUP BY cluster_id
+),
+vc2 AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (nv.nrm * nc.nrm) AS cos
+  FROM elems e
+  JOIN cent2 c ON c.pos = e.pos
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN cnorm2 nc ON nc.cluster_id = c.cluster_id
+  GROUP BY e.vec_id, c.cluster_id, nv.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id, cluster_id, cos FROM (
+    SELECT vec_id, cluster_id, cos, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM vc2) WHERE rn = 1
+)"""
+
+
+def _km_seed_centroids(emb: DataFrame) -> DataFrame:
+    """The _KM_K lowest-id seed vectors (cluster_id = seed vec_id), via
+    a distributed top-k (TakeOrderedAndProject) — rank-based, so an id
+    space starting anywhere still seeds exactly k clusters."""
+    return (
+        emb.filter(F.col("vec_id") % _KM_SEED_STEP == 0)
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
+def _km_assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment: nearest centroid by cosine, (cos DESC,
+    cluster_id ASC) tie-break — a broadcast cross join of the corpus
+    against the FIXED-k centroid table, collapsed to one skinny row per
+    vector by a MAP-SIDE argmax (the q39 max_by pattern; the broadcast
+    cross join produces all k centroid rows of a vector on one input
+    partition, so partial aggregation collapses them before the
+    shuffle). The vector's embedding/norm ride along for the next
+    round — all values in the group are equal, so first() is exact."""
+    vc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "cluster_id",
+        (ddot12(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
+    )
+    best = F.max_by(
+        F.struct("cluster_id", "cos"),
+        F.struct(F.col("cos"), (-F.col("cluster_id")).alias("nt")),
+    )
+    return (
+        vc.groupBy("vec_id")
+        .agg(best.alias("best"), F.first("emb").alias("emb"), F.first("nrm").alias("nrm"))
+        .select(
+            "vec_id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.cos").alias("cos"),
+            "emb",
+            "nrm",
+        )
+    )
+
+
+def _km_update_centroids(assigned: DataFrame) -> DataFrame:
+    """Centroid mean update: per-(cluster, dimension) exact-decimal sum
+    ÷ member count, reassembled into an array row per cluster. The
+    position explode multiplies rows by the dimension, but each row is
+    a skinny (cluster, pos, x) triple and the aggregation is
+    partial-aggregatable — the shuffle carries k × dim rows per map
+    partition, never the corpus. Output is k rows; the caller
+    broadcasts it into the next assignment round."""
+    ex = assigned.select(
+        "cluster_id", F.posexplode("emb").alias("pos", "xf")
+    ).select("cluster_id", "pos", F.col("xf").cast("double").alias("x"))
+    cent = ex.groupBy("cluster_id", "pos").agg(
+        (F.sum(dec12(F.col("x"))).cast("double") / F.count(F.lit(1))).alias("x")
+    )
+    carr = cent.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
+        ).alias("cemb")
+    )
+    return carr.select("cluster_id", "cemb", dnrm12(F.col("cemb")).alias("cnrm"))
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, cos, emb, nrm) after 2 Lloyd assignment
+    rounds with 1 centroid mean update — the shared front half of
+    q17/q25. A static plan: fixed k, fixed rounds, no driver loop."""
+    from ..session import default_parallelism
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
+    return _km_assign_round(
+        a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1)
+    )
+
+
+@register(
+    "q17_semantic_kmeans",
+    tags=("datapipe", "similarity", "clustering"),
+    oracle=f"""
+WITH {_KM_SQL_CTES}
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+         AS mean_cos
+FROM assign GROUP BY cluster_id
+""",
+)
+def q17_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: per-cluster
+    membership count and mean cosine-to-centroid after 2 deterministic
+    assignment rounds (seed centroids at fixed id strides, 1 exact
+    decimal mean update).
+
+    At 100 TB each round is one broadcast cross join (k centroids,
+    FIXED budget) + map-side argmax; the update shuffles k × dim
+    partial sums per map partition. The corpus is scanned twice per
+    round and nothing corpus-sized is ever broadcast, collected, or
+    joined pairwise. The DuckDB oracle unrolls the identical two rounds
+    as CTEs, so the distributed formulation is cross-checked against an
+    independent engine, cell-exact.
+    """
+    tune_session(spark)
+    assign = kmeans_assignments(spark, sf_dir)
+    return assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(dec12(F.col("cos"))).cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_cos"),
+    )
+
+
+@register(
+    "q25_semantic_dedup",
+    tags=("datapipe", "dedup", "embedding", "clustering"),
+    oracle=f"""
+WITH {_KM_SQL_CTES},
+capped AS (
+  SELECT vec_id, cluster_id, cos FROM (
+    SELECT vec_id, cluster_id, cos, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn
+    FROM assign) WHERE rn <= {_KM_MEMBER_CAP}
+),
+pair_dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM capped a
+  JOIN capped b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+  JOIN elems ea ON ea.vec_id = a.vec_id
+  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+  GROUP BY a.vec_id, b.vec_id
+),
+dups AS (
+  SELECT p.vec_b AS vec_id, min(p.vec_a) AS dup_of
+  FROM pair_dots p
+  JOIN norms na ON na.vec_id = p.vec_a
+  JOIN norms nb ON nb.vec_id = p.vec_b
+  WHERE p.dot / (na.nrm * nb.nrm) >= {_KM_DUP_COS}
+  GROUP BY p.vec_b
+)
+SELECT a.vec_id, a.cluster_id, round(a.cos, 9) AS centroid_cos,
+       d.dup_of IS NULL AS is_kept, d.dup_of
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+""",
+)
+def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each k-means cluster, every pair of members with
+    cosine >= _KM_DUP_COS is a semantic duplicate and the higher id is
+    dropped in favor of the lowest such partner (min-id representative,
+    the q37 convention). Output is the per-vector keep/drop decision
+    with its cluster and centroid cosine.
+
+    Scale shape: pairs exist only WITHIN a cluster, and each cluster's
+    pairwise tier is capped to its _KM_MEMBER_CAP most-central members
+    (rank-filter → map-side WindowGroupLimit, the _BUCKET_CAP pattern) —
+    the cap bounds the quadratic term per cluster no matter how skewed
+    the clustering gets. Pair expansion reuses the q06 in-bucket idiom:
+    capped members are collected into ONE array row per cluster and
+    pairs are expanded + scored in place with zip_with decimal folds —
+    no pairwise join, no position explode, nothing corpus-sized
+    broadcast. The final decision join is per-vector (linear).
+    """
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    assign = kmeans_assignments(spark, sf_dir)
+    wcap = W.partitionBy("cluster_id").orderBy(F.col("cos").desc(), "vec_id")
+    members = (
+        assign.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _KM_MEMBER_CAP)
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+        # explicit-width spread of the capped member rows: AQE would
+        # coalesce the byte-light, compute-dense pair scoring to one
+        # task without it (the q06/q55 hardening)
+        .repartition(default_parallelism())
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["vec_id"].alias("vec_a"),
+                    b["vec_id"].alias("vec_b"),
+                    ddot12(a["emb"], b["emb"]).alias("dot"),
+                    a["nrm"].alias("nrm_a"),
+                    b["nrm"].alias("nrm_b"),
+                ),
+            ),
+        )
+    )
+    cosine = F.col("p.dot") / (F.col("p.nrm_a") * F.col("p.nrm_b"))
+    dups = (
+        members.select(F.explode(pair_arr).alias("p"))
+        .filter(cosine >= _KM_DUP_COS)
+        .groupBy(F.col("p.vec_b").alias("vec_id"))
+        .agg(F.min("p.vec_a").alias("dup_of"))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.round("cos", 9).alias("centroid_cos"),
+        F.col("dup_of").isNull().alias("is_kept"),
+        "dup_of",
+    )

@@ -78,6 +78,28 @@ EXPECTATIONS = {
                               "contains_n": {"RoundRobinPartitioning": 2},
                               "contains_not": ["SortMergeJoin", "BroadcastNestedLoopJoin",
                                                "CartesianProduct"]},
+    # per-source boilerplate: the per-doc DISTINCT gram set builds
+    # in-array MAP-SIDE (no count-distinct shuffle); the plan re-scans
+    # the pruned 3-col corpus a bounded 3 times (doc_grams / exploded /
+    # gram_df) and nothing is pairwise
+    "q09_boilerplate_ngrams": {"max_scan_cols": 3, "max_scans": 3,
+                               "contains_not": ["CartesianProduct"]},
+    # k-means: the ONLY joins are the hint-broadcast FIXED-k centroid
+    # cross joins (print as BroadcastNestedLoopJoin); an SMJ or
+    # CartesianProduct means a hint was lost or something corpus-sized
+    # got joined. 3 hint sites = seed centroids + updated centroids
+    # (+ the seed hint's plan-tree duplicate under both consumers).
+    "q17_semantic_kmeans": {"max_scan_cols": 2, "max_hint_broadcasts": 3,
+                            "no_smj": True,
+                            "contains": ["BroadcastNestedLoopJoin"],
+                            "contains_not": ["CartesianProduct"]},
+    # SemDeDup: the per-cluster member cap must stay a map-side rank
+    # limit and pair scoring stays in-array (join-free); the only
+    # corpus-shaped join is the per-vector decision join, which
+    # legitimately shuffles at scale (no join-strategy gate)
+    "q25_semantic_dedup": {"max_scan_cols": 2,
+                           "contains": ["WindowGroupLimit"],
+                           "contains_not": ["CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
     "q87_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
