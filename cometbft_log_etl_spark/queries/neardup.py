@@ -1822,6 +1822,8 @@ def q17_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_semantic_dedup",
+    headline=True,  # benches the whole semantic family: k-means front
+    #                 (q17's plan) + the capped in-array pair tier
     tags=("datapipe", "dedup", "embedding", "clustering"),
     oracle=f"""
 WITH {_KM_SQL_CTES},

@@ -1,0 +1,209 @@
+"""Streaming SemDeDup — q25's within-cluster semantic dedup on a
+continuous embedding stream, with bounded keyed state.
+
+The production pattern for semantic dedup at ingest time: the k-means
+model is FITTED OFFLINE (the batch q17 front half; k centroid vectors
+— model-sized, legitimately collected) and APPLIED ONLINE. Each
+arriving embedding is assigned to its nearest centroid entirely
+MAP-SIDE (the centroid set is a literal in the plan — no join, no
+aggregation stage, so the assignment runs on an unbounded stream),
+then a custom ``applyInPandasWithState`` kernel keyed on cluster_id
+holds the cluster's member list (capped at ``_KM_MEMBER_CAP``, same
+guard as batch) and emits the keep/drop decision the moment the
+vector lands.
+
+Decision rule mirrors batch q25 exactly: a vector is dropped in favor
+of the minimum LOWER-ID member whose cosine reaches ``_KM_DUP_COS``;
+members are retained in state whether kept or dropped (the batch
+pairwise tier also compares against dropped members). For id-ordered
+arrival on sub-cap clusters the streaming decisions equal the batch
+query's exactly (asserted in tests/test_stream_semdedup.py); an
+oversized cluster degrades to first-arrival membership where batch
+keeps the most-central members — the standard online trade, same
+shape as streaming/neardup.py's cap note.
+
+State is strictly bounded: ≤ cap (vec_id, embedding, norm) triples
+per cluster key, and the number of keys is the FIXED centroid budget
+k — total state is k × cap × dim doubles no matter how large the
+stream grows.
+
+Numeric note: the Spark-side assignment cosine reuses the decimal
+folds (bit-identical to batch); the in-kernel pairwise cosines are
+NumPy float64 dots, which can differ from the batch decimal folds in
+the last ulp — a pair sitting EXACTLY at the threshold within 1e-12
+could decide differently. The parity test pins the behavior on real
+data; the operator contract is the threshold, not the ulp.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..queries._det import ddot12, dnrm12, finite_embeddings
+from ..queries.neardup import _KM_DUP_COS, _KM_MEMBER_CAP
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+        T.StructField("centroid_cos", T.DoubleType()),
+        T.StructField("is_kept", T.BooleanType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+
+# parallel arrays: member ids + embeddings (norm folded into the
+# stored vector = emb / ||emb||, so the kernel's pairwise cosine is a
+# plain dot product)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("unit_embs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Fit the batch k-means front half and collect the k updated
+    centroids — the OFFLINE model the stream applies. k is the fixed
+    cluster budget, so this collect is model-sized by construction
+    (the same adjudication as the BPE fit's 1-row argmax)."""
+    from ..queries.neardup import (
+        _km_assign_round,
+        _km_seed_centroids,
+        _km_update_centroids,
+    )
+    from ..session import default_parallelism
+    from ..tables import load
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
+    return [r.asDict() for r in _km_update_centroids(a1).collect()]
+
+
+def assign_to_centroids(embs: DataFrame, centroids: list[dict]) -> DataFrame:
+    """(vec_id, cluster_id, centroid_cos, emb, nrm) — nearest-centroid
+    assignment as a PURE MAP expression: the fitted centroids enter the
+    plan as literals, each cosine is the shared decimal fold
+    (bit-identical to the batch assignment), and the argmax is an
+    in-row array_max over (cos, -cluster_id, cluster_id) structs —
+    exactly max_by's (cos DESC, cluster_id ASC) tie-break. Runs on
+    streams: no join, no shuffle, no aggregation."""
+    src = finite_embeddings(embs).select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        dnrm12(F.col("embedding")).alias("nrm"),
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    ddot12(
+                        F.col("emb"),
+                        F.array(*[F.lit(float(x)) for x in c["cemb"]]),
+                    )
+                    / (F.col("nrm") * F.lit(float(c["cnrm"])))
+                ).alias("cos"),
+                F.lit(-int(c["cluster_id"])).cast("long").alias("neg_id"),
+                F.lit(int(c["cluster_id"])).cast("long").alias("cluster_id"),
+            )
+            for c in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return src.select(
+        "vec_id",
+        best["cluster_id"].alias("cluster_id"),
+        best["cos"].alias("centroid_cos"),
+        "emb",
+        "nrm",
+    )
+
+
+def _cluster_group(
+    key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    if state.hasTimedOut:  # no timeout configured; defensive
+        state.remove()
+        return
+    ids, unit_embs = state.get if state.exists else ([], [])
+    ids = list(ids)
+    units = [np.asarray(u, dtype=np.float64) for u in unit_embs]
+    seen = set(ids)
+    cluster_id = int(key[0])
+    out: list[dict] = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            "vec_id", kind="mergesort"
+        )
+        for row in batch.itertuples(index=False):
+            d = int(row.vec_id)
+            if d in seen:
+                continue  # replays of the same vector row
+            u = np.asarray(row.emb, dtype=np.float64)
+            u = u / float(row.nrm)
+            # batch rule: dropped in favor of the min LOWER-ID member
+            # within threshold (id-based, so out-of-order arrival still
+            # never drops an earlier id for a later one)
+            matching = [
+                m_id
+                for m_id, m_u in zip(ids, units)
+                if m_id < d and float(m_u @ u) >= _KM_DUP_COS
+            ]
+            dup_of = min(matching) if matching else None
+            out.append(
+                {
+                    "vec_id": d,
+                    "cluster_id": cluster_id,
+                    "centroid_cos": float(row.centroid_cos),
+                    "is_kept": dup_of is None,
+                    "dup_of": dup_of,
+                }
+            )
+            if len(ids) < _KM_MEMBER_CAP:
+                # kept AND dropped members both join the comparison set
+                # (the batch pairwise tier spans all capped members)
+                ids.append(d)
+                units.append(u)
+                seen.add(d)
+    state.update((ids, [u.tolist() for u in units]))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["vec_id", "cluster_id", "centroid_cos", "is_kept", "dup_of"]
+        )
+
+
+def stream_semantic_dedup(embs: DataFrame, centroids: list[dict]) -> DataFrame:
+    """Online SemDeDup decisions for an embedding stream.
+
+    One row per arriving vector: its cluster, centroid cosine, and the
+    keep/drop verdict against everything already in its cluster.
+    Shuffles once per micro-batch on the cluster key (k keys — the
+    kernel's parallelism is the fixed cluster budget; at production
+    scale one key's state is cap × dim doubles, so a hot cluster is a
+    compute hotspot but never a memory hazard)."""
+    assigned = assign_to_centroids(embs, centroids)
+    return assigned.groupBy("cluster_id").applyInPandasWithState(
+        _cluster_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
