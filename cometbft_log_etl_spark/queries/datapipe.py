@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..session import tune_session
 from ..tables import load
 from . import register
+from ._det import SQL_EMB_FINITE as _SQL_EMB_FINITE
 from ._det import SQL_EMB_SRC
 from ._topk import global_topk
 
@@ -2137,3 +2138,215 @@ def q09_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q12 — data-quality constraint audit (the Deequ-style validate-before-
+# training pass: referential integrity, uniqueness, completeness, and
+# range checks emitted as one long-format report)
+
+
+@register(
+    "q12_data_quality_audit",
+    tags=("datapipe", "quality", "validation"),
+    oracle=f"""
+WITH checks AS (
+  SELECT 'lineitem_orderkey_fk' AS check_name,
+         (SELECT count(*) FROM lineitem) AS n_checked,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+  UNION ALL
+  SELECT 'orders_custkey_fk',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer_custkey_unique',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+  UNION ALL
+  SELECT 'orders_totalprice_complete',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FILTER (o_totalprice IS NULL) FROM orders)
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FILTER (o_totalprice IS NOT NULL AND o_totalprice <= 0)
+          FROM orders)
+  UNION ALL
+  SELECT 'lineitem_quantity_range',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                  OR l_quantity > 50) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FILTER (l_discount IS NULL OR l_discount < 0
+                                  OR l_discount > 0.1) FROM lineitem)
+  UNION ALL
+  SELECT 'documents_text_complete',
+         (SELECT count(*) FROM documents),
+         (SELECT count(*) FILTER (text IS NULL OR text = '') FROM documents)
+  UNION ALL
+  SELECT 'embeddings_finite',
+         (SELECT count(*) FROM (SELECT * FROM embeddings) embeddings),
+         (SELECT count(*) FILTER (NOT ({{EMB_FINITE}})) FROM
+            (SELECT * FROM embeddings) embeddings)
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CASE WHEN n_checked = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(n_violations AS DOUBLE) / n_checked, 9)
+       END AS violation_rate
+FROM checks
+""".replace("{EMB_FINITE}", _SQL_EMB_FINITE),
+)
+def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit: one long-format report row per
+    declared constraint — referential integrity (FK orphans via LEFT
+    ANTI joins), key uniqueness, completeness (null/empty rates), value
+    ranges, and embedding finiteness (the same screen the similarity
+    family applies at its source).
+
+    The validate-before-training gate of a production pipeline (the
+    role Deequ/Great Expectations play): run it on every ingested
+    snapshot, alert on any violation_rate above a bound.
+
+    Scale shape: every completeness/range/uniqueness constraint is ONE
+    conditional partial aggregation over its table's pruned scan —
+    constraints over the same table share one scan via a single
+    multi-count agg, so the audit costs one pass per audited table
+    plus two key-only anti-joins for the FK checks (big-big,
+    legitimately shuffled at production scale; nothing is collected
+    and nothing corpus-sized broadcasts).
+    """
+    tune_session(spark)
+    from ._det import finite_embeddings
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    documents = load(spark, sf_dir, "documents")
+    embeddings = load(spark, sf_dir, "embeddings")
+
+    def row(df_agg: DataFrame) -> DataFrame:
+        rate = F.col("n_violations").cast("double") / F.col("n_checked")
+        return df_agg.select(
+            "check_name",
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.when(F.col("n_checked") == 0, F.lit(0.0))
+            .otherwise(F.round(rate, 9))
+            .alias("violation_rate"),
+        )
+
+    def agg_checks(df: DataFrame, checks: list[tuple[str, F.Column]]) -> list[DataFrame]:
+        """One scan per table: all of the table's constraint counters
+        ride one conditional aggregation, then pivot to long rows."""
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for i, (_, cond) in enumerate(checks):
+            aggs.append(F.count_if(cond).alias(f"_v{i}"))
+        wide = df.agg(*aggs)
+        return [
+            row(
+                wide.select(
+                    F.lit(name).alias("check_name"),
+                    F.col("_n").alias("n_checked"),
+                    F.col(f"_v{i}").alias("n_violations"),
+                )
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+
+    emb_bad = ~(
+        ~F.exists(
+            "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        )
+    ).eqNullSafe(F.lit(True))
+    parts: list[DataFrame] = []
+    parts += agg_checks(
+        orders.select("o_totalprice"),
+        [
+            ("orders_totalprice_complete", F.col("o_totalprice").isNull()),
+            (
+                "orders_totalprice_positive",
+                F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") <= 0),
+            ),
+        ],
+    )
+    parts += agg_checks(
+        lineitem.select("l_quantity", "l_discount"),
+        [
+            (
+                "lineitem_quantity_range",
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+            ),
+            (
+                "lineitem_discount_range",
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1),
+            ),
+        ],
+    )
+    parts += agg_checks(
+        documents.select("text"),
+        [("documents_text_complete", F.col("text").isNull() | (F.col("text") == ""))],
+    )
+    parts += agg_checks(embeddings.select("embedding"), [("embeddings_finite", emb_bad)])
+    # uniqueness: total minus distinct keys
+    parts.append(
+        row(
+            customer.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias(
+                    "n_violations"
+                ),
+            ).select(
+                F.lit("customer_custkey_unique").alias("check_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+    )
+    # referential integrity: key-only anti-joins
+    fk1 = lineitem.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    parts.append(
+        row(
+            lineitem.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(fk1.agg(F.count(F.lit(1)).alias("n_violations")))
+            .select(
+                F.lit("lineitem_orderkey_fk").alias("check_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+    )
+    fk2 = orders.select("o_custkey").join(
+        customer.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    parts.append(
+        row(
+            orders.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(fk2.agg(F.count(F.lit(1)).alias("n_violations")))
+            .select(
+                F.lit("orders_custkey_fk").alias("check_name"),
+                "n_checked",
+                "n_violations",
+            )
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

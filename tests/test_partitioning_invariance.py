@@ -27,6 +27,8 @@ _PRONE = [
     "q13_incremental_dedup",
     "q15_nb_langid",
     "q40_retention_cohorts",
+    "q17_semantic_kmeans",  # argmax assignment + first(emb) carries
+    "q25_semantic_dedup",  # min-id representative picks + member cap rank
 ]
 
 

@@ -131,3 +131,47 @@ def test_q09_boilerplate_invariants(spark, sf_dir):
     # a boilerplate gram is shared: total boiler hits across docs of a
     # source must come in groups >= 2 (the _BP_MIN_DOCS floor)
     assert any(r["n_boiler"] > 0 for r in rows)  # non-trivial on testdata
+
+
+def test_q12_audit_fires_on_poisoned_corpus(spark, sf_dir, tmp_path_factory):
+    """The constraint audit must report violations when they exist —
+    an all-zero report on poisoned input would mean dead checks."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cometbft_log_etl_spark.queries import catalog
+
+    out = tmp_path_factory.mktemp("poisoned-audit-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 8)
+        if t == "orders":
+            # orphan an order's custkey + null a totalprice
+            cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
+            cols["o_custkey"][0] = 10**12
+            cols["o_totalprice"][1] = None
+            cols["o_totalprice"][2] = -5.0
+            head = pa.Table.from_pydict(cols, schema=head.schema)
+        if t == "embeddings":
+            cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
+            cols["embedding"][0] = [float("nan")] + cols["embedding"][0][1:]
+            head = pa.Table.from_pydict(cols, schema=head.schema)
+        if t == "customer":
+            cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
+            cols["c_custkey"][1] = cols["c_custkey"][0]  # duplicate pk
+            head = pa.Table.from_pydict(cols, schema=head.schema)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+
+    rows = {
+        r["check_name"]: r
+        for r in catalog()["q12_data_quality_audit"].fn(spark, str(out)).collect()
+    }
+    assert rows["orders_custkey_fk"]["n_violations"] >= 1
+    assert rows["orders_totalprice_complete"]["n_violations"] == 1
+    assert rows["orders_totalprice_positive"]["n_violations"] == 1
+    assert rows["embeddings_finite"]["n_violations"] == 1
+    assert rows["customer_custkey_unique"]["n_violations"] == 1
+    # lineitem rows reference the 8-order slice; orphans are expected
+    assert rows["lineitem_orderkey_fk"]["n_checked"] == 8

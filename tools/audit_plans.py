@@ -100,6 +100,12 @@ EXPECTATIONS = {
     "q25_semantic_dedup": {"max_scan_cols": 2,
                            "contains": ["WindowGroupLimit"],
                            "contains_not": ["CartesianProduct"]},
+    # data-quality audit: every check reads a KEY-ONLY pruned scan
+    # (constraints over one table share one conditional agg) and the
+    # report assembly is 1-row x 1-row crosses — nothing corpus-sized
+    # moves; FK anti-joins legitimately shuffle at scale (no join gate)
+    "q12_data_quality_audit": {"max_scan_cols": 2,
+                               "contains_not": ["CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
     "q87_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
