@@ -33,6 +33,12 @@ def plan_fingerprint(df) -> tuple[str, int]:
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     norm = re.sub(r"#\d+[A-Za-z]*", "#", plan)          # expression ids
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (x_42#123): without stripping it, a query's fingerprint
+    # depends on which lambda-using queries ran before it in the same
+    # session — adding a query to the headline set would shift every
+    # later fingerprint with zero plan change (caught in round 8).
+    norm = re.sub(r"_\d+#", "_#", norm)                  # lambda var counters
     norm = re.sub(r"\[plan_id=\d+\]", "", norm)          # exchange plan ids
     norm = re.sub(r"\[id=#\]", "", norm)                 # codegen stage ids
     norm = re.sub(r"\(\d+\)", "", norm)                  # codegen ordinals
@@ -131,6 +137,10 @@ def main() -> None:
                 "queries": timings,
                 "query_runs": all_runs,
                 "plans_fingerprint": fingerprints,
+                # v2: lambda-variable counters stripped (round 8) — v1
+                # fingerprints (r1-r7 artifacts) hash different text, so
+                # compare across versions by n_exchanges + plan diffs
+                "fingerprint_version": 2,
                 "n_exchanges": n_exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "etl": etl,

@@ -2350,3 +2350,121 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# q33 — count-min sketch frequency estimation (completes the sketch
+# family next to KMV distinct / HLL / quantile sketches: the heavy-
+# hitter side — token frequencies from a FIXED d×w counter table)
+
+_CM_D = 4  # hash rows
+_CM_W = 16  # buckets per row (narrow on purpose: the synthetic
+#            vocabulary is ~31 tokens, and a sketch the vocabulary fits
+#            into would never collide — 16 buckets force the CM
+#            overestimate behavior the overshoot column demonstrates)
+_CM_PROBE_MOD = 2  # deterministic probe subset: tokens with h % 2 == 0
+
+
+@register(
+    "q33_countmin_freq",
+    tags=("datapipe", "sketch", "frequency"),
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+exact AS (
+  SELECT token, count(*) AS n_exact FROM toks GROUP BY token
+),
+cm AS (
+  SELECT j, ({_SQL_H32.format(expr="CAST(j AS VARCHAR) || ':' || token")}) % {_CM_W} AS bucket,
+         count(*) AS cnt
+  FROM toks, unnest(generate_series(0, {_CM_D - 1})) AS t(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, n_exact FROM exact
+  WHERE ({_SQL_H32.format(expr="token")}) % {_CM_PROBE_MOD} = 0
+),
+est AS (
+  SELECT p.token, min(c.cnt) AS cm_estimate
+  FROM probes p
+  JOIN unnest(generate_series(0, {_CM_D - 1})) AS t(j) ON TRUE
+  JOIN cm c ON c.j = t.j
+           AND c.bucket = ({_SQL_H32.format(expr="CAST(t.j AS VARCHAR) || ':' || p.token")}) % {_CM_W}
+  GROUP BY p.token
+)
+SELECT p.token, CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(e.cm_estimate - p.n_exact AS BIGINT) AS overshoot
+FROM probes p JOIN est e USING (token)
+""",
+)
+def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: token frequencies estimated from a FIXED
+    d × w counter table, reported next to the exact counts for a
+    deterministic probe subset (overshoot >= 0 is the CM guarantee —
+    the sketch only ever overestimates).
+
+    The heavy-hitter member of the sketch family (KMV distinct q42,
+    HLL q75, quantile sketches q78): at 100 TB the full per-token
+    count table is vocabulary-sized and Zipf-skewed, while the CM
+    table is d × w counters NO MATTER THE CORPUS — build it with one
+    explode + partial-aggregated groupBy on (row, bucket), broadcast
+    it anywhere, merge shards by cell-wise addition. All hashes are
+    the portable md5-prefix integer, so Spark and DuckDB produce
+    bit-identical sketches and estimates.
+
+    Plan shape: ONE token explode feeds both the exact vocab count and
+    the d-fold (j, bucket) expansion (in-array, map-side) whose
+    groupBy collapses to d × w rows before the shuffle; the estimate
+    join BROADCASTS the fixed-size sketch, probes stream through it
+    map-side.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def bucket(j, token_col):
+        return _h32(F.concat_ws("", F.lit(f"{j}:"), token_col)) % _CM_W
+
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), bucket(j, F.col("token")).alias("bucket"))
+                for j in range(_CM_D)
+            ]
+        )
+    )
+    cm = (
+        toks.select(jb.alias("jb"))
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = exact.filter(_h32(F.col("token")) % _CM_PROBE_MOD == 0)
+    probe_cells = probes.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j, F.col("token")).alias("bucket")
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "n_exact", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(cm), ["j", "bucket"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("n_exact")).cast("bigint").alias("overshoot"),
+    )

@@ -100,6 +100,12 @@ EXPECTATIONS = {
     "q25_semantic_dedup": {"max_scan_cols": 2,
                            "contains": ["WindowGroupLimit"],
                            "contains_not": ["CartesianProduct"]},
+    # count-min sketch: the d-fold (row, bucket) expansion collapses to
+    # the FIXED d x w table before the shuffle (partial agg), and the
+    # estimate join must BROADCAST that fixed-size sketch — an SMJ here
+    # means the sketch joined as a big side, defeating its purpose
+    "q33_countmin_freq": {"codegen": True, "max_scan_cols": 1,
+                          "broadcasts": 1, "no_smj": True},
     # data-quality audit: every check reads a KEY-ONLY pruned scan
     # (constraints over one table share one conditional agg) and the
     # report assembly is 1-row x 1-row crosses — nothing corpus-sized
