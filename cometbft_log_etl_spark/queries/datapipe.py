@@ -2376,7 +2376,9 @@ exact AS (
   SELECT token, count(*) AS n_exact FROM toks GROUP BY token
 ),
 cm AS (
-  SELECT j, ({_SQL_H32.format(expr="CAST(j AS VARCHAR) || ':' || token")}) % {_CM_W} AS bucket,
+  -- ONE md5 per token; the d row-hashes are disjoint 8-hex-char slices
+  -- of that digest (positions 1/9/17/25) — 4x cheaper than d digests
+  SELECT j, CAST(('0x' || substr(md5(token), 1 + 8 * j, 8)) AS BIGINT) % {_CM_W} AS bucket,
          count(*) AS cnt
   FROM toks, unnest(generate_series(0, {_CM_D - 1})) AS t(j)
   GROUP BY 1, 2
@@ -2390,7 +2392,7 @@ est AS (
   FROM probes p
   JOIN unnest(generate_series(0, {_CM_D - 1})) AS t(j) ON TRUE
   JOIN cm c ON c.j = t.j
-           AND c.bucket = ({_SQL_H32.format(expr="CAST(t.j AS VARCHAR) || ':' || p.token")}) % {_CM_W}
+           AND c.bucket = CAST(('0x' || substr(md5(p.token), 1 + 8 * t.j, 8)) AS BIGINT) % {_CM_W}
   GROUP BY p.token
 )
 SELECT p.token, CAST(p.n_exact AS BIGINT) AS n_exact,
@@ -2426,7 +2428,13 @@ def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
 
     def bucket(j, token_col):
-        return _h32(F.concat_ws("", F.lit(f"{j}:"), token_col)) % _CM_W
+        # one md5 per token, sliced: row j reads hex chars [1+8j, 8+8j)
+        return (
+            F.conv(
+                F.substring(F.md5(token_col.cast("binary")), 1 + 8 * j, 8), 16, 10
+            ).cast("bigint")
+            % _CM_W
+        )
 
     jb = F.explode(
         F.array(
