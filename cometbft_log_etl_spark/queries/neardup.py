@@ -1766,7 +1766,16 @@ def _km_update_centroids(assigned: DataFrame) -> DataFrame:
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster_id, cos, emb, nrm) after 2 Lloyd assignment
     rounds with 1 centroid mean update — the shared front half of
-    q17/q25. A static plan: fixed k, fixed rounds, no driver loop."""
+    q17/q25. A static plan: fixed k, fixed rounds, no driver loop.
+
+    A consumer that uses the assignments twice (q25: member grouping +
+    the final decision join) re-derives this subtree — constant-factor,
+    and fine at the driver SFs. A production deployment stages the
+    assignments to parquet once and runs every consumer off the staged
+    table (the pipeline.py staged-sink pattern); alternatively
+    streaming/semdedup.py's fitted_centroids collects the k centroids
+    and re-applies them as a pure map, which is the shape an online
+    system uses anyway."""
     from ..session import default_parallelism
 
     emb = (
