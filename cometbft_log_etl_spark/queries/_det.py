@@ -128,9 +128,24 @@ def sql_dmean(expr: str) -> str:
 
 
 def finite_embeddings(df, col: str = "embedding"):
-    """Rows whose embedding is non-null with only finite components."""
-    return df.filter(
-        ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    """Rows whose embedding is non-null, has only finite components,
+    and has at least one NONZERO component. The all-zero vector is the
+    third garbage class next to NaN/Inf (a failed embedding job often
+    emits zeros): its norm is 0, so every cosine against it is 0/0 —
+    under Spark 4's ANSI mode that's not a NULL, it's a job-killing
+    DIVIDE_BY_ZERO (caught by a zero-vector corpus probe in round 8).
+    Screened identically in both engines."""
+    return df.filter(emb_finite_cond(col))
+
+
+def emb_finite_cond(col: str = "embedding") -> Column:
+    """The screen's keep-condition as an expression (NULL for a NULL
+    array / NULL element — filters drop it, eqNullSafe-style consumers
+    must treat NULL as not-kept). Shared by finite_embeddings and the
+    q12 audit's embeddings_finite check so the monitored metric can
+    never drift from the screen it monitors."""
+    return ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))) & F.exists(
+        col, lambda x: x != F.lit(0.0)
     )
 
 
@@ -141,5 +156,6 @@ def finite_embeddings(df, col: str = "embedding"):
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
     " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
 )
 SQL_EMB_SRC = f"(SELECT * FROM embeddings WHERE {SQL_EMB_FINITE}) embeddings"

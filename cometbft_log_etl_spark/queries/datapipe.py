@@ -2260,11 +2260,13 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (name, _) in enumerate(checks)
         ]
 
-    emb_bad = ~(
-        ~F.exists(
-            "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
-        )
-    ).eqNullSafe(F.lit(True))
+    from ._det import emb_finite_cond
+
+    # NOT the screen's keep-condition, null-safe: a NULL embedding (or a
+    # NULL element, where the keep-cond is NULL) counts as a violation —
+    # exactly the rows finite_embeddings screens out of the similarity
+    # family, so this metric monitors the screen itself.
+    emb_bad = ~emb_finite_cond("embedding").eqNullSafe(F.lit(True))
     parts: list[DataFrame] = []
     parts += agg_checks(
         orders.select("o_totalprice"),

@@ -281,6 +281,12 @@ def nonfinite_oracle_sf_dir(sf_dir, tmp_path_factory):
                         # NULL-predicate elements, so the oracle screen
                         # needs its explicit `x IS NULL` arm to agree.
                         pylist[1] = [None] + pylist[1][1:]
+                        # The ALL-ZERO vector (norm 0): every cosine
+                        # against it is 0/0, which under ANSI is a
+                        # job-killing DIVIDE_BY_ZERO, not a NULL — the
+                        # screen's nonzero-component clause exists for
+                        # this row.
+                        pylist[5] = [0.0] * len(pylist[5])
                     col = pa.array(pylist, type=fld.type)
                 cols.append(col)
             head = pa.Table.from_arrays(cols, schema=head.schema)

@@ -23,7 +23,7 @@ def _np_kmeans(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t.column("vec_id"))
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    finite = np.isfinite(emb).all(axis=1)
+    finite = np.isfinite(emb).all(axis=1) & (np.abs(emb).sum(axis=1) > 0)
     ids, emb = ids[finite], emb[finite]
     order = np.argsort(ids)
     ids, emb = ids[order], emb[order]
@@ -79,7 +79,9 @@ def test_q17_clusters_partition_the_corpus(spark, sf_dir):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t.column("vec_id"))
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    n_screened = int(np.isfinite(emb).all(axis=1).sum())
+    n_screened = int(
+        (np.isfinite(emb).all(axis=1) & (np.abs(emb).sum(axis=1) > 0)).sum()
+    )
     assert sum(r["n_members"] for r in rows) == n_screened
     seed_ids = set(np.sort(ids[(ids % _KM_SEED_STEP) == 0])[:_KM_K].tolist())
     assert all(r["cluster_id"] in seed_ids for r in rows)
