@@ -38,7 +38,10 @@ def plan_fingerprint(df) -> tuple[str, int]:
     # depends on which lambda-using queries ran before it in the same
     # session — adding a query to the headline set would shift every
     # later fingerprint with zero plan change (caught in round 8).
-    norm = re.sub(r"_\d+#", "_#", norm)                  # lambda var counters
+    # negative lookbehind: lambda vars are bare identifiers (x_42#),
+    # while real columns like _t_0# carry a leading underscore — don't
+    # collapse those (distinct columns must keep distinct fingerprints)
+    norm = re.sub(r"(?<![A-Za-z0-9_])([a-z]+)_\d+#", r"\1_#", norm)  # lambda var counters
     norm = re.sub(r"\[plan_id=\d+\]", "", norm)          # exchange plan ids
     norm = re.sub(r"\[id=#\]", "", norm)                 # codegen stage ids
     norm = re.sub(r"\(\d+\)", "", norm)                  # codegen ordinals

@@ -143,9 +143,17 @@ def emb_finite_cond(col: str = "embedding") -> Column:
     array / NULL element — filters drop it, eqNullSafe-style consumers
     must treat NULL as not-kept). Shared by finite_embeddings and the
     q12 audit's embeddings_finite check so the monitored metric can
-    never drift from the screen it monitors."""
+    never drift from the screen it monitors.
+
+    The degenerate-norm clause tests the QUANTIZED squares, not raw
+    components: the norm every cosine divides by is
+    sqrt(sum(dec12(x*x))), and dec12 rounds each square to 12 decimals
+    — a vector of components all below ~7.1e-7 is nonzero yet has
+    decimal norm 0, the same ANSI 0/0 job-killer as the all-zero
+    vector. Squares are non-negative and decimal addition is exact, so
+    "some quantized square > 0" is exactly "decimal norm > 0"."""
     return ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))) & F.exists(
-        col, lambda x: x != F.lit(0.0)
+        col, lambda x: dec12(x.cast("double") * x.cast("double")) > 0
     )
 
 
@@ -153,9 +161,18 @@ def emb_finite_cond(col: str = "embedding") -> Column:
 # aliased back to `embeddings` so surrounding SQL is unchanged. A
 # trailing `WHERE ...` in the caller still applies (it binds to the
 # outer FROM, not the screened subquery).
+# The degenerate-norm clause guards its decimal cast with the portable
+# x - x = 0 finiteness test (sql_dsum's trick): DuckDB ERRORS casting a
+# non-finite double to DECIMAL, and list_filter evaluates the lambda on
+# every element of every row — including the NaN rows the preceding
+# conjunct screens — so the cast must be unreachable for them. Spark
+# needs no guard (its cast NULLs non-finite values, and NULL > 0 is
+# NULL, which exists() treats as not-TRUE).
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
     " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
-    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    " AND len(list_filter(embedding, x -> CASE WHEN (CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0"
+    " THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)) > 0"
+    " ELSE FALSE END)) > 0"
 )
 SQL_EMB_SRC = f"(SELECT * FROM embeddings WHERE {SQL_EMB_FINITE}) embeddings"

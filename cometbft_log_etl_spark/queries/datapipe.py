@@ -2223,7 +2223,7 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and nothing corpus-sized broadcasts).
     """
     tune_session(spark)
-    from ._det import finite_embeddings
+    from ._det import emb_finite_cond
 
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -2242,14 +2242,17 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("violation_rate"),
         )
 
-    def agg_checks(df: DataFrame, checks: list[tuple[str, F.Column]]) -> list[DataFrame]:
+    def agg_checks(df: DataFrame, checks: list[tuple[str, F.Column]]):
         """One scan per table: all of the table's constraint counters
-        ride one conditional aggregation, then pivot to long rows."""
+        ride one conditional aggregation, then pivot to long rows.
+        Returns (wide 1-row agg, report rows) — the wide row carries
+        the table's count(*) so FK reports reuse it instead of paying
+        a second count scan of the same table."""
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, (_, cond) in enumerate(checks):
             aggs.append(F.count_if(cond).alias(f"_v{i}"))
         wide = df.agg(*aggs)
-        return [
+        return wide, [
             row(
                 wide.select(
                     F.lit(name).alias("check_name"),
@@ -2260,15 +2263,13 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (name, _) in enumerate(checks)
         ]
 
-    from ._det import emb_finite_cond
-
     # NOT the screen's keep-condition, null-safe: a NULL embedding (or a
     # NULL element, where the keep-cond is NULL) counts as a violation —
     # exactly the rows finite_embeddings screens out of the similarity
     # family, so this metric monitors the screen itself.
     emb_bad = ~emb_finite_cond("embedding").eqNullSafe(F.lit(True))
     parts: list[DataFrame] = []
-    parts += agg_checks(
+    orders_wide, rows_ = agg_checks(
         orders.select("o_totalprice"),
         [
             ("orders_totalprice_complete", F.col("o_totalprice").isNull()),
@@ -2278,7 +2279,8 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
-    parts += agg_checks(
+    parts += rows_
+    lineitem_wide, rows_ = agg_checks(
         lineitem.select("l_quantity", "l_discount"),
         [
             (
@@ -2295,11 +2297,12 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+    parts += rows_
     parts += agg_checks(
         documents.select("text"),
         [("documents_text_complete", F.col("text").isNull() | (F.col("text") == ""))],
-    )
-    parts += agg_checks(embeddings.select("embedding"), [("embeddings_finite", emb_bad)])
+    )[1]
+    parts += agg_checks(embeddings.select("embedding"), [("embeddings_finite", emb_bad)])[1]
     # uniqueness: total minus distinct keys
     parts.append(
         row(
@@ -2323,7 +2326,7 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts.append(
         row(
-            lineitem.agg(F.count(F.lit(1)).alias("n_checked"))
+            lineitem_wide.select(F.col("_n").alias("n_checked"))
             .crossJoin(fk1.agg(F.count(F.lit(1)).alias("n_violations")))
             .select(
                 F.lit("lineitem_orderkey_fk").alias("check_name"),
@@ -2339,7 +2342,7 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts.append(
         row(
-            orders.agg(F.count(F.lit(1)).alias("n_checked"))
+            orders_wide.select(F.col("_n").alias("n_checked"))
             .crossJoin(fk2.agg(F.count(F.lit(1)).alias("n_violations")))
             .select(
                 F.lit("orders_custkey_fk").alias("check_name"),

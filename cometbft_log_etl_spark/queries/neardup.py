@@ -1663,8 +1663,13 @@ a1 AS (
     FROM vc1) WHERE rn = 1
 ),
 cent2 AS (
+  -- mean components are division results (full-precision doubles);
+  -- round to 9 before they feed decimal folds downstream — the
+  -- _det.py double->decimal cast rule (Spark casts via shortest
+  -- string, DuckDB via exact binary; raw quotients can differ in the
+  -- last decimal digit)
   SELECT a1.cluster_id, e.pos,
-         CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+         round(CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS x
   FROM a1 JOIN elems e ON e.vec_id = a1.vec_id
   GROUP BY a1.cluster_id, e.pos
 ),
@@ -1752,8 +1757,12 @@ def _km_update_centroids(assigned: DataFrame) -> DataFrame:
     ex = assigned.select(
         "cluster_id", F.posexplode("emb").alias("pos", "xf")
     ).select("cluster_id", "pos", F.col("xf").cast("double").alias("x"))
+    # round-to-9 before the mean components feed decimal folds in the
+    # next round: quotients are full-precision doubles, and the
+    # double->decimal cast is the one operation Spark and DuckDB
+    # round differently (_det.py's cast rule)
     cent = ex.groupBy("cluster_id", "pos").agg(
-        (F.sum(dec12(F.col("x"))).cast("double") / F.count(F.lit(1))).alias("x")
+        F.round(F.sum(dec12(F.col("x"))).cast("double") / F.count(F.lit(1)), 9).alias("x")
     )
     carr = cent.groupBy("cluster_id").agg(
         F.transform(
@@ -1761,6 +1770,25 @@ def _km_update_centroids(assigned: DataFrame) -> DataFrame:
         ).alias("cemb")
     )
     return carr.select("cluster_id", "cemb", dnrm12(F.col("cemb")).alias("cnrm"))
+
+
+def km_first_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screened embedding prep + the round-1 seed assignment — shared
+    by kmeans_assignments and streaming.semdedup.fitted_centroids so
+    the offline-fitted model can never de-sync from the batch query it
+    mirrors (same screen, same partitioning, same seed round)."""
+    from ..session import default_parallelism
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    return _km_assign_round(emb, _km_seed_centroids(emb))
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1776,18 +1804,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/semdedup.py's fitted_centroids collects the k centroids
     and re-applies them as a pure map, which is the shape an online
     system uses anyway."""
-    from ..session import default_parallelism
-
-    emb = (
-        finite_embeddings(load(spark, sf_dir, "embeddings"))
-        .repartition(default_parallelism())
-        .select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            dnrm12(F.col("embedding")).alias("nrm"),
-        )
-    )
-    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
+    a1 = km_first_round(spark, sf_dir)
     return _km_assign_round(
         a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1)
     )
@@ -1800,7 +1817,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_KM_SQL_CTES}
 SELECT cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       round(CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
+       round(CAST(sum(CAST(round(cos, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9)
          AS mean_cos
 FROM assign GROUP BY cluster_id
 """,
@@ -1823,8 +1840,10 @@ def q17_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = kmeans_assignments(spark, sf_dir)
     return assign.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
+        # cosines are quotients: round to 9 before the decimal-sum
+        # (the same cast rule as the centroid components)
         F.round(
-            F.sum(dec12(F.col("cos"))).cast("double") / F.count(F.lit(1)), 9
+            F.sum(dec12(F.round(F.col("cos"), 9))).cast("double") / F.count(F.lit(1)), 9
         ).alias("mean_cos"),
     )
 

@@ -73,26 +73,12 @@ def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[dict]:
     """Fit the batch k-means front half and collect the k updated
     centroids — the OFFLINE model the stream applies. k is the fixed
     cluster budget, so this collect is model-sized by construction
-    (the same adjudication as the BPE fit's 1-row argmax)."""
-    from ..queries.neardup import (
-        _km_assign_round,
-        _km_seed_centroids,
-        _km_update_centroids,
-    )
-    from ..session import default_parallelism
-    from ..tables import load
+    (the same adjudication as the BPE fit's 1-row argmax). Reuses the
+    batch front half verbatim (neardup.km_first_round), so the fitted
+    model cannot de-sync from the batch query it mirrors."""
+    from ..queries.neardup import _km_update_centroids, km_first_round
 
-    emb = (
-        finite_embeddings(load(spark, sf_dir, "embeddings"))
-        .repartition(default_parallelism())
-        .select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            dnrm12(F.col("embedding")).alias("nrm"),
-        )
-    )
-    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
-    return [r.asDict() for r in _km_update_centroids(a1).collect()]
+    return [r.asDict() for r in _km_update_centroids(km_first_round(spark, sf_dir)).collect()]
 
 
 def assign_to_centroids(embs: DataFrame, centroids: list[dict]) -> DataFrame:
@@ -103,6 +89,12 @@ def assign_to_centroids(embs: DataFrame, centroids: list[dict]) -> DataFrame:
     in-row array_max over (cos, -cluster_id, cluster_id) structs —
     exactly max_by's (cos DESC, cluster_id ASC) tie-break. Runs on
     streams: no join, no shuffle, no aggregation."""
+    if not centroids:
+        raise ValueError(
+            "no centroids fitted — the fitting corpus was empty or fully "
+            "screened (NULL / non-finite / degenerate-norm embeddings); "
+            "a stream cannot be assigned against an empty model"
+        )
     src = finite_embeddings(embs).select(
         "vec_id",
         F.col("embedding").alias("emb"),
@@ -146,6 +138,7 @@ def _cluster_group(
     ids = list(ids)
     units = [np.asarray(u, dtype=np.float64) for u in unit_embs]
     seen = set(ids)
+    emitted: set[int] = set()  # batch-local duplicate guard
     cluster_id = int(key[0])
     out: list[dict] = []
     chunks = [p for p in pdfs if len(p)]
@@ -155,8 +148,17 @@ def _cluster_group(
         )
         for row in batch.itertuples(index=False):
             d = int(row.vec_id)
-            if d in seen:
-                continue  # replays of the same vector row
+            if d in seen or d in emitted:
+                # replays of the same vector row: `seen` covers ids held
+                # in state (members, bounded); `emitted` covers ids
+                # decided in THIS batch. A replay arriving in a LATER
+                # micro-batch after the cluster hit the member cap is
+                # not remembered (remembering every decided id would
+                # unbound the state) and re-emits its decision — the
+                # output is at-least-once past the cap, idempotent for
+                # a vec_id-keyed upsert sink.
+                continue
+            emitted.add(d)
             u = np.asarray(row.emb, dtype=np.float64)
             u = u / float(row.nrm)
             # batch rule: dropped in favor of the min LOWER-ID member

@@ -94,9 +94,13 @@ def ingest_id_for(checkpoint_dir: str) -> str:
     """
     import hashlib
     import os
+    import re
 
     location = checkpoint_dir.rstrip("/")
-    if "://" not in location:
+    # scheme detection must cover single-slash URIs too (Hadoop's
+    # Path.toString renders local URIs as file:/tmp/ckpt) — '://' alone
+    # would abspath those and reintroduce the cwd dependence
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", location):
         location = os.path.abspath(location)
     return hashlib.md5(location.encode()).hexdigest()[:12]
 

@@ -284,9 +284,15 @@ def nonfinite_oracle_sf_dir(sf_dir, tmp_path_factory):
                         # The ALL-ZERO vector (norm 0): every cosine
                         # against it is 0/0, which under ANSI is a
                         # job-killing DIVIDE_BY_ZERO, not a NULL — the
-                        # screen's nonzero-component clause exists for
+                        # screen's degenerate-norm clause exists for
                         # this row.
                         pylist[5] = [0.0] * len(pylist[5])
+                        # The TINY vector: nonzero components whose
+                        # squares all quantize to 0 at decimal(28,12),
+                        # so the DECIMAL norm is 0 — same 0/0 killer,
+                        # which is why the screen tests quantized
+                        # squares rather than raw components.
+                        pylist[4] = [1e-7] * len(pylist[4])
                     col = pa.array(pylist, type=fld.type)
                 cols.append(col)
             head = pa.Table.from_arrays(cols, schema=head.schema)

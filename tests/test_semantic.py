@@ -23,7 +23,9 @@ def _np_kmeans(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t.column("vec_id"))
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    finite = np.isfinite(emb).all(axis=1) & (np.abs(emb).sum(axis=1) > 0)
+    # mirror emb_finite_cond: finite AND some QUANTIZED square > 0
+    # (dec12 rounds squares to 12 decimals; see _det.py)
+    finite = np.isfinite(emb).all(axis=1) & (np.round(emb * emb, 12) > 0).any(axis=1)
     ids, emb = ids[finite], emb[finite]
     order = np.argsort(ids)
     ids, emb = ids[order], emb[order]
@@ -46,7 +48,8 @@ def _np_kmeans(sf_dir: str):
     for cid in c1_ids:
         members = emb[a1_cid == cid]
         if len(members):
-            cents2.append(members.sum(axis=0) / len(members))
+            # round-to-9 mirrors the engine's quotient-cast rule
+            cents2.append(np.round(members.sum(axis=0) / len(members), 9))
             cent2_ids.append(cid)
     cents2 = np.array(cents2)
     cent2_ids = np.array(cent2_ids)
@@ -80,7 +83,7 @@ def test_q17_clusters_partition_the_corpus(spark, sf_dir):
     ids = np.asarray(t.column("vec_id"))
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     n_screened = int(
-        (np.isfinite(emb).all(axis=1) & (np.abs(emb).sum(axis=1) > 0)).sum()
+        (np.isfinite(emb).all(axis=1) & (np.round(emb * emb, 12) > 0).any(axis=1)).sum()
     )
     assert sum(r["n_members"] for r in rows) == n_screened
     seed_ids = set(np.sort(ids[(ids % _KM_SEED_STEP) == 0])[:_KM_K].tolist())

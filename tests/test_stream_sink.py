@@ -170,3 +170,10 @@ def test_ingest_id_stable_across_working_directories(tmp_path, monkeypatch):
     assert ingest_id_for("ckpt") == ingest_id_for(str(tmp_path / "b" / "ckpt"))
     # trailing slash is normalized in both schemes
     assert ingest_id_for(uri) == ingest_id_for(uri.rstrip("/"))
+    # single-slash scheme URIs (Hadoop Path.toString renders local URIs
+    # as file:/tmp/ckpt) must also be cwd-independent
+    single = "file:/tmp/ckpts/run1"
+    monkeypatch.chdir(tmp_path / "a")
+    id_s = ingest_id_for(single)
+    monkeypatch.chdir(tmp_path / "b")
+    assert ingest_id_for(single) == id_s
