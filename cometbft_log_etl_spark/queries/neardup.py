@@ -814,7 +814,12 @@ def dup_edges(docs: DataFrame) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    return sym.localCheckpoint(eager=True)  # freeze: iterations re-scan edges only
+    # freeze: iterations re-scan edges only. Deliberately EAGER, unlike
+    # the loop's per-iteration checkpoint: sym feeds TWO subtrees of
+    # iteration 1's first job (cc_seed and the propagate join), and a
+    # lazy checkpoint would let both paths race to compute the expensive
+    # MinHash front before the cached blocks land.
+    return sym.localCheckpoint(eager=True)
 
 
 def cc_seed(sym: DataFrame) -> DataFrame:
