@@ -2190,6 +2190,15 @@ WITH checks AS (
          (SELECT count(*) FROM documents),
          (SELECT count(*) FILTER (text IS NULL OR text = '') FROM documents)
   UNION ALL
+  SELECT 'documents_docid_unique',
+         (SELECT count(*) FROM documents),
+         (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+  UNION ALL
+  SELECT 'embeddings_vecid_unique',
+         (SELECT count(*) FROM (SELECT * FROM embeddings) embeddings),
+         (SELECT count(*) - count(DISTINCT vec_id) FROM
+            (SELECT * FROM embeddings) embeddings)
+  UNION ALL
   SELECT 'embeddings_finite',
          (SELECT count(*) FROM (SELECT * FROM embeddings) embeddings),
          (SELECT count(*) FILTER (NOT ({{EMB_FINITE}})) FROM
@@ -2303,21 +2312,25 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("documents_text_complete", F.col("text").isNull() | (F.col("text") == ""))],
     )[1]
     parts += agg_checks(embeddings.select("embedding"), [("embeddings_finite", emb_bad)])[1]
-    # uniqueness: total minus distinct keys
-    parts.append(
-        row(
-            customer.agg(
+    # uniqueness: total minus distinct keys. The id-keyed similarity
+    # family (dedup pairs, CC clusters, ANN, k-means/SemDeDup) treats
+    # doc_id/vec_id as row identity — duplicate ids are a data-contract
+    # violation those queries do NOT silently repair (silently deduping
+    # garbage at 100 TB hides upstream corruption); this audit is the
+    # gate that catches them first.
+    def unique_check(df: DataFrame, name: str, key: str) -> DataFrame:
+        return row(
+            df.agg(
                 F.count(F.lit(1)).alias("n_checked"),
-                (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(
                     "n_violations"
                 ),
-            ).select(
-                F.lit("customer_custkey_unique").alias("check_name"),
-                "n_checked",
-                "n_violations",
-            )
+            ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
         )
-    )
+
+    parts.append(unique_check(customer, "customer_custkey_unique", "c_custkey"))
+    parts.append(unique_check(documents, "documents_docid_unique", "doc_id"))
+    parts.append(unique_check(embeddings, "embeddings_vecid_unique", "vec_id"))
     # referential integrity: key-only anti-joins
     fk1 = lineitem.select("l_orderkey").join(
         orders.select("o_orderkey"),

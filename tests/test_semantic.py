@@ -162,6 +162,11 @@ def test_q12_audit_fires_on_poisoned_corpus(spark, sf_dir, tmp_path_factory):
         if t == "embeddings":
             cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
             cols["embedding"][0] = [float("nan")] + cols["embedding"][0][1:]
+            cols["vec_id"][2] = cols["vec_id"][1]  # duplicate id
+            head = pa.Table.from_pydict(cols, schema=head.schema)
+        if t == "documents":
+            cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
+            cols["doc_id"][3] = cols["doc_id"][2]  # duplicate id
             head = pa.Table.from_pydict(cols, schema=head.schema)
         if t == "customer":
             cols = {f.name: head.column(f.name).to_pylist() for f in head.schema}
@@ -178,5 +183,9 @@ def test_q12_audit_fires_on_poisoned_corpus(spark, sf_dir, tmp_path_factory):
     assert rows["orders_totalprice_positive"]["n_violations"] == 1
     assert rows["embeddings_finite"]["n_violations"] == 1
     assert rows["customer_custkey_unique"]["n_violations"] == 1
+    # id-keyed similarity queries REQUIRE unique doc_id/vec_id — the
+    # audit is the gate that catches violations before they run
+    assert rows["documents_docid_unique"]["n_violations"] == 1
+    assert rows["embeddings_vecid_unique"]["n_violations"] == 1
     # lineitem rows reference the 8-order slice; orphans are expected
     assert rows["lineitem_orderkey_fk"]["n_checked"] == 8
