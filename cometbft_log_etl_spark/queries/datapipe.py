@@ -2251,25 +2251,37 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("violation_rate"),
         )
 
-    def agg_checks(df: DataFrame, checks: list[tuple[str, F.Column]]):
-        """One scan per table: all of the table's constraint counters
-        ride one conditional aggregation, then pivot to long rows.
-        Returns (wide 1-row agg, report rows) — the wide row carries
-        the table's count(*) so FK reports reuse it instead of paying
-        a second count scan of the same table."""
+    def agg_checks(
+        df: DataFrame,
+        checks: list[tuple[str, F.Column]],
+        uniques: tuple = (),
+    ):
+        """One scan per table: all of the table's constraint counters —
+        conditional violation counts AND key-uniqueness deficits
+        (count minus count_distinct) — ride one aggregation, then pivot
+        to long rows. Returns (wide 1-row agg, report rows); the wide
+        row carries the table's count(*) so FK reports reuse it instead
+        of paying a second count scan of the same table."""
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, (_, cond) in enumerate(checks):
             aggs.append(F.count_if(cond).alias(f"_v{i}"))
+        for i, (_, key) in enumerate(uniques):
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(f"_u{i}")
+            )
         wide = df.agg(*aggs)
+        names = [(name, f"_v{i}") for i, (name, _) in enumerate(checks)] + [
+            (name, f"_u{i}") for i, (name, _) in enumerate(uniques)
+        ]
         return wide, [
             row(
                 wide.select(
                     F.lit(name).alias("check_name"),
                     F.col("_n").alias("n_checked"),
-                    F.col(f"_v{i}").alias("n_violations"),
+                    F.col(col).alias("n_violations"),
                 )
             )
-            for i, (name, _) in enumerate(checks)
+            for name, col in names
         ]
 
     # NOT the screen's keep-condition, null-safe: a NULL embedding (or a
@@ -2308,29 +2320,27 @@ def q12_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts += rows_
     parts += agg_checks(
-        documents.select("text"),
+        documents.select("text", "doc_id"),
         [("documents_text_complete", F.col("text").isNull() | (F.col("text") == ""))],
+        uniques=(("documents_docid_unique", "doc_id"),),
     )[1]
-    parts += agg_checks(embeddings.select("embedding"), [("embeddings_finite", emb_bad)])[1]
-    # uniqueness: total minus distinct keys. The id-keyed similarity
-    # family (dedup pairs, CC clusters, ANN, k-means/SemDeDup) treats
-    # doc_id/vec_id as row identity — duplicate ids are a data-contract
-    # violation those queries do NOT silently repair (silently deduping
-    # garbage at 100 TB hides upstream corruption); this audit is the
-    # gate that catches them first.
-    def unique_check(df: DataFrame, name: str, key: str) -> DataFrame:
-        return row(
-            df.agg(
-                F.count(F.lit(1)).alias("n_checked"),
-                (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(
-                    "n_violations"
-                ),
-            ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
-        )
-
-    parts.append(unique_check(customer, "customer_custkey_unique", "c_custkey"))
-    parts.append(unique_check(documents, "documents_docid_unique", "doc_id"))
-    parts.append(unique_check(embeddings, "embeddings_vecid_unique", "vec_id"))
+    parts += agg_checks(
+        embeddings.select("embedding", "vec_id"),
+        [("embeddings_finite", emb_bad)],
+        uniques=(("embeddings_vecid_unique", "vec_id"),),
+    )[1]
+    # Uniqueness deficits ride each table's wide agg above. The id-keyed
+    # similarity family (dedup pairs, CC clusters, ANN, k-means/SemDeDup)
+    # treats doc_id/vec_id as row identity — duplicate ids are a
+    # data-contract violation those queries do NOT silently repair
+    # (silently deduping garbage at 100 TB hides upstream corruption);
+    # this audit is the gate that catches them first. Customer has no
+    # other checks, so its uniqueness row is its own one-scan agg.
+    parts += agg_checks(
+        customer.select("c_custkey"),
+        [],
+        uniques=(("customer_custkey_unique", "c_custkey"),),
+    )[1]
     # referential integrity: key-only anti-joins
     fk1 = lineitem.select("l_orderkey").join(
         orders.select("o_orderkey"),
