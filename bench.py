@@ -29,26 +29,51 @@ def plan_fingerprint(df) -> tuple[str, int]:
     budget — the number a 100 TB review reads first.
     """
     import hashlib
-    import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
+    norm = _normalize_plan(plan)
+    return hashlib.md5(norm.encode()).hexdigest()[:12], plan.count("Exchange")
+
+
+def _normalize_plan(plan: str) -> str:
+    """Strip instance-specific noise from an executed-plan string.
+    Pure function so the normalization rules are unit-testable without
+    a SparkSession (tests/test_bench_contract.py)."""
+    import re
+
     norm = re.sub(r"#\d+[A-Za-z]*", "#", plan)          # expression ids
     # higher-order-function lambda variables carry a SESSION-GLOBAL
-    # counter (x_42#123): without stripping it, a query's fingerprint
+    # counter (x_42#123): without normalizing it, a query's fingerprint
     # depends on which lambda-using queries ran before it in the same
     # session — adding a query to the headline set would shift every
     # later fingerprint with zero plan change (caught in round 8).
+    # fingerprint v3 (round 9): RENUMBER counters per-plan by first
+    # appearance instead of erasing them — v2's collapse mapped x_1#
+    # and x_2# to the same token, so two plans differing only in WHICH
+    # of several same-named lambda variables an expression references
+    # fingerprinted identically (and a genuine lowercase alias like
+    # bucket_1 would silently alias). Renumbering keeps distinct
+    # variables distinct while staying session-order-independent.
     # negative lookbehind: lambda vars are bare identifiers (x_42#),
-    # while real columns like _t_0# carry a leading underscore — don't
-    # collapse those (distinct columns must keep distinct fingerprints)
-    norm = re.sub(r"(?<![A-Za-z0-9_])([a-z]+)_\d+#", r"\1_#", norm)  # lambda var counters
+    # while real columns like _t_0# carry a leading underscore — those
+    # are renumbered consistently too if ever matched, preserving
+    # distinctness either way.
+    _seen: dict = {}
+
+    def _renum(mm):
+        tok = mm.group(0)
+        if tok not in _seen:
+            _seen[tok] = f"{mm.group(1)}_{len(_seen)}#"
+        return _seen[tok]
+
+    norm = re.sub(r"(?<![A-Za-z0-9_])([a-z]+)_\d+#", _renum, norm)  # lambda var counters
     norm = re.sub(r"\[plan_id=\d+\]", "", norm)          # exchange plan ids
     norm = re.sub(r"\[id=#\]", "", norm)                 # codegen stage ids
     norm = re.sub(r"\(\d+\)", "", norm)                  # codegen ordinals
     norm = re.sub(r"(file|dbfs|s3a?):[^\s,\]\)]+", "<path>", norm)
     norm = re.sub(r"Statistics\([^)]*\)", "", norm)
     norm = re.sub(r"\s+", " ", norm)
-    return hashlib.md5(norm.encode()).hexdigest()[:12], plan.count("Exchange")
+    return norm
 
 
 def main() -> None:
@@ -63,8 +88,16 @@ def main() -> None:
     # run), and parquet footer caches. Steady-state is the number that
     # extrapolates to a long-lived cluster; compile time is a per-plan
     # constant that vanishes at 100 TB.
+    # snapshot/release around every query run: q37's CC loop and q25's
+    # assignment cut pin localCheckpoint RDDs per CALL — released here
+    # so 4 runs × N queries don't accumulate block-manager pressure
+    # that reads as timing noise on later queries
+    from cometbft_log_etl_spark.session import persistent_rdd_ids, release_new_persists
+
     for qdef in qs.values():
+        _before = persistent_rdd_ids(spark)
         qdef.fn(spark, sf_dir).count()
+        release_new_persists(spark, _before)
 
     # min-of-K timing: the bench host has high run-to-run variance
     # (hypervisor steal) — a single-shot timing can drift +25..66% with
@@ -79,10 +112,12 @@ def main() -> None:
     for name, qdef in qs.items():
         samples = []
         for _ in range(runs):
+            _before = persistent_rdd_ids(spark)
             t0 = time.time()
             df = qdef.fn(spark, sf_dir)
             n = df.count()
             samples.append(round(time.time() - t0, 3))
+            release_new_persists(spark, _before)
         timings[name] = min(samples)
         all_runs[name] = samples
         fingerprints[name], n_exchanges[name] = plan_fingerprint(df)
@@ -129,6 +164,29 @@ def main() -> None:
         print(f"# etl_pipeline failed: {exc}", file=sys.stderr)
         etl = None
 
+    # Throughput-at-scale tracker (round-9 verdict item): the same
+    # pipeline at SPARK_GRAFT_ETL_SCALE× the corpus (default 15× ≈ 755k
+    # lines), single run — the signal is lines/sec holding up as volume
+    # grows (per-job constants amortizing), which is a large-signal
+    # number; the min-of-N noise shield stays on the comparable block
+    # above. Set SPARK_GRAFT_ETL_SCALE=0 to skip.
+    etl_at_scale: dict | None = None
+    scale = int(os.environ.get("SPARK_GRAFT_ETL_SCALE", "15"))
+    if scale > 1:
+        try:
+            from tools.bench_etl import run_etl_bench as _reb
+
+            etl_at_scale = _reb(spark, heights=120, repeat=4 * scale, rounds=1)
+            etl_at_scale["scale_vs_headline"] = scale
+            print(
+                f"# etl_{scale}x: {etl_at_scale['total_sec']}s "
+                f"({etl_at_scale['n_lines']} lines, "
+                f"{etl_at_scale['etl_lines_per_sec']} lines/sec)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"# etl_{scale}x failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -140,13 +198,16 @@ def main() -> None:
                 "queries": timings,
                 "query_runs": all_runs,
                 "plans_fingerprint": fingerprints,
-                # v2: lambda-variable counters stripped (round 8) — v1
-                # fingerprints (r1-r7 artifacts) hash different text, so
-                # compare across versions by n_exchanges + plan diffs
-                "fingerprint_version": 2,
+                # v3: lambda-variable counters renumbered per-plan by
+                # first appearance (round 9; v2 collapsed distinct
+                # same-named variables). Fingerprints containing lambda
+                # vars rebase vs v2 — compare those across versions by
+                # n_exchanges + plan diffs, as with the v1→v2 rebase.
+                "fingerprint_version": 3,
                 "n_exchanges": n_exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "etl": etl,
+                "etl_at_scale": etl_at_scale,
             }
         )
     )

@@ -138,6 +138,16 @@ def finite_embeddings(df, col: str = "embedding"):
     return df.filter(emb_finite_cond(col))
 
 
+# Magnitude bound on embedding components: |x| >= 1e8 squares past
+# DECIMAL(28,12)'s 16 integral digits, so the quantized-square clause
+# itself would die on the cast (Spark ANSI CAST_OVERFLOW; DuckDB cast
+# error) — the screen meant to stop job-killers becoming one. A finite
+# component that large is embedding-garbage by any measure (unit-ish
+# vectors), so both engines treat it as a fourth garbage class next to
+# NaN/Inf/degenerate-norm and screen the vector out.
+EMB_MAX_ABS = 1e8
+
+
 def emb_finite_cond(col: str = "embedding") -> Column:
     """The screen's keep-condition as an expression (NULL for a NULL
     array / NULL element — filters drop it, eqNullSafe-style consumers
@@ -151,9 +161,24 @@ def emb_finite_cond(col: str = "embedding") -> Column:
     — a vector of components all below ~7.1e-7 is nonzero yet has
     decimal norm 0, the same ANSI 0/0 job-killer as the all-zero
     vector. Squares are non-negative and decimal addition is exact, so
-    "some quantized square > 0" is exactly "decimal norm > 0"."""
-    return ~F.exists(col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))) & F.exists(
-        col, lambda x: dec12(x.cast("double") * x.cast("double")) > 0
+    "some quantized square > 0" is exactly "decimal norm > 0".
+
+    The quantized-square term is guarded by the EMB_MAX_ABS bound IN
+    THE LAMBDA, not just in the first conjunct: exists() evaluates its
+    predicate on every element of every row — including rows the
+    magnitude conjunct screens — so the decimal cast must be
+    unreachable for out-of-range components in this clause too (the
+    when() yields NULL there, exactly what the cast produced for
+    NaN/Inf before)."""
+    in_range = lambda x: F.abs(x.cast("double")) < F.lit(EMB_MAX_ABS)  # noqa: E731
+    return ~F.exists(
+        col, lambda x: F.isnan(x) | ~in_range(x)
+    ) & F.exists(
+        col,
+        lambda x: F.when(
+            in_range(x), dec12(x.cast("double") * x.cast("double"))
+        ).otherwise(F.lit(None).cast(DEC12))
+        > 0,
     )
 
 
@@ -165,13 +190,17 @@ def emb_finite_cond(col: str = "embedding") -> Column:
 # x - x = 0 finiteness test (sql_dsum's trick): DuckDB ERRORS casting a
 # non-finite double to DECIMAL, and list_filter evaluates the lambda on
 # every element of every row — including the NaN rows the preceding
-# conjunct screens — so the cast must be unreachable for them. Spark
-# needs no guard (its cast NULLs non-finite values, and NULL > 0 is
-# NULL, which exists() treats as not-TRUE).
+# conjunct screens — so the cast must be unreachable for them.
+# The in-lambda guard needs BOTH the x - x = 0 finiteness test AND the
+# EMB_MAX_ABS magnitude bound: a finite |x| >= 1e8 passes the former
+# but its square overflows DECIMAL(28,12) — same unreachability rule
+# as the Spark when() above.
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x)"
+    " OR abs(CAST(x AS DOUBLE)) >= 100000000.0)) = 0"
     " AND len(list_filter(embedding, x -> CASE WHEN (CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0"
+    " AND abs(CAST(x AS DOUBLE)) < 100000000.0"
     " THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)) > 0"
     " ELSE FALSE END)) > 0"
 )

@@ -2444,11 +2444,19 @@ def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the portable md5-prefix integer, so Spark and DuckDB produce
     bit-identical sketches and estimates.
 
-    Plan shape: ONE token explode feeds both the exact vocab count and
-    the d-fold (j, bucket) expansion (in-array, map-side) whose
-    groupBy collapses to d × w rows before the shuffle; the estimate
-    join BROADCASTS the fixed-size sketch, probes stream through it
-    map-side.
+    Plan shape (round 9): ONE token explode + ONE corpus shuffle — the
+    exact vocab count — and the sketch is derived FROM the vocab table
+    by the d-fold (j, bucket) expansion with cnt = sum(n_exact).
+    CM cells are additive, so summing per-token counts into cells is
+    bit-identical to counting the raw token stream into cells, but the
+    expansion now runs over the VOCAB (bounded) instead of the corpus
+    token stream — this flattened the 10× stress ratio the round-8
+    build measured at ~5×. A shard that can't pre-aggregate (true
+    streaming ingest) still builds cells straight off the stream and
+    merges by cell-wise addition (streaming/countmin.py does exactly
+    that, and its sketch is asserted bit-identical to this one). The
+    estimate join BROADCASTS the fixed-size sketch; probes stream
+    through it map-side.
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
@@ -2473,10 +2481,10 @@ def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cm = (
-        toks.select(jb.alias("jb"))
-        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        exact.select(jb.alias("jb"), "n_exact")
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "n_exact")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("n_exact").alias("cnt"))
     )
     probes = exact.filter(_h32(F.col("token")) % _CM_PROBE_MOD == 0)
     probe_cells = probes.select(

@@ -1679,8 +1679,12 @@ cent2 AS (
   GROUP BY a1.cluster_id, e.pos
 ),
 cnorm2 AS (
+  -- degenerate-centroid guard, mirroring _km_update_centroids: a
+  -- cluster mean with all quantized squares 0 is dropped (vc2's inner
+  -- join reassigns its members), not divided by
   SELECT cluster_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
   FROM cent2 GROUP BY cluster_id
+  HAVING sum(CAST(x * x AS DECIMAL(28,12))) > 0
 ),
 vc2 AS (
   SELECT e.vec_id, c.cluster_id,
@@ -1774,7 +1778,20 @@ def _km_update_centroids(assigned: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "x"))), lambda s: s["x"]
         ).alias("cemb")
     )
-    return carr.select("cluster_id", "cemb", dnrm12(F.col("cemb")).alias("cnrm"))
+    # Guard the DERIVED centroids exactly like the input screen: a
+    # cluster mean of near-cancelling members can have all quantized
+    # squares 0 (decimal norm 0) even though every INPUT vector passed
+    # emb_finite_cond — the assignment cosine then divides by
+    # nrm * cnrm = 0, the same ANSI DIVIDE_BY_ZERO the screen exists
+    # for (round-8 advice). Dropping the degenerate cluster is the
+    # symmetric semantics: its members reassign to surviving centroids
+    # in the next round, and the oracle's cnorm2 HAVING clause +
+    # vc2's inner join do the identical thing. sqrt of a positive
+    # decimal sum is a positive double, so cnrm > 0 here is exactly
+    # "some quantized square > 0" (the emb_finite_cond rule).
+    return carr.select(
+        "cluster_id", "cemb", dnrm12(F.col("cemb")).alias("cnrm")
+    ).filter(F.col("cnrm") > 0)
 
 
 def km_first_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,14 +1818,14 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds with 1 centroid mean update — the shared front half of
     q17/q25. A static plan: fixed k, fixed rounds, no driver loop.
 
-    A consumer that uses the assignments twice (q25: member grouping +
-    the final decision join) re-derives this subtree — constant-factor,
-    and fine at the driver SFs. A production deployment stages the
-    assignments to parquet once and runs every consumer off the staged
-    table (the pipeline.py staged-sink pattern); alternatively
-    streaming/semdedup.py's fitted_centroids collects the k centroids
-    and re-applies them as a pure map, which is the shape an online
-    system uses anyway."""
+    A consumer that uses the assignments more than once (q25: member
+    grouping + the final decision join) must cut the lineage or pay the
+    subtree per consumer — q25 localCheckpoints (round 9); a production
+    deployment stages the assignments to parquet once and runs every
+    consumer off the staged table (the pipeline.py staged-sink
+    pattern); alternatively streaming/semdedup.py's fitted_centroids
+    collects the k centroids and re-applies them as a pure map, which
+    is the shape an online system uses anyway."""
     a1 = km_first_round(spark, sf_dir)
     return _km_assign_round(
         a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1)
@@ -1904,11 +1921,20 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are expanded + scored in place with zip_with decimal folds —
     no pairwise join, no position explode, nothing corpus-sized
     broadcast. The final decision join is per-vector (linear).
+
+    The assignment is localCheckpointed because TWO subtrees of the
+    final job consume it (the capped member tier and the per-vector
+    decision join) — without the cut, the plan re-derives the whole
+    k-means front half per consumer (round-8 verdict: n_exchanges 25,
+    the catalog's widest). Eager, for the dup_edges reason: a lazy
+    checkpoint lets both consumers race to compute the front half
+    before the cached blocks land. This is the in-query form of the
+    production staged-parquet pattern (see kmeans_assignments).
     """
     tune_session(spark)
     from ..session import default_parallelism
 
-    assign = kmeans_assignments(spark, sf_dir)
+    assign = kmeans_assignments(spark, sf_dir).localCheckpoint(eager=True)
     wcap = W.partitionBy("cluster_id").orderBy(F.col("cos").desc(), "vec_id")
     members = (
         assign.withColumn("_rn", F.row_number().over(wcap))

@@ -21,11 +21,26 @@ right) symbol pair.
 
 Determinism: greedy leftmost non-overlapping merge application, argmax
 ties broken on (left, right) lexicographically — the fitted merge
-sequence is a pure function of the corpus, attested in
-tests/test_tokenizer.py against an independent single-process Python
-implementation (ground-truth attestation, the q82/q83 pattern for
-operators whose iterative semantics SQL cannot express; the driver
-records a rows-only check for q16).
+sequence is a pure function of the corpus, attested THREE ways:
+(1) tests/test_tokenizer.py against an independent single-process
+Python implementation; (2) since round 9, a full DuckDB oracle that
+unrolls the fixed _N_MERGES rounds as CTEs (the q17 k-means unrolling
+precedent), so the driver records a real value-hash check instead of
+rows-only; (3) the encode half (q18) oracle re-derives the final
+symbol state through the same chain.
+
+The oracle's merge-application trick: greedy leftmost non-overlapping
+replacement over a symbol ARRAY is exactly SQL ``replace()`` over a
+delimiter-encoded string — each symbol wrapped as ``␟sym␟`` (so
+adjacent symbols share ``␟␟``), the pair pattern ``␟l␟␟r␟`` replaced
+by ``␟lr␟``. ``replace`` scans left-to-right and never rescans
+replaced output, which IS the greedy-leftmost-non-overlapping rule;
+the doubled inner delimiter keeps a consumed boundary from starving
+the next adjacent match (``␟a␟␟a␟␟a␟␟a␟`` → two merges, not one).
+Delimiter is chr(31) (ASCII unit separator) — a data contract, not an
+assumption: the SQL screens words containing chr(31) out of BOTH
+engines' vocab (the corpus has none; if one ever appears, both sides
+drop it identically rather than silently diverging).
 """
 
 from __future__ import annotations
@@ -38,6 +53,75 @@ from ..tables import load
 from . import register
 
 _N_MERGES = 8
+
+# The oracle's symbol-boundary delimiter (see module docstring). Words
+# containing it are screened out of the vocab in BOTH engines — the
+# corpus contains none (machine-checked by test_tokenizer's contract
+# test), so the screen is a no-op today and a loud, symmetric drop if
+# the corpus ever grows one.
+_DELIM = "\x1f"
+
+
+def _bpe_oracle_ctes(n_merges: int = _N_MERGES) -> str:
+    """The WITH-chain unrolling `n_merges` BPE rounds as DuckDB CTEs:
+    words → syms_0 → (pairs_i → best_i → syms_i) × n. Mirrors
+    bpe_fit_with_state step for step — same corpus word split, same
+    freq weighting, same (cnt DESC, l, r) argmax, same greedy-leftmost
+    merge (via the delimiter-encoded replace; module docstring)."""
+    d = "chr(31)"
+    parts = [
+        "words AS ("
+        "  SELECT w, count(*) AS freq FROM ("
+        "    SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        f"  WHERE w <> '' AND NOT contains(w, {d}) GROUP BY w)",
+        "syms_0 AS (SELECT w, freq, string_split(w, '') AS syms FROM words)",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"pairs_{i} AS ("
+            "  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+            "    SELECT freq, unnest(syms[1:len(syms)-1]) AS l,"
+            "           unnest(syms[2:len(syms)]) AS r"
+            f"    FROM syms_{p} WHERE len(syms) >= 2) GROUP BY l, r)"
+        )
+        parts.append(
+            f"best_{i} AS (SELECT {i} AS step, l, r, l || r AS m, cnt"
+            f"  FROM pairs_{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"syms_{i} AS ("
+            "  SELECT w, freq, string_split(trim(replace("
+            f"      {d} || array_to_string(syms, {d}||{d}) || {d},"
+            f"      {d} || b.l || {d}||{d} || b.r || {d},"
+            f"      {d} || b.m || {d}), {d}), {d}||{d}) AS syms"
+            f"  FROM syms_{p}, best_{i} b)"
+        )
+    return ",\n".join(parts)
+
+
+_BPE_MERGES_ORACLE = (
+    "WITH\n"
+    + _bpe_oracle_ctes()
+    + "\nSELECT step, l AS \"left\", r AS \"right\", m AS merged, cnt AS pair_count\nFROM ("
+    + " UNION ALL ".join(f"SELECT * FROM best_{i}" for i in range(1, _N_MERGES + 1))
+    + ")\nORDER BY step"
+)
+
+_BPE_COUNTS_ORACLE = (
+    "WITH\n"
+    + _bpe_oracle_ctes()
+    + f""",
+lengths AS (SELECT w, len(syms) AS n_subtokens FROM syms_{_N_MERGES}),
+occ AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND NOT contains(w, chr(31)))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_subtokens) AS BIGINT) AS n_bpe_tokens
+FROM occ JOIN lengths USING (w) GROUP BY doc_id"""
+)
 
 
 def _merge_pair_expr(col: str, left: str, right: str, merged: str) -> F.Column:
@@ -63,7 +147,7 @@ def bpe_fit_with_state(
     the encode half never re-derives it."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
+        .filter((F.col("w") != "") & ~F.col("w").contains(_DELIM))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -112,10 +196,16 @@ def bpe_fit(docs: DataFrame, n_merges: int = _N_MERGES) -> list[dict]:
     return bpe_fit_with_state(docs, n_merges)[0]
 
 
-@register("q16_bpe_merges", tags=("datapipe", "text", "tokenizer", "iterative"))
+@register(
+    "q16_bpe_merges",
+    tags=("datapipe", "text", "tokenizer", "iterative"),
+    oracle=_BPE_MERGES_ORACLE,
+)
 def q16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fitted merge table as a DataFrame (driver rows-only check;
-    ground truth lives in tests/test_tokenizer.py)."""
+    """The fitted merge table as a DataFrame. Oracle: the fixed
+    _N_MERGES rounds unrolled as DuckDB CTEs (module docstring);
+    independent-Python ground truth additionally in
+    tests/test_tokenizer.py."""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
     rows = bpe_fit(docs)
@@ -131,7 +221,7 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
     same JVM-side greedy-leftmost aggregate used during fitting."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
+        .filter((F.col("w") != "") & ~F.col("w").contains(_DELIM))
         .distinct()
     )
     out = words.select("w", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms"))
@@ -142,21 +232,26 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
     return out.select("w", F.size("syms").alias("n_subtokens"))
 
 
-@register("q18_bpe_token_counts", tags=("datapipe", "text", "tokenizer"))
+@register(
+    "q18_bpe_token_counts",
+    tags=("datapipe", "text", "tokenizer"),
+    oracle=_BPE_COUNTS_ORACLE,
+)
 def q18_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subtoken counts under the corpus-fitted BPE
     tokenizer (q16's merges applied): the real version of what q62
     approximates with a fixed regex. Word→length comes STRAIGHT from
     the fit's final checkpointed symbol state (no re-derive, no
     re-merge chain) and joins back onto the token stream (vocab-keyed
-    join; the corpus side only ever shuffles words). Rows-only for the
-    driver; ground truth in tests/test_tokenizer.py."""
+    join; the corpus side only ever shuffles words). Oracle: the same
+    unrolled CTE chain, encode half re-derived from syms_8; ground
+    truth additionally in tests/test_tokenizer.py."""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
     _, state = bpe_fit_with_state(docs)
     lengths = state.select("w", F.size("syms").alias("n_subtokens"))
     occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
-        F.col("w") != ""
+        (F.col("w") != "") & ~F.col("w").contains(_DELIM)
     )
     return (
         occ.join(lengths, "w")

@@ -97,10 +97,25 @@ def ingest_id_for(checkpoint_dir: str) -> str:
     import re
 
     location = checkpoint_dir.rstrip("/")
-    # scheme detection must cover single-slash URIs too (Hadoop's
-    # Path.toString renders local URIs as file:/tmp/ckpt) — '://' alone
-    # would abspath those and reintroduce the cwd dependence
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", location):
+    # Scheme detection must cover single-slash URIs (Hadoop's
+    # Path.toString renders local URIs as file:/tmp/ckpt) WITHOUT
+    # swallowing relative local dirs that merely contain a colon
+    # ('ckpt:v2/run' launched from two cwds must NOT share an ingest
+    # id — round-8 advice). Rule: it is a URI iff the prefix is a
+    # known filesystem scheme, or an arbitrary scheme followed by the
+    # authority marker '//'. A local directory literally named like
+    # 'hdfs:x' is therefore unsupported — documented contract, checked
+    # deterministically (no os.path.exists probe: an id that depends
+    # on what happens to exist at call time would be worse).
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", location)
+    _FS_SCHEMES = {
+        "file", "hdfs", "viewfs", "s3", "s3a", "s3n", "gs",
+        "abfs", "abfss", "wasb", "wasbs", "oss", "dbfs",
+    }
+    is_uri = m is not None and (
+        m.group(1).lower() in _FS_SCHEMES or m.group(2).startswith("//")
+    )
+    if not is_uri:
         location = os.path.abspath(location)
     return hashlib.md5(location.encode()).hexdigest()[:12]
 

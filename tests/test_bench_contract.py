@@ -1,0 +1,51 @@
+"""Unit contract for bench.py's plan-fingerprint normalization
+(fingerprint v3, round 9): session-order independence AND
+distinctness of same-named lambda variables."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _normalize_plan
+
+
+def test_lambda_counters_are_session_order_independent():
+    """The same plan compiled in two sessions picks up different
+    session-global lambda counters — normalization must erase the
+    difference (the round-8 v2 motivation)."""
+    a = "Project [transform(arr#12, lambdafunction(x_4#88, x_4#88))]"
+    b = "Project [transform(arr#97, lambdafunction(x_31#15, x_31#15))]"
+    assert _normalize_plan(a) == _normalize_plan(b)
+
+
+def test_distinct_lambda_vars_stay_distinct():
+    """Two plans differing only in WHICH of several same-named lambda
+    variables an inner expression references must NOT fingerprint
+    identically (the v2 collapse bug, round-8 advice)."""
+    outer_refs_outer = (
+        "transform(a#1, lambdafunction(transform(b#2,"
+        " lambdafunction(x_1# + x_1#, x_2#)), x_1#))"
+    )
+    outer_refs_inner = (
+        "transform(a#1, lambdafunction(transform(b#2,"
+        " lambdafunction(x_2# + x_2#, x_2#)), x_1#))"
+    )
+    assert _normalize_plan(outer_refs_outer) != _normalize_plan(outer_refs_inner)
+
+
+def test_renumbering_is_consistent_within_a_plan():
+    """Every occurrence of one variable maps to one ordinal."""
+    plan = "f(x_7#, y_3#, x_7#, y_3#, x_7#)"
+    assert _normalize_plan(plan) == "f(x_0#, y_1#, x_0#, y_1#, x_0#)"
+
+
+def test_underscore_prefixed_columns_untouched():
+    """Real columns like _t_0# carry a leading underscore and must not
+    match the bare-identifier lambda pattern's start."""
+    plan = "Project [_t_0# AS out#]"
+    # the token _t_0# starts with '_' so the lookbehind rejects a match
+    # beginning inside it; 't_0#' inside '_t_0#' is preceded by '_'
+    assert _normalize_plan(plan) == "Project [_t_0# AS out#]"

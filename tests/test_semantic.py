@@ -23,9 +23,14 @@ def _np_kmeans(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t.column("vec_id"))
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    # mirror emb_finite_cond: finite AND some QUANTIZED square > 0
-    # (dec12 rounds squares to 12 decimals; see _det.py)
-    finite = np.isfinite(emb).all(axis=1) & (np.round(emb * emb, 12) > 0).any(axis=1)
+    # mirror emb_finite_cond: finite, within the EMB_MAX_ABS magnitude
+    # bound, AND some QUANTIZED square > 0 (dec12 rounds squares to 12
+    # decimals; see _det.py)
+    finite = (
+        np.isfinite(emb).all(axis=1)
+        & (np.abs(emb) < 1e8).all(axis=1)
+        & (np.round(emb * emb, 12) > 0).any(axis=1)
+    )
     ids, emb = ids[finite], emb[finite]
     order = np.argsort(ids)
     ids, emb = ids[order], emb[order]
@@ -49,8 +54,12 @@ def _np_kmeans(sf_dir: str):
         members = emb[a1_cid == cid]
         if len(members):
             # round-to-9 mirrors the engine's quotient-cast rule
-            cents2.append(np.round(members.sum(axis=0) / len(members), 9))
-            cent2_ids.append(cid)
+            c = np.round(members.sum(axis=0) / len(members), 9)
+            # mirror the degenerate-centroid guard: a mean whose
+            # quantized squares are all 0 is dropped, not divided by
+            if (np.round(c * c, 12) > 0).any():
+                cents2.append(c)
+                cent2_ids.append(cid)
     cents2 = np.array(cents2)
     cent2_ids = np.array(cent2_ids)
     cnrm2 = np.sqrt((cents2 * cents2).sum(axis=1))
@@ -189,3 +198,138 @@ def test_q12_audit_fires_on_poisoned_corpus(spark, sf_dir, tmp_path_factory):
     assert rows["embeddings_vecid_unique"]["n_violations"] == 1
     # lineitem rows reference the 8-order slice; orphans are expected
     assert rows["lineitem_orderkey_fk"]["n_checked"] == 8
+
+
+def _variant_sf_dir(sf_dir, tmp_path_factory, name: str, vectors: list[list[float]]):
+    """A full variant corpus dir (8-row slices of every table) whose
+    embeddings are replaced by `vectors` at vec_ids 0..n-1 — so only
+    vec_id 0 is a seed candidate (one cluster) and the round-2 centroid
+    is fully under the test's control."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp(name)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 8)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    schema = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).schema
+    emb = pa.Table.from_pydict(
+        {
+            "vec_id": list(range(len(vectors))),
+            "embedding": vectors,
+            "label": [0] * len(vectors),
+        },
+        schema=pa.schema([schema.field(n) for n in ("vec_id", "embedding", "label")]),
+    )
+    pq.write_table(emb, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "vectors",
+    [
+        # exact cancellation: members sum to the zero vector
+        [[1.0, 0.0], [-0.5, 0.9], [-0.5, -0.9]],
+        # quantized-tiny cancellation: the mean's components survive as
+        # ~1e-11 doubles but round-to-9 + dec12 squares make the
+        # centroid norm 0 — the round-8-advice job-killer path
+        [[1.0, 0.0], [-0.5, 3e-10], [-0.5, -4e-10]],
+    ],
+    ids=["exact-zero-mean", "quantized-tiny-mean"],
+)
+def test_degenerate_centroid_is_dropped_not_divided(
+    spark, sf_dir, tmp_path_factory, vectors
+):
+    """A cluster mean whose quantized squares are all 0 must be DROPPED
+    by _km_update_centroids (and the oracle's cnorm2 HAVING), never
+    divided by: before the round-9 guard this corpus killed the job
+    with ANSI DIVIDE_BY_ZERO. One seed (vec 0) → every vector joins
+    that cluster → the round-2 mean cancels to (quantized) zero → the
+    only centroid is dropped → round 2 assigns nothing: both engines
+    return EMPTY, cell-exactly."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    vdir = _variant_sf_dir(sf_dir, tmp_path_factory, "degen-centroid-sf", vectors)
+    for qname in ("q17_semantic_kmeans", "q25_semantic_dedup"):
+        res = run_compare(spark, catalog()[qname], vdir)
+        assert res.ok, str(res)
+        assert res.spark_rows == 0 and res.oracle_rows == 0
+
+
+def test_surviving_centroid_absorbs_degenerate_clusters_members(
+    spark, sf_dir, tmp_path_factory
+):
+    """Two seeds (vec 0, vec 23); cluster 0's mean cancels to zero while
+    cluster 23 survives — round 2 must reassign EVERY vector to the
+    survivor, matching the oracle's inner-join semantics."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    # Seed 0 is tiny-but-valid ([1e-6,0,0]: its own quantized square
+    # 1e-12 passes the input screen). Members 1, 2 are orthogonal to
+    # BOTH seeds — the cosine tie breaks to the lower cluster id, so
+    # cluster 0 = {0, 1, 2} with mean [3.3e-7, 0, 0], whose quantized
+    # square (1.1e-13) rounds to 0 at 12 decimals: degenerate. Seed 23
+    # keeps itself: mean [0, 1, 0] survives. Round 2 must assign all
+    # FOUR vectors to cluster 23.
+    vectors = {
+        0: [1e-6, 0.0, 0.0],
+        1: [0.0, 0.0, 1.0],
+        2: [0.0, 0.0, -1.0],
+        23: [0.0, 1.0, 0.0],
+    }
+    vdir = _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, vectors)
+    res = run_compare(spark, catalog()["q17_semantic_kmeans"], vdir)
+    assert res.ok, str(res)
+    rows = catalog()["q17_semantic_kmeans"].fn(spark, vdir).collect()
+    assert [(r.cluster_id, r.n_members) for r in rows] == [(23, 4)]
+
+
+def _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, id_to_vec: dict):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("degen-centroid-two-seed-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 8)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    schema = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).schema
+    ids = sorted(id_to_vec)
+    emb = pa.Table.from_pydict(
+        {"vec_id": ids, "embedding": [id_to_vec[i] for i in ids], "label": [0] * len(ids)},
+        schema=pa.schema([schema.field(n) for n in ("vec_id", "embedding", "label")]),
+    )
+    pq.write_table(emb, str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_oversized_component_is_screened_not_fatal(
+    spark, sf_dir, tmp_path_factory
+):
+    """A finite component with |x| >= EMB_MAX_ABS (1e8) would overflow
+    the screen's own DECIMAL(28,12) square under ANSI — the round-9
+    magnitude bound screens the vector instead, identically in both
+    engines (the fourth garbage class next to NaN/Inf/zero-norm)."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.queries.neardup import kmeans_assignments
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    vectors = {
+        0: [1.0, 0.5],
+        1: [1e9, 1.0],  # oversized — must vanish, not CAST_OVERFLOW
+        2: [0.5, 1.0],
+    }
+    vdir = _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, vectors)
+    res = run_compare(spark, catalog()["q17_semantic_kmeans"], vdir)
+    assert res.ok, str(res)
+    assigned = {r.vec_id for r in kmeans_assignments(spark, vdir).collect()}
+    assert assigned == {0, 2}

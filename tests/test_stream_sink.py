@@ -177,3 +177,17 @@ def test_ingest_id_stable_across_working_directories(tmp_path, monkeypatch):
     id_s = ingest_id_for(single)
     monkeypatch.chdir(tmp_path / "b")
     assert ingest_id_for(single) == id_s
+    # a relative LOCAL dir whose first segment contains a colon is NOT
+    # a URI (round-8 advice: 'ckpt:v2/run' launched from two cwds must
+    # not share an ingest id — that would merge two distinct
+    # checkpoints' epoch-replay idempotence scopes)
+    monkeypatch.chdir(tmp_path / "a")
+    id_colon_a = ingest_id_for("ckpt:v2/run")
+    monkeypatch.chdir(tmp_path / "b")
+    assert ingest_id_for("ckpt:v2/run") != id_colon_a
+    # unknown scheme WITH authority marker still counts as a URI
+    fancy = "myfs://cluster/ckpts/run1"
+    monkeypatch.chdir(tmp_path / "a")
+    id_f = ingest_id_for(fancy)
+    monkeypatch.chdir(tmp_path / "b")
+    assert ingest_id_for(fancy) == id_f

@@ -62,13 +62,62 @@ def test_bpe_greedy_leftmost_merge():
     assert want[0]["pair_count"] == 2
 
 
-def test_q93_catalog_entry(spark, sf_dir):
+def test_q16_catalog_entry(spark, sf_dir):
     from cometbft_log_etl_spark.queries import catalog
 
     df = catalog()["q16_bpe_merges"].fn(spark, sf_dir)
     rows = df.collect()
     assert [r.step for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_oracle_delimiter_contract(sf_dir):
+    """The DuckDB oracle encodes symbol boundaries with chr(31); words
+    containing it are screened from the vocab in BOTH engines. Today
+    that screen must be a no-op: the corpus contains no chr(31)."""
+    import os
+
+    import duckdb
+
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?) WHERE contains(text, chr(31))",
+        [os.path.join(sf_dir, "documents.parquet")],
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_oracle_greedy_replace_equivalence():
+    """The delimiter-encoded replace() IS greedy-leftmost-non-overlapping
+    merge: property-check the SQL rewrite against the reference Python
+    merge on adversarial symbol runs (overlaps, boundary bleed, no-ops)."""
+    import duckdb
+
+    cases = [
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["b", "a", "a"], ("a", "a")),  # 'ba'+'a' boundary must not match
+        (["ba", "a", "a"], ("a", "a")),
+        (["aa", "a"], ("aa", "a")),
+        (["a", "ab", "b"], ("ab", "b")),
+        (["x"], ("a", "a")),
+        (["ab", "ab", "ab"], ("ab", "ab")),
+    ]
+    con = duckdb.connect()
+    for syms, (l, r) in cases:
+        got = con.execute(
+            "SELECT string_split(trim(replace("
+            "  chr(31) || array_to_string(?, chr(31)||chr(31)) || chr(31),"
+            "  chr(31) || ? || chr(31)||chr(31) || ? || chr(31),"
+            "  chr(31) || ? || chr(31)), chr(31)), chr(31)||chr(31))",
+            [syms, l, r, l + r],
+        ).fetchone()[0]
+        out: list = []
+        for tok in syms:
+            if out and out[-1] == l and tok == r:
+                out[-1] = l + r
+            else:
+                out.append(tok)
+        assert got == out, (syms, l, r, got, out)
 
 
 def test_bpe_encode_matches_reference(spark, sf_dir):
@@ -97,7 +146,7 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     assert any(v < len(w) for w, v in got.items())  # some merge actually applied
 
 
-def test_q94_catalog_entry(spark, sf_dir):
+def test_q18_catalog_entry(spark, sf_dir):
     from cometbft_log_etl_spark.queries import catalog
 
     df = catalog()["q18_bpe_token_counts"].fn(spark, sf_dir)
