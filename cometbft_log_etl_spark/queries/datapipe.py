@@ -2512,3 +2512,153 @@ def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
         (F.col("cm_estimate") - F.col("n_exact")).cast("bigint").alias("overshoot"),
     )
+
+
+# --------------------------------------------------------------------------
+# q45 — exact-substring dedup tier (the suffix-array tier of the dedup
+# family, public technique: Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"). The suffix-array formulation is
+# inherently sequential; the Spark-first restatement is fixed-width
+# k-gram CHAIN matching: a maximal cross-document duplicated substring
+# of T >= k tokens is exactly a maximal diagonal run of T - k + 1
+# matching k-grams, so detecting islands of consecutive gram matches
+# per (doc pair, diagonal) recovers every maximal shared run — with
+# md5(gram) as the only corpus-sized shuffle key.
+
+_SUB_K = 8  # gram width in tokens = minimum detectable run length
+_SUB_CAP = 64  # occurrences kept per gram (rank-filtered, map-side);
+#               bounds the per-gram pair tier against boilerplate
+#               grams the same way _BUCKET_CAP bounds LSH buckets —
+#               runs are DEFINED over the capped occurrence set, and
+#               the cap ordering (doc_id, p) is deterministic so both
+#               engines cap identically
+
+
+@register(
+    "q45_exact_substring_runs",
+    tags=("datapipe", "dedup", "substring"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+capped AS (
+  SELECT doc_id, p, g FROM (
+    SELECT doc_id, p, g,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM grams) WHERE rn <= {_SUB_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM capped a JOIN capped b ON b.g = a.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b,
+         CAST(count(*) + {_SUB_K} - 1 AS BIGINT) AS run_tokens
+  FROM (
+    SELECT doc_a, doc_b, pa, pb,
+           pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+    FROM pairs)
+  GROUP BY doc_a, doc_b, pa - pb, isl
+)
+SELECT doc_a, doc_b, start_a, start_b, run_tokens FROM runs
+""",
+)
+def q45_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document exact substring runs >= _SUB_K tokens:
+    one row per maximal run with both start positions (token index
+    into the empty-filtered whitespace token sequence) and its length
+    in tokens — the spans a pretraining pipeline cuts out (Lee et al.
+    2021), the tier MinHash (q55) is usually paired with.
+
+    Plan shape (audited): ONE 2-column scan; grams are built IN-ARRAY
+    (transform over sequence + slice, no per-gram row until the
+    explode); the per-gram occurrence cap is a rank filter that plans
+    as a Partial+Final WindowGroupLimit (map-side, BEFORE the gram
+    shuffle); pair expansion reuses the q06/q25 in-array idiom over
+    the capped per-gram occurrence array (<= _SUB_CAP, so the
+    quadratic term is bounded per gram no matter how viral the
+    boilerplate); island detection and the maximal-run aggregation
+    share one (doc_a, doc_b, diag) partitioning — `diag` is
+    materialized as a column precisely so the groupBy reuses the
+    window's exchange (recomputing pa - pb in the groupBy key makes
+    Catalyst treat it as a new expression and re-shuffle). Total: 2
+    exchanges, both on bounded keys; no join, no cartesian.
+
+    A same-diagonal gap splits runs (islands), and overlapping
+    occurrences within one document are naturally separate rows —
+    only CROSS-document pairs (doc_a < doc_b) are emitted.
+    """
+    tune_session(spark)
+    return exact_substring_runs(load(spark, sf_dir, "documents"))
+
+
+def exact_substring_runs(docs: DataFrame) -> DataFrame:
+    """The q45 kernel over any (doc_id, text) frame — separated so the
+    degenerate-corpus bound test (tests/test_lsh_guard.py) can drive it
+    with an in-memory boilerplate corpus."""
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= _SUB_K)
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size("t") - _SUB_K),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(
+                F.concat_ws(" ", F.slice("t", i + 1, F.lit(_SUB_K))).cast("binary")
+            ).alias("g"),
+        ),
+    )
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
+        "doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
+    )
+    wcap = W.partitionBy("g").orderBy("doc_id", "p")
+    capped = (
+        grams.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _SUB_CAP)
+        .drop("rn")
+    )
+    cells = (
+        capped.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "p"))).alias("occ"))
+        .filter(F.size("occ") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda a, i: F.transform(
+                F.slice(F.col("occ"), i + 2, F.size("occ")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["p"].alias("pa"),
+                    b["p"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        cells.select(F.explode(pair_arr).alias("x"))
+        .select("x.*")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    return (
+        pairs.withColumn("isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + _SUB_K - 1).cast("bigint").alias("run_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+    )

@@ -144,3 +144,32 @@ def test_hash_min_components_matches_union_find_on_random_graphs(spark):
             for r in hash_min_components(labels, sym).collect()
         }
         assert got == expected, f"seed {seed}: CC labels diverge from union-find"
+
+
+def test_identical_corpus_substring_runs_are_capped(spark):
+    """The exact-substring tier's degenerate bound: N identical documents
+    share EVERY gram, but the per-gram occurrence cap keeps only the
+    _SUB_CAP lowest (doc_id, p) rows, so the run output is exactly one
+    full-length maximal run per pair of the first _SUB_CAP docs —
+    C(cap, 2) rows, independent of N."""
+    from cometbft_log_etl_spark.queries.datapipe import (
+        _SUB_CAP,
+        _SUB_K,
+        exact_substring_runs,
+    )
+
+    runs = exact_substring_runs(_identical_docs(spark)).cache()
+    try:
+        n_tokens = len(_TEXT.split(" "))
+        rows = runs.collect()
+        assert len(rows) == _SUB_CAP * (_SUB_CAP - 1) // 2
+        # every run is the whole document, aligned at 0, between two
+        # of the first cap doc ids
+        assert all(
+            r.run_tokens == n_tokens and r.start_a == 0 and r.start_b == 0
+            for r in rows
+        )
+        assert all(r.doc_a < r.doc_b < _SUB_CAP for r in rows)
+        assert n_tokens >= _SUB_K  # fixture long enough to gram
+    finally:
+        runs.unpersist()

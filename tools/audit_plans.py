@@ -84,6 +84,20 @@ EXPECTATIONS = {
     # gram_df) and nothing is pairwise
     "q09_boilerplate_ngrams": {"max_scan_cols": 3, "max_scans": 3,
                                "contains_not": ["CartesianProduct"]},
+    # exact-substring runs: the per-gram occurrence cap must stay a
+    # map-side Partial WindowGroupLimit (before the gram shuffle), pair
+    # expansion is in-array over the capped occurrence sets (join-free),
+    # and the island window + maximal-run groupBy share the materialized
+    # diag partitioning — 2 exchanges, one 2-col scan, no join of any
+    # kind (a join/cartesian here means the self-join formulation crept
+    # back in)
+    "q45_exact_substring_runs": {"max_scan_cols": 2, "max_scans": 1,
+                                 "max_n": {"Exchange hashpartitioning": 2},
+                                 "contains": ["WindowGroupLimit"],
+                                 "contains_not": ["CartesianProduct",
+                                                  "SortMergeJoin",
+                                                  "BroadcastHashJoin",
+                                                  "BroadcastNestedLoopJoin"]},
     # k-means: the ONLY joins are the hint-broadcast FIXED-k centroid
     # cross joins (print as BroadcastNestedLoopJoin); an SMJ or
     # CartesianProduct means a hint was lost or something corpus-sized
