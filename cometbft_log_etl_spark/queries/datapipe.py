@@ -2393,6 +2393,64 @@ _CM_W = 16  # buckets per row (narrow on purpose: the synthetic
 _CM_PROBE_MOD = 2  # deterministic probe subset: tokens with h % 2 == 0
 
 
+def cm_bucket(j: int, token_col) -> F.Column:
+    """CM row-j bucket of a token: one md5 per token, row j reading hex
+    chars [1+8j, 8+8j) — shared by the batch sketch (q33), its probe
+    side, and the streaming builder (streaming/countmin.py) so the
+    three can never hash apart."""
+    c = F.col(token_col) if isinstance(token_col, str) else token_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1 + 8 * j, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _CM_W
+    )
+
+
+def _cm_jb_explode(token_col) -> F.Column:
+    """The d-fold (j, bucket) in-array expansion of one token."""
+    c = F.col(token_col) if isinstance(token_col, str) else token_col
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), cm_bucket(j, c).alias("bucket"))
+                for j in range(_CM_D)
+            ]
+        )
+    )
+
+
+def cm_cells_from_tokens(toks: DataFrame) -> DataFrame:
+    """CM cells counted straight off a raw (token) row stream — the
+    builder a shard that cannot pre-aggregate uses (true streaming
+    ingest: Structured Streaming allows ONE aggregation, so the
+    vocab-first derivation below is not available there). Cells merge
+    by cell-wise addition; state/output is d × w rows no matter the
+    corpus. Works unchanged on batch and streaming frames."""
+    return (
+        toks.select(_cm_jb_explode("token").alias("jb"))
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_cells_from_vocab(exact: DataFrame) -> DataFrame:
+    """Batch CM cells, derived from an exact (token, n_exact) vocab
+    count (CM cells are additive, so summing per-token counts into
+    cells is bit-identical to counting the raw token stream — asserted
+    against cm_cells_from_tokens in tests/test_stream_countmin.py) —
+    the d-fold expansion runs over the VOCAB, not the corpus, and the
+    caller shares the vocab frame with its other consumers (q33's
+    probe side) so the corpus is scanned once."""
+    return (
+        exact.select(_cm_jb_explode("token").alias("jb"), "n_exact")
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "n_exact")
+        .groupBy("j", "bucket")
+        .agg(F.sum("n_exact").alias("cnt"))
+    )
+
+
 @register(
     "q33_countmin_freq",
     tags=("datapipe", "sketch", "frequency"),
@@ -2462,44 +2520,10 @@ def q33_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
-
-    def bucket(j, token_col):
-        # one md5 per token, sliced: row j reads hex chars [1+8j, 8+8j)
-        return (
-            F.conv(
-                F.substring(F.md5(token_col.cast("binary")), 1 + 8 * j, 8), 16, 10
-            ).cast("bigint")
-            % _CM_W
-        )
-
-    jb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("j"), bucket(j, F.col("token")).alias("bucket"))
-                for j in range(_CM_D)
-            ]
-        )
-    )
-    cm = (
-        exact.select(jb.alias("jb"), "n_exact")
-        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "n_exact")
-        .groupBy("j", "bucket")
-        .agg(F.sum("n_exact").alias("cnt"))
-    )
+    cm = cm_cells_from_vocab(exact)
     probes = exact.filter(_h32(F.col("token")) % _CM_PROBE_MOD == 0)
     probe_cells = probes.select(
-        "token",
-        "n_exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), bucket(j, F.col("token")).alias("bucket")
-                    )
-                    for j in range(_CM_D)
-                ]
-            )
-        ).alias("jb"),
+        "token", "n_exact", _cm_jb_explode("token").alias("jb")
     ).select("token", "n_exact", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
     est = (
         probe_cells.join(F.broadcast(cm), ["j", "bucket"])
