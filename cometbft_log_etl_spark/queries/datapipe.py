@@ -2686,3 +2686,117 @@ def exact_substring_runs(docs: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
     )
+
+
+@register(
+    "q46_substring_scrub",
+    tags=("datapipe", "dedup", "substring"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+capped AS (
+  SELECT doc_id, p, g FROM (
+    SELECT doc_id, p, g,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM grams) WHERE rn <= {_SUB_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+  FROM capped a JOIN capped b ON b.g = a.g AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b,
+         CAST(count(*) + {_SUB_K} - 1 AS BIGINT) AS run_tokens
+  FROM (
+    SELECT doc_a, doc_b, pa, pb,
+           pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+    FROM pairs)
+  GROUP BY doc_a, doc_b, pa - pb, isl
+),
+spans AS (SELECT doc_b AS doc_id, start_b, run_tokens FROM runs),
+toks1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS p
+  FROM toks1
+),
+kept AS (
+  SELECT doc_id, tok, p FROM pos o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = o.doc_id
+      AND o.p >= s.start_b AND o.p < s.start_b + s.run_tokens)
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - count(k.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS cleaned_text
+FROM toks1 t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.t)
+""",
+)
+def q46_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the exact-substring tier (Lee et al. 2021
+    cut the duplicated SPANS, not the documents): every q45 maximal run
+    is removed from its doc_b side (the lower doc_id keeps its copy —
+    the q37/q50 min-id convention at span granularity), overlapping
+    spans union naturally under the per-position mask, and the cleaned
+    token-normalized text is emitted per document with before/after
+    counts. A fully-duplicated doc_b scrubs to '' — exact-duplicate
+    removal as the degenerate case.
+
+    Plan shape: the q45 run detection feeds a per-doc span list
+    (collect_list after a doc_b-keyed shuffle of the RUN rows — run
+    output is bounded by the q45 caps, never corpus-scale), which
+    left-joins the token table once; masking, reconstruction, and the
+    removal counts are all IN-ARRAY per row (filter/exists/transform —
+    no token explode, no per-position shuffle: the oracle explodes
+    positions because SQL must, the Spark side never does). Docs with
+    no tokens are excluded symmetrically in both engines (the one
+    spot Spark's concat_ws('') and SQL's string_agg-over-nothing
+    would disagree).
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    runs = exact_substring_runs(docs)
+    spans = (
+        runs.select(F.col("doc_b").alias("doc_id"), "start_b", "run_tokens")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("start_b", "run_tokens")).alias("spans"))
+    )
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= 1)
+    j = toks.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<start_b:bigint,run_tokens:bigint>>")
+        ),
+    )
+    idx = F.transform(
+        F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("p"))
+    )
+    kept = F.filter(
+        idx,
+        lambda pr: ~F.exists(
+            "spans",
+            lambda s: (pr["p"] >= s["start_b"])
+            & (pr["p"] < s["start_b"] + s["run_tokens"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
+    )

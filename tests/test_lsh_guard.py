@@ -173,3 +173,26 @@ def test_identical_corpus_substring_runs_are_capped(spark):
         assert n_tokens >= _SUB_K  # fixture long enough to gram
     finally:
         runs.unpersist()
+
+
+def test_substring_scrub_invariants(spark, sf_dir):
+    """Scrub semantics on the real corpus: the lower doc_id of every
+    pair keeps its copy (only doc_b spans are cut), counts reconcile
+    with the run table, and a fully-duplicated doc scrubs to ''."""
+    from cometbft_log_etl_spark.queries import catalog
+
+    out = {r.doc_id: r for r in catalog()["q46_substring_scrub"].fn(spark, sf_dir).collect()}
+    runs = catalog()["q45_exact_substring_runs"].fn(spark, sf_dir).collect()
+    scrubbed_docs = {r.doc_b for r in runs}
+    only_a_docs = {r.doc_a for r in runs} - scrubbed_docs
+    # every doc that is only ever the LOWER id of a pair is untouched
+    assert all(out[d].n_removed == 0 for d in only_a_docs if d in out)
+    # every doc_b lost at least one token; removal never exceeds length
+    assert all(
+        0 < out[d].n_removed <= out[d].n_tokens for d in scrubbed_docs if d in out
+    )
+    # cleaned text token count == n_tokens - n_removed (reconstruction
+    # is exactly the kept tokens)
+    for r in out.values():
+        n_clean = len([t for t in r.cleaned_text.split(" ") if t]) if r.cleaned_text else 0
+        assert n_clean == r.n_tokens - r.n_removed

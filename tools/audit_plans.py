@@ -98,6 +98,15 @@ EXPECTATIONS = {
                                                   "SortMergeJoin",
                                                   "BroadcastHashJoin",
                                                   "BroadcastNestedLoopJoin"]},
+    # substring scrub: q45's run plan + ONE per-doc span join; masking/
+    # reconstruction must stay in-array (no token explode — exactly one
+    # Generate, the gram explode inherited from q45) and the span list
+    # join is doc-keyed (legitimately shuffles; no strategy gate)
+    "q46_substring_scrub": {"max_scan_cols": 2, "max_scans": 2,
+                            "contains": ["WindowGroupLimit"],
+                            "max_n": {"Generate": 2},
+                            "contains_not": ["CartesianProduct",
+                                             "BroadcastNestedLoopJoin"]},
     # k-means: the ONLY joins are the hint-broadcast FIXED-k centroid
     # cross joins (print as BroadcastNestedLoopJoin); an SMJ or
     # CartesianProduct means a hint was lost or something corpus-sized
