@@ -2560,6 +2560,8 @@ _SUB_CAP = 64  # occurrences kept per gram (rank-filtered, map-side);
 
 @register(
     "q45_exact_substring_runs",
+    headline=True,  # benches the substring tier: gram build + capped
+    #                 occurrence tier + island runs in one plan
     tags=("datapipe", "dedup", "substring"),
     oracle=f"""
 WITH toks AS (
