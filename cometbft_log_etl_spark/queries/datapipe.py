@@ -2617,7 +2617,9 @@ def q45_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized as a column precisely so the groupBy reuses the
     window's exchange (recomputing pa - pb in the groupBy key makes
     Catalyst treat it as a new expression and re-shuffle). Total: 2
-    exchanges, both on bounded keys; no join, no cartesian.
+    hash exchanges on bounded keys plus one explicit-width round-robin
+    spread of the capped occurrence arrays (the q06/q55 AQE-coalesce
+    hardening); no join, no cartesian.
 
     A same-diagonal gap splits runs (islands), and overlapping
     occurrences within one document are naturally separate rows —
@@ -2652,10 +2654,19 @@ def exact_substring_runs(docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= _SUB_CAP)
         .drop("rn")
     )
+    from ..session import default_parallelism
+
     cells = (
         capped.groupBy("g")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "p"))).alias("occ"))
         .filter(F.size("occ") >= 2)
+        # explicit-width spread of the capped occurrence arrays: each
+        # shared gram is ONE byte-light row whose expansion is up to
+        # C(cap, 2) pairs — exactly the compute-dense shape AQE's
+        # byte-based coalescing serializes to one task (the q06/q55
+        # round-6 hardening; boilerplate-heavy corpora make this the
+        # hot stage)
+        .repartition(default_parallelism())
     )
     pair_arr = F.flatten(
         F.transform(

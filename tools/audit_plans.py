@@ -91,8 +91,11 @@ EXPECTATIONS = {
     # diag partitioning — 2 exchanges, one 2-col scan, no join of any
     # kind (a join/cartesian here means the self-join formulation crept
     # back in)
+    # (2 hash exchanges + 1 explicit-width round-robin spread of the
+    # capped occurrence arrays — the q06/q55 AQE-coalesce hardening)
     "q45_exact_substring_runs": {"max_scan_cols": 2, "max_scans": 1,
-                                 "max_n": {"Exchange hashpartitioning": 2},
+                                 "max_n": {"Exchange hashpartitioning": 2,
+                                           "Exchange roundrobinpartitioning": 1},
                                  "contains": ["WindowGroupLimit"],
                                  "contains_not": ["CartesianProduct",
                                                   "SortMergeJoin",
