@@ -90,12 +90,20 @@ def _bpe_oracle_ctes(n_merges: int = _N_MERGES) -> str:
             f"  FROM pairs_{i} ORDER BY cnt DESC, l, r LIMIT 1)"
         )
         parts.append(
+            # LEFT JOIN ON TRUE, not a cross join: on a corpus with
+            # fewer than n_merges possible merges best_i is EMPTY, and
+            # a cross join would empty syms_i (and every later step) —
+            # the Spark loop just stops merging, so the oracle must
+            # carry syms_{i-1} through unchanged (caught by the 'ab'
+            # one-word corpus: Spark q18 emits the word, a cross-join
+            # oracle emitted nothing)
             f"syms_{i} AS ("
-            "  SELECT w, freq, string_split(trim(replace("
+            "  SELECT w, freq, CASE WHEN b.m IS NULL THEN syms ELSE"
+            "    string_split(trim(replace("
             f"      {d} || array_to_string(syms, {d}||{d}) || {d},"
             f"      {d} || b.l || {d}||{d} || b.r || {d},"
-            f"      {d} || b.m || {d}), {d}), {d}||{d}) AS syms"
-            f"  FROM syms_{p}, best_{i} b)"
+            f"      {d} || b.m || {d}), {d}), {d}||{d}) END AS syms"
+            f"  FROM syms_{p} LEFT JOIN best_{i} b ON TRUE)"
         )
     return ",\n".join(parts)
 

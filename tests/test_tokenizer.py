@@ -120,6 +120,47 @@ def test_oracle_greedy_replace_equivalence():
         assert got == out, (syms, l, r, got, out)
 
 
+def test_oracle_survives_merge_exhaustion(spark, sf_dir, tmp_path_factory):
+    """A corpus with fewer than _N_MERGES possible merges: the Spark
+    loop breaks early; the oracle's per-step CTEs must carry the symbol
+    state through the merge-less steps (LEFT JOIN), not empty it (a
+    cross join against an empty best_i zeroed q18's oracle — caught on
+    this exact corpus)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    out = tmp_path_factory.mktemp("bpe-exhausted-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 4)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    schema = pq.read_table(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2],
+            "text": ["ab", "cd ab"],  # 2 merges possible, then exhausted
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [2, 5],
+        },
+        schema=pa.schema([schema.field(n) for n in
+                          ("doc_id", "text", "lang", "source", "n_chars")]),
+    )
+    pq.write_table(docs, str(out / "documents.parquet"))
+    for qname in ("q16_bpe_merges", "q18_bpe_token_counts"):
+        res = run_compare(spark, catalog()[qname], str(out))
+        assert res.ok, str(res)
+    merges = catalog()["q16_bpe_merges"].fn(spark, str(out)).collect()
+    assert 0 < len(merges) < 8  # genuinely exhausted before _N_MERGES
+
+
 def test_bpe_encode_matches_reference(spark, sf_dir):
     """Encode attestation: per-word subtoken counts under the fitted
     merges equal the reference implementation's."""
