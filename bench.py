@@ -32,7 +32,24 @@ def plan_fingerprint(df) -> tuple[str, int]:
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     norm = _normalize_plan(plan)
-    return hashlib.md5(norm.encode()).hexdigest()[:12], plan.count("Exchange")
+    return hashlib.md5(norm.encode()).hexdigest()[:12], _count_exchanges(plan)
+
+
+def _count_exchanges(plan: str) -> int:
+    """Distinct Exchange operators in a plan string. Counting by
+    DISTINCT plan_id, not raw substring hits: an InMemoryRelation's
+    child plan is reprinted verbatim under EVERY InMemoryTableScan
+    consumer, so a cached query (q25 since round 9) would count its
+    front half's exchanges once per consumer (q25 printed 50 for a
+    12-exchange plan). Reprints carry the same plan_id, so the set
+    collapses them; for cache-free plans every Exchange prints once
+    and the number is identical to the raw count r1–r8 recorded."""
+    import re
+
+    ids = re.findall(r"Exchange[^\n]*?\[plan_id=(\d+)\]", plan)
+    if ids:
+        return len(set(ids))
+    return plan.count("Exchange")
 
 
 def _normalize_plan(plan: str) -> str:

@@ -49,3 +49,24 @@ def test_underscore_prefixed_columns_untouched():
     # the token _t_0# starts with '_' so the lookbehind rejects a match
     # beginning inside it; 't_0#' inside '_t_0#' is preceded by '_'
     assert _normalize_plan(plan) == "Project [_t_0# AS out#]"
+
+
+def test_exchange_count_dedups_cached_subplan_reprints():
+    from bench import _count_exchanges
+
+    # cache-free: plan_ids all distinct — same as the raw count
+    free = (
+        "Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS, [plan_id=3]\n"
+        "Exchange hashpartitioning(b#2, 8), ENSURE_REQUIREMENTS, [plan_id=7]\n"
+    )
+    assert _count_exchanges(free) == 2
+    # cached: the same exchange reprinted under two InMemoryTableScans
+    cached = free + (
+        "InMemoryTableScan\n"
+        "  Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS, [plan_id=3]\n"
+        "InMemoryTableScan\n"
+        "  Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS, [plan_id=3]\n"
+    )
+    assert _count_exchanges(cached) == 2
+    # no plan_ids at all (old-style string): raw fallback
+    assert _count_exchanges("Exchange\nExchange\n") == 2

@@ -107,3 +107,25 @@ def test_hint_gate_counts_only_broadcast_hints():
     fails = check_plan("q", "plan", analyzed, gate)
     assert any("2 explicit broadcast hints" in f for f in fails)
     assert check_plan("q", "plan", analyzed, {"max_hint_broadcasts": 2}) == []
+
+
+def test_contains_anywhere_reads_the_full_plan():
+    """Operators under a CACHED subplan print only inside the cache's
+    nested sections (after the first '== Initial Plan ==' split) —
+    `contains_anywhere` must find them there, while `contains` (by
+    design) must not."""
+    from tools.audit_plans import check_plan
+
+    cached = (
+        "InMemoryTableScan\n== Initial Plan ==\n"
+        "InMemoryRelation\n  WindowGroupLimit\n"
+    )
+    assert check_plan("q", cached, "", {"contains_anywhere": ["WindowGroupLimit"]}) == []
+    assert any(
+        "missing" in f
+        for f in check_plan("q", cached, "", {"contains": ["WindowGroupLimit"]})
+    )
+    assert any(
+        "missing" in f
+        for f in check_plan("q", "NoSuchOp", "", {"contains_anywhere": ["WindowGroupLimit"]})
+    )

@@ -122,9 +122,15 @@ EXPECTATIONS = {
     # SemDeDup: the per-cluster member cap must stay a map-side rank
     # limit and pair scoring stays in-array (join-free); the only
     # corpus-shaped join is the per-vector decision join, which
-    # legitimately shuffles at scale (no join-strategy gate)
+    # legitimately shuffles at scale (no join-strategy gate). The
+    # member tier sits above the persisted assignment (round 9), so
+    # its WindowGroupLimit prints under the cache's nested plan
+    # sections — checked anywhere, and the cache barrier itself is
+    # gated as present (InMemoryRelation: the shared-assignment
+    # dedup regressing to a doubled subtree would drop it)
     "q25_semantic_dedup": {"max_scan_cols": 2,
-                           "contains": ["WindowGroupLimit"],
+                           "contains": ["InMemoryTableScan"],
+                           "contains_anywhere": ["WindowGroupLimit"],
                            "contains_not": ["CartesianProduct"]},
     # count-min sketch: the d-fold (row, bucket) expansion collapses to
     # the FIXED d x w table before the shuffle (partial agg), and the
@@ -499,6 +505,16 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
             failures.append(
                 f"{name}: {needle!r} appears {got_n}x (expected >= {want_n})"
             )
+    for needle in exp.get("contains_anywhere", ()):
+        # presence check against the FULL plan string: an operator that
+        # lives inside a CACHED subplan (InMemoryRelation child) prints
+        # under the cache's own nested AdaptiveSparkPlan sections, which
+        # the first "== Initial Plan ==" split discards — the executed
+        # final section only shows the TableCacheQueryStage reference.
+        # Weaker than `contains` (a stale Initial-Plan copy satisfies
+        # it); use only for operators under a cache barrier.
+        if needle not in plan:
+            failures.append(f"{name}: expected physical operator {needle!r} missing")
     for needle in exp.get("contains_not", ()):
         if needle in plan:
             failures.append(f"{name}: forbidden physical operator {needle!r} present")
