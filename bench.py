@@ -105,10 +105,11 @@ def main() -> None:
     # run), and parquet footer caches. Steady-state is the number that
     # extrapolates to a long-lived cluster; compile time is a per-plan
     # constant that vanishes at 100 TB.
-    # snapshot/release around every query run: q37's CC loop and q25's
-    # assignment cut pin localCheckpoint RDDs per CALL — released here
-    # so 4 runs × N queries don't accumulate block-manager pressure
-    # that reads as timing noise on later queries
+    # snapshot/release around every query run: q37's CC loop pins
+    # localCheckpoint RDDs and q25 persist()s its shared assignment,
+    # per CALL — released here so 4 runs × N queries don't accumulate
+    # block-manager pressure that reads as timing noise on later
+    # queries
     from cometbft_log_etl_spark.session import persistent_rdd_ids, release_new_persists
 
     for qdef in qs.values():
@@ -188,8 +189,12 @@ def main() -> None:
     # number; the min-of-N noise shield stays on the comparable block
     # above. Set SPARK_GRAFT_ETL_SCALE=0 to skip.
     etl_at_scale: dict | None = None
-    scale = int(os.environ.get("SPARK_GRAFT_ETL_SCALE", "15"))
-    if scale > 1:
+    try:
+        scale = int(os.environ.get("SPARK_GRAFT_ETL_SCALE", "15"))
+    except ValueError as exc:
+        print(f"# etl_at_scale skipped (bad SPARK_GRAFT_ETL_SCALE: {exc})", file=sys.stderr)
+        scale = 0
+    if scale >= 1:
         try:
             from tools.bench_etl import run_etl_bench as _reb
 

@@ -138,14 +138,26 @@ def finite_embeddings(df, col: str = "embedding"):
     return df.filter(emb_finite_cond(col))
 
 
-# Magnitude bound on embedding components: |x| >= 1e8 squares past
-# DECIMAL(28,12)'s 16 integral digits, so the quantized-square clause
-# itself would die on the cast (Spark ANSI CAST_OVERFLOW; DuckDB cast
-# error) — the screen meant to stop job-killers becoming one. A finite
-# component that large is embedding-garbage by any measure (unit-ish
-# vectors), so both engines treat it as a fourth garbage class next to
-# NaN/Inf/degenerate-norm and screen the vector out.
-EMB_MAX_ABS = 1e8
+# Magnitude bound on embedding components. Two overflow surfaces, and
+# the bound must cover BOTH:
+# - the per-term cast: x*x past DECIMAL(28,12)'s 16 integral digits
+#   (|x| >= 1e8) dies in the screen itself (Spark ANSI CAST_OVERFLOW;
+#   DuckDB cast error);
+# - the FOLD ACCUMULATOR: dfold12 re-casts every partial sum back to
+#   DECIMAL(28,12) (Spark decimal addition cannot widen past 38
+#   without precision loss, so a wider accumulator would silently
+#   round the 12th decimal instead — worse), so the SUM of squares
+#   must stay under 1e16 too. A vector of [8e7, 8e7] passes a
+#   per-term-only bound yet its norm fold hits 1.28e16 → Spark ANSI
+#   NUMERIC_VALUE_OUT_OF_RANGE while DuckDB's sum widens to
+#   DECIMAL(38,12) and succeeds — a job-killer AND an engine
+#   divergence (round-9 review find).
+# 1e4 bounds both for any dimension below 1e8: x*x <= 1e8 per term,
+# sum < dim * 1e8 < 1e16. A finite component at even 1e4 is
+# embedding-garbage by any measure (unit-ish vectors), so both engines
+# treat it as the fourth garbage class next to NaN/Inf/degenerate-norm
+# and screen the vector out.
+EMB_MAX_ABS = 1e4
 
 
 def emb_finite_cond(col: str = "embedding") -> Column:
@@ -192,15 +204,16 @@ def emb_finite_cond(col: str = "embedding") -> Column:
 # every element of every row — including the NaN rows the preceding
 # conjunct screens — so the cast must be unreachable for them.
 # The in-lambda guard needs BOTH the x - x = 0 finiteness test AND the
-# EMB_MAX_ABS magnitude bound: a finite |x| >= 1e8 passes the former
-# but its square overflows DECIMAL(28,12) — same unreachability rule
-# as the Spark when() above.
+# EMB_MAX_ABS magnitude bound (keep the literal in sync with
+# EMB_MAX_ABS above): an out-of-range finite passes the former but
+# overflows the decimal square / the Spark-side sum — same
+# unreachability rule as the Spark when() above.
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
     " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x)"
-    " OR abs(CAST(x AS DOUBLE)) >= 100000000.0)) = 0"
+    " OR abs(CAST(x AS DOUBLE)) >= 10000.0)) = 0"
     " AND len(list_filter(embedding, x -> CASE WHEN (CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0"
-    " AND abs(CAST(x AS DOUBLE)) < 100000000.0"
+    " AND abs(CAST(x AS DOUBLE)) < 10000.0"
     " THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)) > 0"
     " ELSE FALSE END)) > 0"
 )

@@ -1819,13 +1819,14 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     q17/q25. A static plan: fixed k, fixed rounds, no driver loop.
 
     A consumer that uses the assignments more than once (q25: member
-    grouping + the final decision join) must cut the lineage or pay the
-    subtree per consumer — q25 localCheckpoints (round 9); a production
-    deployment stages the assignments to parquet once and runs every
-    consumer off the staged table (the pipeline.py staged-sink
-    pattern); alternatively streaming/semdedup.py's fitted_centroids
-    collects the k centroids and re-applies them as a pure map, which
-    is the shape an online system uses anyway."""
+    grouping + the final decision join) must put a barrier here or pay
+    the subtree per consumer — q25 persist()s (round 9; measured faster
+    than both localCheckpoint flavors); a production deployment stages
+    the assignments to parquet once and runs every consumer off the
+    staged table (the pipeline.py staged-sink pattern); alternatively
+    streaming/semdedup.py's fitted_centroids collects the k centroids
+    and re-applies them as a pure map, which is the shape an online
+    system uses anyway."""
     a1 = km_first_round(spark, sf_dir)
     return _km_assign_round(
         a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1)

@@ -132,12 +132,16 @@ FROM occ JOIN lengths USING (w) GROUP BY doc_id"""
 )
 
 
-def _merge_pair_expr(col: str, left: str, right: str, merged: str) -> F.Column:
+def _merge_pair_expr(col, left: str, right: str, merged: str) -> F.Column:
     """Greedy leftmost non-overlapping merge of adjacent (left, right)
-    inside a symbol array — pure higher-order aggregate, JVM-side."""
+    inside a symbol array — pure higher-order aggregate, JVM-side.
+    Accepts a column name or a Column so the streaming encoder
+    (streaming/tokenize.py) can thread the SAME expression through its
+    OOV chain — the merge rule must never exist twice."""
+    arr = F.col(col) if isinstance(col, str) else col
     l, r, m = F.lit(left), F.lit(right), F.lit(merged)
     return F.aggregate(
-        F.col(col),
+        arr,
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
             (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (s == r),

@@ -34,9 +34,7 @@ def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt), at most d × w rows. Write with outputMode("complete") — the
     result set IS the model and is fixed-size, the one case where
     complete mode is the scalable choice."""
-    docs = stream_documents(spark, sf_dir)
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    return cm_cells_from_tokens(toks)
+    return stream_countmin_cells_from(stream_documents(spark, sf_dir))
 
 
 def stream_countmin_cells_from(docs: DataFrame) -> DataFrame:

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.tokenizer import _DELIM, bpe_fit_with_state
+from ..queries.tokenizer import _DELIM, _merge_pair_expr, bpe_fit_with_state
 from ..tables import load
 from .curation import stream_documents
 
@@ -47,26 +47,12 @@ def fitted_model(spark: SparkSession, sf_dir: str) -> tuple[list[dict], DataFram
 def _oov_length_expr(word_col: str, merges: list[dict]) -> F.Column:
     """Subtoken count of a word under the fitted merges, computed
     map-side: split to characters, apply the greedy-leftmost merge
-    chain (the SAME _merge_pair_expr the fit used — the chain is the
-    tokenizer), take the length."""
+    chain (the SAME _merge_pair_expr the fit used — the merge rule
+    must never exist twice), take the length."""
     out = F.expr(f"filter(split({word_col}, ''), x -> x <> '')")
     for m in merges:
-        out = _merge_pair_expr_col(out, m["left"], m["right"], m["merged"])
+        out = _merge_pair_expr(out, m["left"], m["right"], m["merged"])
     return F.size(out).cast("int")
-
-
-def _merge_pair_expr_col(arr: F.Column, left: str, right: str, merged: str) -> F.Column:
-    """_merge_pair_expr over an in-flight Column (the tokenizer module's
-    version takes a column NAME; the chain here threads expressions)."""
-    l, r, m = F.lit(left), F.lit(right), F.lit(merged)
-    return F.aggregate(
-        arr,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0) & (F.element_at(acc, -1) == l) & (s == r),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
 
 
 def stream_bpe_token_counts(

@@ -157,7 +157,17 @@ def _cell_equal(a, b) -> bool:
 
 
 def run_compare(spark, qdef, sf_dir: str) -> CompareResult:
-    sdf = qdef.fn(spark, sf_dir).toPandas()
+    from ..session import persistent_rdd_ids, release_new_persists
+
+    # snapshot/release around the Spark side: queries with an in-plan
+    # barrier (q25's persist(), the CC loop's localCheckpoints) pin
+    # blocks per CALL — a long check session over 100 queries (or
+    # pytest sweeping 6 fixture corpora) must not accumulate them
+    before = persistent_rdd_ids(spark)
+    try:
+        sdf = qdef.fn(spark, sf_dir).toPandas()
+    finally:
+        release_new_persists(spark, before)
     if qdef.oracle is None:
         return CompareResult(name=qdef.name, ok=len(sdf) >= 0, spark_rows=len(sdf), oracle_rows=-1)
     con = duckdb_connection(sf_dir)

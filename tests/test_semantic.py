@@ -26,9 +26,11 @@ def _np_kmeans(sf_dir: str):
     # mirror emb_finite_cond: finite, within the EMB_MAX_ABS magnitude
     # bound, AND some QUANTIZED square > 0 (dec12 rounds squares to 12
     # decimals; see _det.py)
+    from cometbft_log_etl_spark.queries._det import EMB_MAX_ABS
+
     finite = (
         np.isfinite(emb).all(axis=1)
-        & (np.abs(emb) < 1e8).all(axis=1)
+        & (np.abs(emb) < EMB_MAX_ABS).all(axis=1)
         & (np.round(emb * emb, 12) > 0).any(axis=1)
     )
     ids, emb = ids[finite], emb[finite]
@@ -315,8 +317,8 @@ def _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, id_to_vec: dict):
 def test_oversized_component_is_screened_not_fatal(
     spark, sf_dir, tmp_path_factory
 ):
-    """A finite component with |x| >= EMB_MAX_ABS (1e8) would overflow
-    the screen's own DECIMAL(28,12) square under ANSI — the round-9
+    """A finite component with |x| >= EMB_MAX_ABS would overflow the
+    screen's own DECIMAL(28,12) square under ANSI — the round-9
     magnitude bound screens the vector instead, identically in both
     engines (the fourth garbage class next to NaN/Inf/zero-norm)."""
     from cometbft_log_etl_spark.queries import catalog
@@ -331,5 +333,31 @@ def test_oversized_component_is_screened_not_fatal(
     vdir = _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, vectors)
     res = run_compare(spark, catalog()["q17_semantic_kmeans"], vdir)
     assert res.ok, str(res)
+    assigned = {r.vec_id for r in kmeans_assignments(spark, vdir).collect()}
+    assert assigned == {0, 2}
+
+
+def test_sum_of_squares_overflow_is_screened_not_fatal(
+    spark, sf_dir, tmp_path_factory
+):
+    """The fold-accumulator surface (round-9 review find): components
+    whose SQUARES each fit DECIMAL(28,12) but whose SUM overflows it
+    ([8e7, 8e7] → 1.28e16) killed the Spark norm fold under ANSI while
+    DuckDB's widening sum succeeded — a job-killer and an engine
+    divergence at once. EMB_MAX_ABS bounds the sum for any dimension;
+    such vectors screen out identically in both engines."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.queries.neardup import kmeans_assignments
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    vectors = {
+        0: [1.0, 0.5],
+        1: [8e7, 8e7],  # per-term squares fit; their sum does not
+        2: [0.5, 1.0],
+    }
+    vdir = _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, vectors)
+    for qname in ("q17_semantic_kmeans", "q49_embedding_stats"):
+        res = run_compare(spark, catalog()[qname], vdir)
+        assert res.ok, str(res)
     assigned = {r.vec_id for r in kmeans_assignments(spark, vdir).collect()}
     assert assigned == {0, 2}

@@ -1,7 +1,8 @@
 """Streaming BPE encode twin: the offline-fitted tokenizer applied on a
 stream must reproduce batch q18 exactly, and OOV words (impossible in
-the self-fitted case, routine on a live stream) fall back to their
-character count."""
+the self-fitted case, routine on a live stream) encode by applying the
+fitted merge chain to the word itself — the exact tokenizer function,
+not a char-count approximation."""
 
 from __future__ import annotations
 

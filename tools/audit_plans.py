@@ -102,9 +102,11 @@ EXPECTATIONS = {
                                                   "BroadcastHashJoin",
                                                   "BroadcastNestedLoopJoin"]},
     # substring scrub: q45's run plan + ONE per-doc span join; masking/
-    # reconstruction must stay in-array (no token explode — exactly one
-    # Generate, the gram explode inherited from q45) and the span list
-    # join is doc-keyed (legitimately shuffles; no strategy gate)
+    # reconstruction must stay in-array. The q45 kernel contributes
+    # BOTH Generates (gram explode + pair explode), so the cap of 2
+    # leaves ZERO headroom — a token/position explode creeping into
+    # the masking is caught immediately. Span-list join is doc-keyed
+    # (legitimately shuffles; no strategy gate)
     "q46_substring_scrub": {"max_scan_cols": 2, "max_scans": 2,
                             "contains": ["WindowGroupLimit"],
                             "max_n": {"Generate": 2},
@@ -406,9 +408,15 @@ def audit_plugins(spark) -> list[str]:
 def audit(spark, sf_dir: str) -> list[str]:
     from cometbft_log_etl_spark.queries import queries
 
+    from cometbft_log_etl_spark.session import persistent_rdd_ids, release_new_persists
+
     qs = queries()
     failures: list[str] = []
     for name, exp in EXPECTATIONS.items():
+        # snapshot/release per query: in-plan barriers (q25's persist,
+        # CC localCheckpoints) pin blocks per call and the audit runs
+        # 50+ queries in one session
+        before = persistent_rdd_ids(spark)
         df = qs[name](spark, sf_dir)
         # collect THIS df (count() would be a different query plan) so
         # AQE settles on the final plan with codegen stages compiled
@@ -420,6 +428,7 @@ def audit(spark, sf_dir: str) -> list[str]:
             else ""
         )
         failures.extend(check_plan(name, plan, analyzed, exp))
+        release_new_persists(spark, before)
     return failures
 
 
