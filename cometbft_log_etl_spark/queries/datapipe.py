@@ -2813,3 +2813,103 @@ def q46_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — incremental substring-containment screen: the q13 pattern
+# (new batch vs. already-ingested history) at the substring tier. A
+# crawl batch is screened for documents that are MOSTLY made of
+# k-grams the history already contains — near-copies, templated spam,
+# and cross-crawl boilerplate that exact-fingerprint dedup (q13) and
+# pairwise run detection (q45) bracket from either side.
+
+_SUB_CONTAIN = 0.5  # flag threshold: half the doc's grams seen before
+
+
+def doc_distinct_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): each document's DISTINCT k-gram hashes. The
+    distinct set builds IN-ARRAY (array_distinct before the explode —
+    map-side, the q09 idiom), so no per-doc dedup shuffle exists and
+    the function runs unchanged on streaming frames
+    (streaming/substring.py)."""
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= _SUB_K)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - _SUB_K),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("t", i + 1, F.lit(_SUB_K))).cast("binary")
+            ),
+        )
+    )
+    return toks.select("doc_id", F.explode(gram_arr).alias("g"))
+
+
+def substring_containment(batch_docs: DataFrame, hist_grams: DataFrame) -> DataFrame:
+    """Per-batch-doc containment against a history gram set: gram-keyed
+    left join (both sides co-partition on g; the history side is read,
+    never re-screened — the q13 incremental shape) + one per-doc
+    aggregation. Works on batch and streaming batch_docs frames alike
+    (stream-static join + single aggregation)."""
+    bg = doc_distinct_grams(batch_docs)
+    j = bg.join(hist_grams.withColumn("_hit", F.lit(1)), "g", "left")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_history_grams"),
+    )
+    containment = F.col("n_history_grams").cast("double") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_history_grams",
+        containment.alias("containment"),
+        (containment >= _SUB_CONTAIN).alias("flagged"),
+    )
+
+
+@register(
+    "q47_substring_containment",
+    tags=("datapipe", "dedup", "substring", "incremental"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+hist AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 < 8),
+bg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 >= 8)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(h.g) AS BIGINT) AS n_history_grams,
+       CAST(count(h.g) AS DOUBLE) / count(*) AS containment,
+       CAST(count(h.g) AS DOUBLE) / count(*) >= {_SUB_CONTAIN} AS flagged
+FROM bg b LEFT JOIN hist h USING (g)
+GROUP BY b.doc_id
+""",
+)
+def q47_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring screen: for each incoming-batch document
+    (the q13 slice convention — doc_id % 10 >= 8 stands in for
+    "today's crawl"), the fraction of its distinct k-grams already
+    present anywhere in the ingested history; flagged at
+    >= _SUB_CONTAIN. Division of two exact small ints is IEEE-identical
+    in both engines, so the fraction needs no rounding.
+
+    Scale shape: per-doc distinct gram sets build in-array (map-side,
+    no dedup shuffle); the history side is ONE distinct over gram
+    hashes, computed once per batch and never re-screened; the join
+    co-partitions on g; the final aggregation is doc-keyed. The same
+    kernel runs the streaming twin (streaming/substring.py) as a
+    stream-static join — history stays a static frame, the batch is
+    the stream.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    hist = doc_distinct_grams(docs.filter(F.col("doc_id") % 10 < 8)).select("g").distinct()
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    return substring_containment(batch, hist)

@@ -1,0 +1,41 @@
+"""Streaming substring-containment screen: the q47 incremental screen
+with the batch as a live stream.
+
+The lake shape this mirrors: the history gram set is a STATIC frame
+(in production, a table the nightly job maintains; here, derived from
+the history slice by the same batch code q47 runs — the fitted-model
+pattern, so the online screen can never de-sync), and each arriving
+micro-batch of documents is gram-exploded map-side and stream-static
+LEFT-joined against it, then one per-doc aggregation emits the q47 row
+shape. No streaming state beyond the single aggregation; the history
+frame never re-screens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.datapipe import doc_distinct_grams, substring_containment
+from ..tables import load
+from .curation import stream_documents
+
+
+def history_gram_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static distinct-gram frame of the ingested history (q13's
+    slice convention: doc_id % 10 < 8)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        doc_distinct_grams(docs.filter(F.col("doc_id") % 10 < 8))
+        .select("g")
+        .distinct()
+    )
+
+
+def stream_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47 on a stream: the document stream filtered to the batch slice,
+    screened against the static history gram set. Emits q47's exact
+    row shape; write with outputMode('complete') (or 'update' for a
+    changelog sink)."""
+    stream = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 >= 8)
+    return substring_containment(stream, history_gram_set(spark, sf_dir))

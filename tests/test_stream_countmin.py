@@ -100,3 +100,31 @@ def test_stream_sketch_accumulates_across_micro_batches(
     }
     assert got == _batch_cells(spark, sf_dir)
     assert len(got) <= _CM_D * _CM_W
+
+
+def test_stream_substring_containment_matches_batch_q47(spark, sf_dir):
+    """The streaming containment screen (stream-static join against the
+    static history gram set) must reproduce batch q47 exactly."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.streaming.substring import (
+        stream_substring_containment,
+    )
+
+    q = (
+        stream_substring_containment(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_stream_contain")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.n_grams, r.n_history_grams, r.containment, r.flagged)
+        for r in spark.table("t_stream_contain").collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_history_grams, r.containment, r.flagged)
+        for r in catalog()["q47_substring_containment"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

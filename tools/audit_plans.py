@@ -112,6 +112,15 @@ EXPECTATIONS = {
                             "max_n": {"Generate": 2},
                             "contains_not": ["CartesianProduct",
                                              "BroadcastNestedLoopJoin"]},
+    # incremental substring containment: per-doc distinct gram sets
+    # build IN-ARRAY (2 Generates — history + batch sides; a third
+    # means a per-doc dedup shuffle crept in as an explode+distinct),
+    # history/batch co-partition on g, nothing pairwise. The gram join
+    # legitimately shuffles at scale (no strategy gate)
+    "q47_substring_containment": {"max_scan_cols": 2, "max_scans": 2,
+                                  "max_n": {"Generate": 2},
+                                  "contains_not": ["CartesianProduct",
+                                                   "BroadcastNestedLoopJoin"]},
     # k-means: the ONLY joins are the hint-broadcast FIXED-k centroid
     # cross joins (print as BroadcastNestedLoopJoin); an SMJ or
     # CartesianProduct means a hint was lost or something corpus-sized
