@@ -2558,6 +2558,27 @@ _SUB_CAP = 64  # occurrences kept per gram (rank-filtered, map-side);
 #               engines cap identically
 
 
+def _sub_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, t): the substring tier's token arrays — empty-filtered
+    whitespace split, docs shorter than the gram width dropped. ONE
+    definition shared by q45/q46 (exact_substring_runs) and q47
+    (doc_distinct_grams): the tokenization and the gram-hash recipe
+    below are the tier's identity, and two copies would let the run
+    detector and the containment screen silently hash apart."""
+    return docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= _SUB_K)
+
+
+def _sub_gram_md5(t, i) -> F.Column:
+    """md5 of the k tokens of `t` starting at 0-based position `i`,
+    space-joined — the tier's shared gram-hash recipe (mirrors the
+    oracles' md5(array_to_string(t[p+1:p+K], ' ')))."""
+    return F.md5(
+        F.concat_ws(" ", F.slice(t, i + 1, F.lit(_SUB_K))).cast("binary")
+    )
+
+
 @register(
     "q45_exact_substring_runs",
     headline=True,  # benches the substring tier: gram build + capped
@@ -2633,17 +2654,10 @@ def exact_substring_runs(docs: DataFrame) -> DataFrame:
     """The q45 kernel over any (doc_id, text) frame — separated so the
     degenerate-corpus bound test (tests/test_lsh_guard.py) can drive it
     with an in-memory boilerplate corpus."""
-    toks = docs.select(
-        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
-    ).filter(F.size("t") >= _SUB_K)
+    toks = _sub_tokens(docs)
     gram_arr = F.transform(
         F.sequence(F.lit(0), F.size("t") - _SUB_K),
-        lambda i: F.struct(
-            i.alias("p"),
-            F.md5(
-                F.concat_ws(" ", F.slice("t", i + 1, F.lit(_SUB_K))).cast("binary")
-            ).alias("g"),
-        ),
+        lambda i: F.struct(i.alias("p"), _sub_gram_md5("t", i).alias("g")),
     )
     grams = toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
         "doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
@@ -2827,20 +2841,19 @@ _SUB_CONTAIN = 0.5  # flag threshold: half the doc's grams seen before
 
 
 def doc_distinct_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, g): each document's DISTINCT k-gram hashes. The
-    distinct set builds IN-ARRAY (array_distinct before the explode —
-    map-side, the q09 idiom), so no per-doc dedup shuffle exists and
-    the function runs unchanged on streaming frames
-    (streaming/substring.py)."""
-    toks = docs.select(
-        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
-    ).filter(F.size("t") >= _SUB_K)
+    """(doc_id, g): each ROW's distinct k-gram hashes. The distinct set
+    builds IN-ARRAY (array_distinct before the explode — map-side, the
+    q09 idiom), so no per-doc dedup shuffle exists and the function
+    runs unchanged on streaming frames (streaming/substring.py).
+    PER-ROW distinctness, not per-doc_id: duplicate ids contribute
+    their grams once per row, matching the oracle's per-row
+    list_distinct — the id-uniqueness data contract (q12 audit) is
+    validated upstream, not silently repaired here."""
+    toks = _sub_tokens(docs)
     gram_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("t") - _SUB_K),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice("t", i + 1, F.lit(_SUB_K))).cast("binary")
-            ),
+            lambda i: _sub_gram_md5("t", i),
         )
     )
     return toks.select("doc_id", F.explode(gram_arr).alias("g"))
@@ -2851,7 +2864,13 @@ def substring_containment(batch_docs: DataFrame, hist_grams: DataFrame) -> DataF
     left join (both sides co-partition on g; the history side is read,
     never re-screened — the q13 incremental shape) + one per-doc
     aggregation. Works on batch and streaming batch_docs frames alike
-    (stream-static join + single aggregation)."""
+    (stream-static join + single aggregation).
+
+    PRECONDITION: hist_grams must be gram-DISTINCT (one row per g).
+    A duplicate gram would fan the left join out and inflate BOTH
+    counts (containment could exceed 1.0) with no error — both
+    in-repo builders (.distinct() in q47 / history_gram_set) satisfy
+    this; a nightly-maintained production table must too."""
     bg = doc_distinct_grams(batch_docs)
     j = bg.join(hist_grams.withColumn("_hit", F.lit(1)), "g", "left")
     agg = j.groupBy("doc_id").agg(
@@ -2882,7 +2901,18 @@ grams AS (
         FROM toks WHERE len(t) >= {_SUB_K})
 ),
 hist AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 < 8),
-bg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 >= 8)
+bg AS (
+  -- PER-ROW distinct grams (list_distinct before the unnest), NOT
+  -- DISTINCT doc_id, g: duplicate batch doc_ids contribute their
+  -- grams once per row in Spark's in-array build, and a cross-row
+  -- DISTINCT here would silently collapse them only on the oracle
+  -- side (round-9 review find)
+  SELECT doc_id,
+         unnest(list_distinct(
+           [md5(array_to_string(t[p+1:p+{_SUB_K}], ' '))
+            FOR p IN generate_series(0, len(t) - {_SUB_K})])) AS g
+  FROM toks WHERE len(t) >= {_SUB_K} AND doc_id % 10 >= 8
+)
 SELECT b.doc_id,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(h.g) AS BIGINT) AS n_history_grams,

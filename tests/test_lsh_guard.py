@@ -196,3 +196,32 @@ def test_substring_scrub_invariants(spark, sf_dir):
     for r in out.values():
         n_clean = len([t for t in r.cleaned_text.split(" ") if t]) if r.cleaned_text else 0
         assert n_clean == r.n_tokens - r.n_removed
+
+
+def test_q47_parity_with_duplicate_batch_doc_id(spark, sf_dir, tmp_path_factory):
+    """A duplicated doc_id in the BATCH slice must stay cell-exact:
+    both engines count that id's grams once per ROW (per-row
+    list_distinct / array_distinct — round-9 review find: a cross-row
+    DISTINCT in the oracle silently collapsed what Spark kept)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    out = tmp_path_factory.mktemp("q47-dup-batch-id")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 4)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    d = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = d.column("doc_id").to_pylist()
+    batch_pos = next(i for i, v in enumerate(ids) if v % 10 >= 8)
+    dup = pa.concat_tables([d, d.slice(batch_pos, 1)])
+    pq.write_table(dup, str(out / "documents.parquet"))
+    res = run_compare(spark, catalog()["q47_substring_containment"], str(out))
+    assert res.ok, str(res)

@@ -426,18 +426,22 @@ def audit(spark, sf_dir: str) -> list[str]:
         # CC localCheckpoints) pin blocks per call and the audit runs
         # 50+ queries in one session
         before = persistent_rdd_ids(spark)
-        df = qs[name](spark, sf_dir)
-        # collect THIS df (count() would be a different query plan) so
-        # AQE settles on the final plan with codegen stages compiled
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        analyzed = (
-            df._jdf.queryExecution().analyzed().toString()
-            if exp.get("max_hint_broadcasts") is not None
-            else ""
-        )
-        failures.extend(check_plan(name, plan, analyzed, exp))
-        release_new_persists(spark, before)
+        try:
+            df = qs[name](spark, sf_dir)
+            # collect THIS df (count() would be a different query plan)
+            # so AQE settles on the final plan with codegen compiled
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            analyzed = (
+                df._jdf.queryExecution().analyzed().toString()
+                if exp.get("max_hint_broadcasts") is not None
+                else ""
+            )
+            failures.extend(check_plan(name, plan, analyzed, exp))
+        finally:
+            # finally, not tail position: a failing query must not leak
+            # its pinned persists into the surviving session
+            release_new_persists(spark, before)
     return failures
 
 
