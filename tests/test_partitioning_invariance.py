@@ -29,6 +29,8 @@ _PRONE = [
     "q40_retention_cohorts",
     "q17_semantic_kmeans",  # argmax assignment + first(emb) carries
     "q25_semantic_dedup",  # min-id representative picks + member cap rank
+    "q45_exact_substring_runs",  # per-gram occurrence cap rank + islands
+    "q46_substring_scrub",  # inherits the cap + collect_list span sets
 ]
 
 
