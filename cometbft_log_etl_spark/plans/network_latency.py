@@ -174,7 +174,7 @@ def _with_pair(matched: DataFrame) -> DataFrame:
 
 @register_plugin("network-latency")
 def network_latency(events: DataFrame) -> dict[str, DataFrame]:
-    from pyspark import StorageLevel
+    from ..session import persist_tracked
 
     sends, recvs = _sides(events)
     matched, un_sends, un_recvs = _match(sends, recvs)
@@ -183,9 +183,12 @@ def network_latency(events: DataFrame) -> dict[str, DataFrame]:
     # table's action replays it. The plugin-level analog of the O6 shared
     # scan — measured 2.6× on the full plugin at 645k events. Unmatched
     # sides are persisted too: they re-derive the ranked windows.
-    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
-    un_sends = un_sends.persist(StorageLevel.MEMORY_AND_DISK)
-    un_recvs = un_recvs.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist_tracked so harness releases go through the CacheManager
+    # (a raw-RDD unpersist would leave a dead cache entry that makes
+    # every LATER run of the same plugin recompute per consumer).
+    matched = persist_tracked(matched)
+    un_sends = persist_tracked(un_sends)
+    un_recvs = persist_tracked(un_recvs)
     # NOTE: persisting `paired`/`measurements` as well was measured SLOWER
     # (the materialization barrier defeats column pruning into the cached
     # matched relation); only the match core is worth pinning.

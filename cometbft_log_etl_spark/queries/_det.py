@@ -204,16 +204,19 @@ def emb_finite_cond(col: str = "embedding") -> Column:
 # every element of every row — including the NaN rows the preceding
 # conjunct screens — so the cast must be unreachable for them.
 # The in-lambda guard needs BOTH the x - x = 0 finiteness test AND the
-# EMB_MAX_ABS magnitude bound (keep the literal in sync with
-# EMB_MAX_ABS above): an out-of-range finite passes the former but
-# overflows the decimal square / the Spark-side sum — same
-# unreachability rule as the Spark when() above.
+# EMB_MAX_ABS magnitude bound: an out-of-range finite passes the former
+# but overflows the decimal square / the Spark-side sum — same
+# unreachability rule as the Spark when() above. The bound is
+# interpolated from EMB_MAX_ABS so it CANNOT drift from the Spark
+# screen (round-9 advice: a duplicated literal guarded only by a
+# comment is exactly the silent engine divergence this module exists
+# to prevent).
 SQL_EMB_FINITE = (
     "embedding IS NOT NULL"
     " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x)"
-    " OR abs(CAST(x AS DOUBLE)) >= 10000.0)) = 0"
+    f" OR abs(CAST(x AS DOUBLE)) >= {EMB_MAX_ABS!r})) = 0"
     " AND len(list_filter(embedding, x -> CASE WHEN (CAST(x AS DOUBLE) - CAST(x AS DOUBLE)) = 0"
-    " AND abs(CAST(x AS DOUBLE)) < 10000.0"
+    f" AND abs(CAST(x AS DOUBLE)) < {EMB_MAX_ABS!r}"
     " THEN CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)) > 0"
     " ELSE FALSE END)) > 0"
 )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import tune_session
+from ..session import persist_tracked, tune_session
 from ..tables import load
 from . import register
 from ._det import SQL_EMB_SRC, dec12, ddot12, dnrm12, finite_embeddings
@@ -1938,12 +1938,15 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized assignment spills rather than OOMs; at production
     scale the staged-parquet pattern still wins for MULTI-QUERY reuse
     (see kmeans_assignments), but within one query this is the right
-    barrier. Harnesses release it via release_new_persists.
+    barrier. persist_tracked, so harness releases go through the
+    CacheManager (a raw-RDD unpersist leaves a dead cache entry and
+    the NEXT q25 call's persist() would silently no-op — round-9
+    advice); release_new_persists drains it.
     """
     tune_session(spark)
     from ..session import default_parallelism
 
-    assign = kmeans_assignments(spark, sf_dir).persist()
+    assign = persist_tracked(kmeans_assignments(spark, sf_dir))
     wcap = W.partitionBy("cluster_id").orderBy(F.col("cos").desc(), "vec_id")
     members = (
         assign.withColumn("_rn", F.row_number().over(wcap))

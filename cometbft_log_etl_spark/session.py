@@ -47,6 +47,43 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
     return spark
 
 
+# DataFrames persisted via persist_tracked since session start, in call
+# order. release_new_persists drains the suffix created after a snapshot
+# THROUGH the DataFrame API (CacheManager) — see persist_tracked.
+_TRACKED_PERSISTS: list = []
+
+
+def persist_tracked(df, level=None):
+    """``df.persist()`` that harnesses can release through the
+    CacheManager.
+
+    Spark keys cached plans by their canonicalized logical plan. A
+    raw-RDD-level unpersist (release_new_persists' fallback sweep)
+    frees the blocks but leaves the CacheManager entry alive, so the
+    NEXT call of the same query sees 'already cached', its .persist()
+    no-ops, and every consumer is rewritten onto an InMemoryRelation
+    whose buffers are permanently at StorageLevel.NONE — each consumer
+    silently re-derives the whole subtree (the q25 barrier only ever
+    cached on the first call per session). Tracking the persisted
+    DataFrame lets the release path call df.unpersist(), which drops
+    the cache entry AND the blocks, so a repeat call re-caches fresh.
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+class _PersistSnapshot(set):
+    """Set of persisted RDD ids + the tracked-persist high-water mark.
+    Behaves as a plain set for callers that only do membership tests."""
+
+    def __init__(self, ids, n_tracked: int):
+        super().__init__(ids)
+        self.n_tracked = n_tracked
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of currently persisted RDDs (cached DataFrames, persisted
     intermediates, localCheckpoints). Snapshot before a bounded piece of
@@ -54,17 +91,32 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     alternative to catalog.clearCache() for harnesses (bench rounds,
     plan audits) that share a long-lived session and must not drop
     OTHER work's caches."""
-    return {e for e in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    ids = {e for e in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    return _PersistSnapshot(ids, len(_TRACKED_PERSISTS))
 
 
 def release_new_persists(spark: SparkSession, before: set[int]) -> int:
-    """Unpersist every RDD persisted since the ``before`` snapshot
-    (non-blocking); returns how many were released. Repeated harness
-    runs otherwise accumulate pinned blocks (each plugin fan-out pins
-    its shared intermediates, each localCheckpoint pins its RDD) —
-    block-manager pressure that shows up as run-to-run timing noise."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    """Unpersist everything persisted since the ``before`` snapshot
+    (non-blocking); returns how many were released.
+
+    Two passes: tracked DataFrames first, via df.unpersist() so the
+    CacheManager entry dies with the blocks (a raw-RDD unpersist leaves
+    a dead cache entry that poisons every later .persist() of the same
+    canonical plan — round-9 advice); then the raw-RDD sweep for
+    pins with no CacheManager entry (localCheckpoint RDDs). Repeated
+    harness runs otherwise accumulate pinned blocks (each plugin
+    fan-out pins its shared intermediates, each localCheckpoint pins
+    its RDD) — block-manager pressure that reads as timing noise."""
     released = 0
+    start = getattr(before, "n_tracked", 0)
+    while len(_TRACKED_PERSISTS) > start:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(False)
+            released += 1
+        except Exception:
+            pass  # session already stopped; the RDD sweep still runs
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in list(jmap.keySet().toArray()):
         if rid not in before:
             jmap.get(rid).unpersist(False)
