@@ -34,7 +34,17 @@ EXPECTATIONS = {
     "q05_nation_revenue": {"codegen": True, "max_scan_cols": 4, "broadcasts": 4, "no_smj": True},
     "q21_fifo_pairing": {"codegen": True, "max_scan_cols": 6},
     "q23_sessionization": {"codegen": True, "max_scan_cols": 6},
-    "q26_latency_histogram": {"codegen": True, "max_scan_cols": 6},
+    # quantile-threshold histogram: the corpus must reduce to the
+    # (event_type, vc) count aggregate BEFORE any window — a map-side
+    # partial_count on the fine composite key, capped at 2 hash
+    # exchanges (corpus->distribution, distribution->per-type). A
+    # row_number anywhere means the round-9 `weak` formulation (every
+    # window partitioned by the ~5-value event_type key over RAW rows,
+    # ~20% of the corpus through one sort task at 100x) crept back.
+    "q26_latency_histogram": {"codegen": True, "max_scan_cols": 2,
+                              "contains": ["partial_count"],
+                              "contains_not": ["row_number"],
+                              "max_n": {"Exchange hashpartitioning": 2}},
     # the ONLY explicit broadcast hint is the tiny probe side, which
     # broadcasts into a nested-loop cross join (array-native scoring has
     # no equi-key); a 2nd hint means a corpus-derived table got
