@@ -2558,25 +2558,24 @@ _SUB_CAP = 64  # occurrences kept per gram (rank-filtered, map-side);
 #               engines cap identically
 
 
-def _sub_tokens(docs: DataFrame) -> DataFrame:
+def _sub_tokens(docs: DataFrame, k: int = _SUB_K) -> DataFrame:
     """(doc_id, t): the substring tier's token arrays — empty-filtered
     whitespace split, docs shorter than the gram width dropped. ONE
-    definition shared by q45/q46 (exact_substring_runs) and q47
-    (doc_distinct_grams): the tokenization and the gram-hash recipe
-    below are the tier's identity, and two copies would let the run
-    detector and the containment screen silently hash apart."""
+    definition shared by q45/q46 (exact_substring_runs), q47
+    (doc_distinct_grams), and the intra-doc tier (selfrep_runs, which
+    passes its own shorter width): the tokenization and the gram-hash
+    recipe below are the tier's identity, and two copies would let the
+    run detector and the containment screen silently hash apart."""
     return docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
-    ).filter(F.size("t") >= _SUB_K)
+    ).filter(F.size("t") >= k)
 
 
-def _sub_gram_md5(t, i) -> F.Column:
+def _sub_gram_md5(t, i, k: int = _SUB_K) -> F.Column:
     """md5 of the k tokens of `t` starting at 0-based position `i`,
     space-joined — the tier's shared gram-hash recipe (mirrors the
     oracles' md5(array_to_string(t[p+1:p+K], ' ')))."""
-    return F.md5(
-        F.concat_ws(" ", F.slice(t, i + 1, F.lit(_SUB_K))).cast("binary")
-    )
+    return F.md5(F.concat_ws(" ", F.slice(t, i + 1, F.lit(k))).cast("binary"))
 
 
 @register(
@@ -2943,3 +2942,235 @@ def q47_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = doc_distinct_grams(docs.filter(F.col("doc_id") % 10 < 8)).select("g").distinct()
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
     return substring_containment(batch, hist)
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (round-9 verdict "what's missing" #1): q45
+# emits only CROSS-document runs (doc_a < doc_b), so a document that
+# repeats its OWN boilerplate sails through the substring tier — q88's
+# dup-2-gram ratio is a coarse scalar gate, not span detection.
+# Self-repetition scrubbing is the same Lee et al. 2021 machinery on
+# the nonzero diagonals of a doc against itself. The gram width is
+# SHORTER than the cross-doc tier's (_SELF_K=3 vs _SUB_K=8): the
+# intra-doc failure mode is short-period stutter and repeated phrases
+# ("the the the", looping sentence templates), which an 8-token
+# minimum would never see, while cross-doc boilerplate needs the wider
+# gram to keep the shared-gram tier sparse.
+
+_SELF_K = 3  # minimum detectable self-repeat length, in tokens
+
+
+def selfrep_runs(docs: DataFrame) -> DataFrame:
+    """Maximal same-document exact repeat runs >= _SELF_K tokens: one
+    row per maximal run with the earlier copy's start (start_a), the
+    later copy's start (start_b > start_a), and the run length in
+    tokens. The q45 island kernel on the doc's self-pairs: pairs are
+    (pa, pb) with pa < pb and equal grams, grouped by the nonzero
+    diagonal d = pb - pa; consecutive pa along one diagonal chain into
+    a maximal run. Periodic text collapses naturally (period-p text
+    yields one long run per multiple of p; the d < k overlap case is
+    legitimate — "x x x x" at k=3 is one 3-token run at d=1).
+
+    Plan shape (audited like q45): grams build IN-ARRAY; the per-gram
+    occurrence cap is keyed (doc_id, g) — finer than q45's corpus-wide
+    g key, because pairs only ever form inside one document — and
+    plans as a map-side Partial WindowGroupLimit; pair expansion is
+    in-array over the capped per-(doc, gram) position array (bounded
+    C(_SUB_CAP, 2) per gram); the island window and the maximal-run
+    groupBy share the (doc_id, d) exchange via the materialized `d`
+    column. 2 hash exchanges on doc-fine keys + 1 explicit-width
+    round-robin spread; no join, no cartesian.
+    """
+    toks = _sub_tokens(docs, _SELF_K)
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size("t") - _SELF_K),
+        lambda i: F.struct(i.alias("p"), _sub_gram_md5("t", i, _SELF_K).alias("g")),
+    )
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
+        "doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
+    )
+    wcap = W.partitionBy("doc_id", "g").orderBy("p")
+    capped = (
+        grams.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _SUB_CAP)
+        .drop("rn")
+    )
+    from ..session import default_parallelism
+
+    cells = (
+        capped.groupBy("doc_id", "g")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        # the q06/q55/q45 AQE-coalesce hardening: each repeated gram is
+        # one byte-light row expanding to up to C(cap, 2) pairs
+        .repartition(default_parallelism())
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda b: F.struct(a.alias("pa"), b.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        cells.select("doc_id", F.explode(pair_arr).alias("x"))
+        .select("doc_id", F.col("x.pa").alias("pa"), F.col("x.pb").alias("pb"))
+        .withColumn("d", F.col("pb") - F.col("pa"))
+        # strict diagonal: positions within one row are distinct, so
+        # d > 0 always holds on contract-satisfying corpora — but a
+        # duplicate doc_id merges two rows' identical position sets
+        # into one cell, and the in-array expansion would pair a
+        # position with its own copy (d = 0) where the oracle's
+        # b.p > a.p never does. With the filter, both engines see the
+        # same pair multiset even under duplicate ids (q45's
+        # doc_a < doc_b analog), keeping the tier OUT of the
+        # duplicate-id divergence family.
+        .filter(F.col("d") > 0)
+    )
+    wisl = W.partitionBy("doc_id", "d").orderBy("pa")
+    return (
+        pairs.withColumn("isl", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_id", "d", "isl")
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            F.min("pb").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + _SELF_K - 1).cast("bigint").alias("run_tokens"),
+        )
+        .select("doc_id", "start_a", "start_b", "run_tokens")
+    )
+
+
+_SELF_ORACLE_RUNS = f"""
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SELF_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SELF_K})) AS p
+        FROM toks WHERE len(t) >= {_SELF_K})
+),
+capped AS (
+  SELECT doc_id, p, g FROM (
+    SELECT doc_id, p, g,
+           row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rn
+    FROM grams) WHERE rn <= {_SUB_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, a.p AS pa, b.p AS pb
+  FROM capped a JOIN capped b
+    ON b.doc_id = a.doc_id AND b.g = a.g AND b.p > a.p
+),
+runs AS (
+  SELECT doc_id,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b,
+         CAST(count(*) + {_SELF_K} - 1 AS BIGINT) AS run_tokens
+  FROM (
+    SELECT doc_id, pa, pb,
+           pa - row_number() OVER (
+             PARTITION BY doc_id, pb - pa ORDER BY pa) AS isl
+    FROM pairs)
+  GROUP BY doc_id, pb - pa, isl
+)"""
+
+
+@register(
+    "q102_selfrep_runs",
+    tags=("datapipe", "dedup", "substring", "selfrep"),
+    oracle=f"""
+WITH {_SELF_ORACLE_RUNS}
+SELECT doc_id, start_a, start_b, run_tokens FROM runs
+""",
+)
+def q102_selfrep_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition runs — see selfrep_runs."""
+    tune_session(spark)
+    return selfrep_runs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q103_selfrep_scrub",
+    tags=("datapipe", "dedup", "substring", "selfrep"),
+    oracle=f"""
+WITH {_SELF_ORACLE_RUNS},
+spans AS (SELECT doc_id, start_b, run_tokens FROM runs),
+toks1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS p
+  FROM toks1
+),
+kept AS (
+  SELECT doc_id, tok, p FROM pos o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = o.doc_id
+      AND o.p >= s.start_b AND o.p < s.start_b + s.run_tokens)
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - count(k.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS cleaned_text
+FROM toks1 t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.t)
+""",
+)
+def q103_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the intra-doc tier: every selfrep_runs
+    maximal run is cut on its LATER side (start_b > start_a — the
+    first occurrence stays, repeats go; the q46 min-side convention
+    turned inward). Overlapping spans union under the per-position
+    mask; a perfectly periodic document scrubs down to its first
+    period. Every document gets a row (n_removed = 0 for the
+    non-repetitive majority), so the scrub doubles as the per-doc
+    self-repetition report.
+
+    Plan shape mirrors q46: the run detection feeds a doc-keyed span
+    list (run output bounded by the per-(doc, gram) caps), ONE left
+    join against the token table, and masking/reconstruction/counts
+    are all in-array per row — no token explode Spark-side (the
+    oracle explodes positions because SQL must).
+    """
+    tune_session(spark)
+    return selfrep_scrub(load(spark, sf_dir, "documents"))
+
+
+def selfrep_scrub(docs: DataFrame) -> DataFrame:
+    """The q103 kernel over any (doc_id, text) frame — separated so the
+    periodic-document semantics test (tests/test_lsh_guard.py) can
+    drive it with engineered stutter corpora."""
+    spans = (
+        selfrep_runs(docs)
+        .select("doc_id", "start_b", "run_tokens")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("start_b", "run_tokens")).alias("spans"))
+    )
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= 1)
+    j = toks.join(spans, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<start_b:bigint,run_tokens:bigint>>")
+        ),
+    )
+    idx = F.transform(
+        F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("p"))
+    )
+    kept = F.filter(
+        idx,
+        lambda pr: ~F.exists(
+            "spans",
+            lambda s: (pr["p"] >= s["start_b"])
+            & (pr["p"] < s["start_b"] + s["run_tokens"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
+    )

@@ -225,3 +225,99 @@ def test_q47_parity_with_duplicate_batch_doc_id(spark, sf_dir, tmp_path_factory)
     pq.write_table(dup, str(out / "documents.parquet"))
     res = run_compare(spark, catalog()["q47_substring_containment"], str(out))
     assert res.ok, str(res)
+
+
+def test_selfrepetitive_corpus_runs_are_capped(spark):
+    """The intra-doc tier's degenerate bound: a document that repeats
+    one token M times has a SINGLE gram at every position, but the
+    per-(doc, gram) cap keeps only the first _SUB_CAP positions — so
+    the run output is exactly one maximal run per nonzero diagonal of
+    the capped position set, (_SUB_CAP - 1) rows per doc, independent
+    of M."""
+    from cometbft_log_etl_spark.queries.datapipe import (
+        _SELF_K,
+        _SUB_CAP,
+        selfrep_runs,
+    )
+
+    n_docs, m = 20, 300
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(" ".join(["spam"] * m)).alias("text")
+    )
+    rows = selfrep_runs(docs).collect()
+    assert len(rows) == n_docs * (_SUB_CAP - 1)
+    for r in rows:
+        d = r.start_b - r.start_a
+        # diagonal d's island spans the capped positions 0.._SUB_CAP-1-d
+        assert r.start_a == 0 and 1 <= d < _SUB_CAP
+        assert r.run_tokens == (_SUB_CAP - d) + _SELF_K - 1
+
+
+def test_selfrep_scrub_periodic_docs(spark):
+    """Engineered stutter semantics: a perfectly periodic document
+    scrubs down to its first period (the FIRST occurrence stays, every
+    later copy's span is cut); a repeat-free doc is untouched."""
+    from cometbft_log_etl_spark.queries.datapipe import selfrep_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),
+            (1, "x x x x x"),
+            (2, "no internal repeats in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in selfrep_scrub(docs).collect()}
+    assert out[0].cleaned_text == "a b c" and out[0].n_removed == 6
+    assert out[1].cleaned_text == "x" and out[1].n_removed == 4
+    assert out[2].n_removed == 0
+    assert out[2].cleaned_text == "no internal repeats in this document at all"
+
+
+def test_selfrep_scrub_invariants(spark, sf_dir):
+    """Scrub semantics on the real corpus: only docs with detected
+    self-runs lose tokens, removal never exceeds length, and the
+    cleaned text is exactly the kept tokens."""
+    from cometbft_log_etl_spark.queries import catalog
+
+    out = {r.doc_id: r for r in catalog()["q103_selfrep_scrub"].fn(spark, sf_dir).collect()}
+    runs = catalog()["q102_selfrep_runs"].fn(spark, sf_dir).collect()
+    rep_docs = {r.doc_id for r in runs}
+    assert all(out[d].n_removed == 0 for d in set(out) - rep_docs)
+    assert all(0 < out[d].n_removed <= out[d].n_tokens for d in rep_docs if d in out)
+    for r in out.values():
+        n_clean = len([t for t in r.cleaned_text.split(" ") if t]) if r.cleaned_text else 0
+        assert n_clean == r.n_tokens - r.n_removed
+
+
+def test_selfrep_parity_with_duplicate_doc_id(spark, sf_dir, tmp_path_factory):
+    """A duplicated (doc_id, text) row must stay cell-exact for the
+    RUN half of the intra-doc tier: the merged position multiset
+    expands to the same pair multiset in both engines ONLY because the
+    strict d > 0 filter drops the in-array expansion's
+    position-paired-with-its-own-copy rows that the oracle's
+    b.p > a.p join never produces. The SCRUB half (q103) diverges by
+    construction — per-row output where the oracle's final GROUP BY
+    collapses the duplicate — joining the documented id-uniqueness
+    contract family exactly as q46 did (pinned in
+    test_duplicate_id_divergence_family)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    out = tmp_path_factory.mktemp("selfrep-dup-id")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 4)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    d = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    dup = pa.concat_tables([d, d.slice(0, 1)])
+    pq.write_table(dup, str(out / "documents.parquet"))
+    res = run_compare(spark, catalog()["q102_selfrep_runs"], str(out))
+    assert res.ok, f"q102_selfrep_runs: {res}"

@@ -103,9 +103,13 @@ EXPECTATIONS = {
     # back in)
     # (2 hash exchanges + 1 explicit-width round-robin spread of the
     # capped occurrence arrays — the q06/q55 AQE-coalesce hardening)
+    # (the roundrobin key is case-sensitive: the operator prints as
+    # "Exchange RoundRobinPartitioning(n), REPARTITION_BY_NUM" — the
+    # round-9 gate shipped it lowercased, which counts 0 and caps
+    # nothing; fixed round 10)
     "q45_exact_substring_runs": {"max_scan_cols": 2, "max_scans": 1,
                                  "max_n": {"Exchange hashpartitioning": 2,
-                                           "Exchange roundrobinpartitioning": 1},
+                                           "Exchange RoundRobinPartitioning": 1},
                                  "contains": ["WindowGroupLimit"],
                                  "contains_not": ["CartesianProduct",
                                                   "SortMergeJoin",
@@ -131,6 +135,30 @@ EXPECTATIONS = {
                                   "max_n": {"Generate": 2},
                                   "contains_not": ["CartesianProduct",
                                                    "BroadcastNestedLoopJoin"]},
+    # intra-doc repetition runs: the q45 kernel on self-pairs — same
+    # join-free shape with every key one notch finer ((doc_id, g) cap,
+    # (doc_id, d) islands). 2 Generates (gram + pair explodes) with
+    # zero headroom, 2 hash exchanges + the explicit-width spread,
+    # no join of any kind (a join here means the self-join CTE
+    # formulation crept in)
+    "q102_selfrep_runs": {"max_scan_cols": 2, "max_scans": 1,
+                          "max_n": {"Exchange hashpartitioning": 2,
+                                    "Exchange RoundRobinPartitioning": 1,
+                                    "Generate": 2},
+                          "contains": ["WindowGroupLimit"],
+                          "contains_not": ["CartesianProduct",
+                                           "SortMergeJoin",
+                                           "BroadcastHashJoin",
+                                           "BroadcastNestedLoopJoin"]},
+    # self-repetition scrub: q102's run plan + ONE doc-keyed span join;
+    # masking/reconstruction in-array (the q46 contract — a token or
+    # position explode creeping into the masking trips the Generate
+    # cap immediately)
+    "q103_selfrep_scrub": {"max_scan_cols": 2, "max_scans": 2,
+                           "contains": ["WindowGroupLimit"],
+                           "max_n": {"Generate": 2},
+                           "contains_not": ["CartesianProduct",
+                                            "BroadcastNestedLoopJoin"]},
     # k-means: the ONLY joins are the hint-broadcast FIXED-k centroid
     # cross joins (print as BroadcastNestedLoopJoin); an SMJ or
     # CartesianProduct means a hint was lost or something corpus-sized
