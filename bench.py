@@ -49,11 +49,19 @@ def _count_exchanges(plan: str) -> int:
     form dropped any Exchange whose plan_id was absent or wrapped onto
     the next line whenever at least one other Exchange DID carry an
     id — mixed-format plans silently undercounted. A line with an id
-    joins the distinct-id set; a line without one counts raw.
+    joins the distinct-id set; a line without one counts raw — unless
+    the plan contains a cached subtree (InMemoryRelation), where
+    reprints under every InMemoryTableScan consumer would re-inflate
+    id-less lines (round-10 advice): there, id-less hits are deduped
+    by normalized line text (tree-prefix glyphs stripped, so the same
+    exchange at different reprint depths collapses). Cache-free plans
+    keep the raw count, identical to what r1–r8 recorded.
     """
     import re
 
+    dedupe_idless = "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     ids: set[str] = set()
+    idless: set[str] = set()
     raw = 0
     for line in plan.splitlines():
         if "Exchange" not in line:
@@ -61,9 +69,11 @@ def _count_exchanges(plan: str) -> int:
         m = re.search(r"\[plan_id=(\d+)\]", line)
         if m:
             ids.add(m.group(1))
+        elif dedupe_idless:
+            idless.add(re.sub(r"^[\s:+\-*()]+", "", line))
         else:
             raw += line.count("Exchange")
-    return len(ids) + raw
+    return len(ids) + len(idless) + raw
 
 
 def _normalize_plan(plan: str) -> str:

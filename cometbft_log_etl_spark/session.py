@@ -53,6 +53,15 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
 _TRACKED_PERSISTS: list = []
 
 
+def _session_stopped(df) -> bool:
+    """True when the DataFrame's SparkContext has been stopped (its JVM
+    handle is gone) — the entry can never be unpersisted again."""
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
 def persist_tracked(df, level=None):
     """``df.persist()`` that harnesses can release through the
     CacheManager.
@@ -67,21 +76,34 @@ def persist_tracked(df, level=None):
     cached on the first call per session). Tracking the persisted
     DataFrame lets the release path call df.unpersist(), which drops
     the cache entry AND the blocks, so a repeat call re-caches fresh.
+
+    Entries whose session has since been stopped are pruned on every
+    append, so long-lived processes that call persist_tracked outside
+    a snapshot/release harness (notebooks, interactive use) don't pin
+    dead DataFrame/JVM references for the life of the process
+    (round-10 advice). Pruning is safe under an outstanding snapshot
+    because release matches tracked entries by identity, not index.
     """
     from pyspark import StorageLevel
 
+    _TRACKED_PERSISTS[:] = [t for t in _TRACKED_PERSISTS if not _session_stopped(t)]
     df = df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
     _TRACKED_PERSISTS.append(df)
     return df
 
 
 class _PersistSnapshot(set):
-    """Set of persisted RDD ids + the tracked-persist high-water mark.
-    Behaves as a plain set for callers that only do membership tests."""
+    """Set of persisted RDD ids + the identity prefix of tracked
+    persists at snapshot time. Behaves as a plain set for callers that
+    only do membership tests."""
 
-    def __init__(self, ids, n_tracked: int):
+    def __init__(self, ids, tracked):
         super().__init__(ids)
-        self.n_tracked = n_tracked
+        # Strong refs pin the prefix objects so their id()s can't be
+        # recycled onto post-snapshot DataFrames while this snapshot
+        # (bounded: one harness run) is alive.
+        self._tracked_refs = tuple(tracked)
+        self.tracked_ids = frozenset(id(t) for t in self._tracked_refs)
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
@@ -92,7 +114,7 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     plan audits) that share a long-lived session and must not drop
     OTHER work's caches."""
     ids = {e for e in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
-    return _PersistSnapshot(ids, len(_TRACKED_PERSISTS))
+    return _PersistSnapshot(ids, _TRACKED_PERSISTS)
 
 
 def release_new_persists(spark: SparkSession, before: set[int]) -> int:
@@ -106,16 +128,27 @@ def release_new_persists(spark: SparkSession, before: set[int]) -> int:
     pins with no CacheManager entry (localCheckpoint RDDs). Repeated
     harness runs otherwise accumulate pinned blocks (each plugin
     fan-out pins its shared intermediates, each localCheckpoint pins
-    its RDD) — block-manager pressure that reads as timing noise."""
+    its RDD) — block-manager pressure that reads as timing noise.
+
+    Tracked entries are matched by identity against the snapshot's
+    prefix: a plain set (no snapshot attrs) releases NO tracked
+    DataFrames rather than all of them — the documented 'must not drop
+    OTHER work's caches' contract for external callers that build
+    their own id set (round-10 advice)."""
     released = 0
-    start = getattr(before, "n_tracked", 0)
-    while len(_TRACKED_PERSISTS) > start:
-        df = _TRACKED_PERSISTS.pop()
-        try:
-            df.unpersist(False)
-            released += 1
-        except Exception:
-            pass  # session already stopped; the RDD sweep still runs
+    prior_ids = getattr(before, "tracked_ids", None)
+    if prior_ids is not None:
+        keep = []
+        for df in _TRACKED_PERSISTS:
+            if id(df) in prior_ids:
+                keep.append(df)
+                continue
+            try:
+                df.unpersist(False)
+                released += 1
+            except Exception:
+                pass  # session already stopped; the RDD sweep still runs
+        _TRACKED_PERSISTS[:] = keep
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in list(jmap.keySet().toArray()):
         if rid not in before:

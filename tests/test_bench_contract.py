@@ -70,3 +70,34 @@ def test_exchange_count_dedups_cached_subplan_reprints():
     assert _count_exchanges(cached) == 2
     # no plan_ids at all (old-style string): raw fallback
     assert _count_exchanges("Exchange\nExchange\n") == 2
+
+
+def test_exchange_count_dedups_idless_reprints_under_cache():
+    """round-10 advice: an id-less Exchange line reprinted under every
+    InMemoryTableScan consumer must count once, not once per consumer —
+    but ONLY when the plan actually has a cached subtree; cache-free
+    plans keep the raw count (two genuinely identical exchanges in a
+    self-joined plan stay 2)."""
+    from bench import _count_exchanges
+
+    cached = (
+        "InMemoryTableScan\n"
+        "  +- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+        "InMemoryTableScan\n"
+        "     +- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+    )
+    assert _count_exchanges(cached) == 1
+    # same two id-less lines with no cache marker: raw count preserved
+    free = (
+        "+- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+        "+- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+    )
+    assert _count_exchanges(free) == 2
+    # mixed under cache: id'd lines dedupe by id, id-less by text
+    mixed = (
+        "InMemoryRelation\n"
+        "  +- Exchange rangepartitioning(b#2, 8), [plan_id=5]\n"
+        "  +- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+        "     +- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+    )
+    assert _count_exchanges(mixed) == 2
