@@ -1,0 +1,51 @@
+"""Data-model contracts the catalog depends on, pinned in ONE place.
+
+The id-uniqueness contract: `documents.doc_id` and `embeddings.vec_id`
+are row identities. The id-keyed similarity family treats them as such
+(per-row join-backs, pair keys, cluster labels); when a corpus carries
+DUPLICATE id rows, Spark's per-row plans keep both copies where the
+oracles' GROUP BY collapses them — a row can even pair against its own
+duplicate. The engine's posture is VALIDATE, don't silently repair:
+deduping ids inside every similarity query at 100 TB would hide
+upstream corruption behind an extra corpus-wide shuffle per query.
+q12_quality_audit's `documents_docid_unique` / `embeddings_vecid_unique`
+checks are the machine-checked gate that runs BEFORE the family.
+
+ID_UNIQUENESS_CONTRACT_FAMILY is the exact set of catalog queries whose
+Spark/oracle outputs are allowed to diverge on a duplicate-id corpus.
+tests/test_duplicate_id_contract.py probes the WHOLE catalog against an
+engineered duplicate-id corpus every CI run and asserts the divergence
+set equals this list exactly — a new query that silently joins the
+family (or a member that silently leaves it, changing semantics) fails
+the suite instead of waiting for the round-end probe (round-9 verdict
+item #6).
+
+Membership history: 10 founding members adjudicated in round 8
+(COVERAGE.md "Round-8 duplicate-id probe"), q46_substring_scrub joined
+in round 9 and q103_selfrep_scrub in round 10 — both per-document
+scrub outputs that keep one row per duplicate input row where the
+oracle's final GROUP BY doc_id collapses them. q45/q47/q102 provably
+do NOT diverge (strict doc_a < doc_b never pairs equal ids; the q47
+oracle builds per-row list_distinct precisely so duplicate batch ids
+can't collapse on one side only).
+"""
+
+from __future__ import annotations
+
+ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
+    {
+        "q04_cosine_topk",
+        "q06_embedding_neardup",
+        "q10_canonical_corpus",
+        "q17_semantic_kmeans",
+        "q25_semantic_dedup",
+        "q37_neardup_clusters",
+        "q39_ann_ivf",
+        "q46_substring_scrub",
+        "q55_minhash_lsh",
+        "q57_ngram_jaccard",
+        "q58_ann_lsh",
+        "q61_multimodal_features",
+        "q103_selfrep_scrub",
+    }
+)
