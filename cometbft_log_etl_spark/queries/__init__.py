@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False, tags:
 
 def _load_all() -> None:
     # Import side-effect registration; keep alphabetical for stable ordering.
+    from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import events_analytics  # noqa: F401
     from . import log_pipeline  # noqa: F401

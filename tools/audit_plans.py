@@ -181,6 +181,20 @@ EXPECTATIONS = {
                            "contains": ["InMemoryTableScan"],
                            "contains_anywhere": ["WindowGroupLimit"],
                            "contains_not": ["CartesianProduct"]},
+    # learned quality classifier: fn() runs the fit (two bounded engine
+    # jobs per steepest-descent step over the cached per-doc feature
+    # frame — the tokenizer.py eager-fit precedent), so the audited
+    # plan is the SCORING pass: the cached feature frame
+    # (InMemoryTableScan) + a literal weight map folded per row. No
+    # window, no cartesian, no per-step shuffle survives; scans read
+    # only (doc_id, text, source); the Generates are the feature
+    # build's two explodes under the cache reprint (zero headroom)
+    "q104_quality_classifier": {"max_scan_cols": 3,
+                                "contains": ["InMemoryTableScan"],
+                                "max_n": {"Generate": 4},
+                                "contains_not": ["CartesianProduct",
+                                                 "WindowExec",
+                                                 "BroadcastNestedLoopJoin"]},
     # count-min sketch: the d-fold (row, bucket) expansion collapses to
     # the FIXED d x w table before the shuffle (partial agg), and the
     # estimate join must BROADCAST that fixed-size sketch — an SMJ here
