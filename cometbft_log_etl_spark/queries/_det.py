@@ -73,7 +73,7 @@ def ddot12(a, b) -> Column:
 
     PRECONDITION: fixed-dimension embeddings — zip_with over ragged
     vectors nulls the tail where an oracle's pos-equality join covers
-    the intersection; q49_embedding_stats' dimension check screens."""
+    the intersection; q27_embedding_stats' dimension check screens."""
     return dfold12(
         F.zip_with(a, b, lambda x, y: dec12(x.cast("double") * y.cast("double")))
     )

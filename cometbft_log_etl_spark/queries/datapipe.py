@@ -30,7 +30,7 @@ _SQL_H32 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
 @register(
-    "q50_exact_dedup",
+    "q28_exact_dedup",
     tags=("datapipe", "dedup"),
     oracle="""
 SELECT md5(text) AS text_hash,
@@ -41,7 +41,7 @@ FROM documents
 GROUP BY md5(text)
 """,
 )
-def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest doc_id.
 
     At 100 TB this is a single shuffle on the hash; the md5 is computed
@@ -57,7 +57,7 @@ def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q51_fingerprint_dedup",
+    "q30_fingerprint_dedup",
     tags=("datapipe", "dedup"),
     oracle="""
 WITH fp AS (
@@ -74,7 +74,7 @@ GROUP BY fingerprint
 HAVING count(*) > 1
 """,
 )
-def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-fingerprint near-dup clustering: hash of the first 5 tokens
     (a cheap document fingerprint), keep clusters with >1 member."""
     tune_session(spark)
@@ -450,7 +450,7 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q49_embedding_stats",
+    "q27_embedding_stats",
     tags=("datapipe", "similarity"),
     oracle=f"""
 WITH elems AS ({_SQL_EXPLODE.format(id_alias="vec_id", where="")}),
@@ -468,7 +468,7 @@ FROM embeddings emb JOIN norms n ON emb.vec_id = n.vec_id
 GROUP BY emb.label
 """,
 )
-def q49_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding health stats (dimension check + mean L2 norm)."""
     tune_session(spark)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")

@@ -397,7 +397,7 @@ def q26_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q27_union_sort",
+    "q49_union_sort",
     tags=("union", "sort"),
     oracle="""
 SELECT event_id, ts, user_id, event_type, value
@@ -408,7 +408,7 @@ FROM events WHERE event_type = 'error'
 ORDER BY ts, event_id
 """,
 )
-def q27_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-by-name of two differently-shaped streams + global time sort —
     the tracer-events plugin (P9, /root/reference/ossplugins/tracer-events/
     plugin.go:39-73)."""
@@ -422,7 +422,7 @@ def q27_union_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q28_first_per_group",
+    "q50_first_per_group",
     tags=("window", "min_by"),
     oracle="""
 SELECT user_id, event_id AS first_event_id, ts AS first_ts, event_type AS first_event_type,
@@ -436,7 +436,7 @@ FROM (
 WHERE rn = 1
 """,
 )
-def q28_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-row-per-key — per-file identity capture (M1, /root/reference/
     internal/app/app.go:77-86 takes the first P2pNodeID line per file)."""
     tune_session(spark)
@@ -499,7 +499,7 @@ def q29_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q30_last_wins_dedup",
+    "q51_last_wins_dedup",
     tags=("window", "dedup"),
     oracle="""
 SELECT user_id, event_type,
@@ -513,7 +513,7 @@ FROM (
 WHERE rn = 1
 """,
 )
-def q30_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_last_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins per key — p2p-messages keeps one live entry per
     composite key where duplicates re-confirm (P3, /root/reference/
     ossplugins/p2p-messages/processor.go:39-368)."""

@@ -1017,7 +1017,7 @@ def q39_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broadcast cross join of corpus x centroids with no per-dimension
     # row blowup. Norms are folded map-side ONCE per vector, never built
     # as a corpus-sized side table. PRECONDITION: fixed-dimension
-    # embeddings (see ddot12); q49_embedding_stats' check screens.
+    # embeddings (see ddot12); q27_embedding_stats' check screens.
     # NULL / non-finite embeddings are excluded from the index — the
     # oracle goes through the screened SQL_EMB_SRC; without this Spark
     # would give the poisoned vectors null-cosine cells and candidate

@@ -35,7 +35,7 @@ def test_stream_quality_matches_batch(spark, sf_dir):
 def test_stream_exact_dedup_counts(spark, sf_dir):
     _run_stream(stream_exact_dedup(spark, sf_dir), "t_dedup")
     got = spark.table("t_dedup")
-    want = catalog()["q50_exact_dedup"].fn(spark, sf_dir)
+    want = catalog()["q28_exact_dedup"].fn(spark, sf_dir)
     # one surviving row per distinct content hash
     assert got.count() == want.count()
     assert got.select(F.count_distinct("text_hash")).first()[0] == got.count()
@@ -47,7 +47,7 @@ def test_stream_exact_dedup_bounded_counts(spark, sf_dir):
     difference is state eviction across batches, not semantics."""
     _run_stream(stream_exact_dedup_bounded(spark, sf_dir), "t_dedup_b")
     got = spark.table("t_dedup_b")
-    want = catalog()["q50_exact_dedup"].fn(spark, sf_dir)
+    want = catalog()["q28_exact_dedup"].fn(spark, sf_dir)
     assert got.count() == want.count()
     assert got.select(F.count_distinct("text_hash")).first()[0] == got.count()
 

@@ -20,9 +20,9 @@ from cometbft_log_etl_spark.testing.compare import run_compare
 # dedup keeps / first-per-group picks / any_value carries / argmax ties
 _PRONE = [
     "q21_fifo_pairing",
-    "q28_first_per_group",
-    "q30_last_wins_dedup",
-    "q50_exact_dedup",
+    "q50_first_per_group",
+    "q51_last_wins_dedup",
+    "q28_exact_dedup",
     "q10_canonical_corpus",
     "q13_incremental_dedup",
     "q15_nb_langid",

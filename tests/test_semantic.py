@@ -356,7 +356,7 @@ def test_sum_of_squares_overflow_is_screened_not_fatal(
         2: [0.5, 1.0],
     }
     vdir = _variant_sf_dir_with_ids(sf_dir, tmp_path_factory, vectors)
-    for qname in ("q17_semantic_kmeans", "q49_embedding_stats"):
+    for qname in ("q17_semantic_kmeans", "q27_embedding_stats"):
         res = run_compare(spark, catalog()[qname], vdir)
         assert res.ok, str(res)
     assigned = {r.vec_id for r in kmeans_assignments(spark, vdir).collect()}
