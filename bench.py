@@ -50,26 +50,35 @@ def _count_exchanges(plan: str) -> int:
     the next line whenever at least one other Exchange DID carry an
     id — mixed-format plans silently undercounted. A line with an id
     joins the distinct-id set; a line without one counts raw — unless
-    the plan contains a cached subtree (InMemoryRelation), where
-    reprints under every InMemoryTableScan consumer would re-inflate
-    id-less lines (round-10 advice): there, id-less hits are deduped
-    by normalized line text (tree-prefix glyphs stripped, so the same
-    exchange at different reprint depths collapses). Cache-free plans
-    keep the raw count, identical to what r1–r8 recorded.
+    it sits INSIDE a cached subtree (the indented region under an
+    InMemoryRelation/InMemoryTableScan line), where the same child
+    plan reprints verbatim under every consumer and would re-inflate
+    id-less lines (round-10 advice): there, id-less hits dedupe by
+    normalized line text. Scoping the dedup to the cached regions
+    (round-11 review) keeps two GENUINELY distinct exchanges with
+    identical text elsewhere in the plan — e.g. a Union repartitioning
+    the same relation twice — at 2, identical to the raw count r1–r8
+    recorded for cache-free plans.
     """
     import re
 
-    dedupe_idless = "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     ids: set[str] = set()
     idless: set[str] = set()
     raw = 0
+    cache_stack: list = []  # indents of enclosing InMemory* nodes
     for line in plan.splitlines():
+        indent = len(re.match(r"[\s:+\-*]*", line).group(0))
+        while cache_stack and indent <= cache_stack[-1]:
+            cache_stack.pop()
+        in_cached = bool(cache_stack)
+        if "InMemoryRelation" in line or "InMemoryTableScan" in line:
+            cache_stack.append(indent)
         if "Exchange" not in line:
             continue
         m = re.search(r"\[plan_id=(\d+)\]", line)
         if m:
             ids.add(m.group(1))
-        elif dedupe_idless:
+        elif in_cached:
             idless.add(re.sub(r"^[\s:+\-*()]+", "", line))
         else:
             raw += line.count("Exchange")

@@ -109,7 +109,7 @@ _SQL_YROW = """CASE WHEN len(t) < 30 THEN 0.0
               WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.35 THEN 0.0
               ELSE 1.0 END"""
 
-_SQL_BUCKET = "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64"
+_SQL_BUCKET = f"CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_QC_D}"
 
 
 def _qc_rows(docs: DataFrame) -> DataFrame:
@@ -252,9 +252,11 @@ def _qc_pred_col(wmap: F.Column) -> F.Column:
     return F.aggregate(
         "farr",
         acc0,
-        lambda acc, s: (acc + F.element_at(wmap, s["d"]) * s["xn"]).cast(
-            "decimal(37,27)"
-        ),
+        lambda acc, s: (
+            acc
+            + F.coalesce(F.element_at(wmap, s["d"]), F.lit(0).cast(_W_DEC))
+            * s["xn"]
+        ).cast("decimal(37,27)"),
     )
 
 
@@ -265,9 +267,11 @@ def _qc_xg_col(gmap: F.Column) -> F.Column:
     return F.aggregate(
         "farr",
         acc0,
-        lambda acc, s: (acc + F.element_at(gmap, s["d"]) * s["xn"]).cast(
-            "decimal(37,18)"
-        ),
+        lambda acc, s: (
+            acc
+            + F.coalesce(F.element_at(gmap, s["d"]), F.lit(0).cast(_G12_DEC))
+            * s["xn"]
+        ).cast("decimal(37,18)"),
     )
 
 
@@ -397,7 +401,7 @@ g{t + 1} AS MATERIALIZED (
 ),
 a{t + 1} AS MATERIALIZED (
   SELECT CASE WHEN coalesce(den.den, 0) > 0
-              THEN CAST(least(round(num.num / den.den, 9), 10000.0)
+              THEN CAST(least(round(num.num / den.den, 9), {_A_CAP})
                         AS DECIMAL(14,9))
               ELSE CAST(0 AS DECIMAL(14,9)) END AS alpha
   FROM (SELECT CAST(sum(CAST(g AS DECIMAL(12,9)) * CAST(g AS DECIMAL(12,9)))
@@ -463,7 +467,7 @@ g1 AS MATERIALIZED (
 ),
 a1 AS MATERIALIZED (
   SELECT CASE WHEN coalesce(den.den, 0) > 0
-              THEN CAST(least(round(num.num / den.den, 9), 10000.0)
+              THEN CAST(least(round(num.num / den.den, 9), {_A_CAP})
                         AS DECIMAL(14,9))
               ELSE CAST(0 AS DECIMAL(14,9)) END AS alpha
   FROM (SELECT CAST(sum(CAST(g AS DECIMAL(12,9)) * CAST(g AS DECIMAL(12,9)))

@@ -39,8 +39,18 @@ from .curation import stream_documents
 
 def fitted_quality_weights(spark: SparkSession, sf_dir: str):
     """Run the offline fit and return the driver-held weight dict —
-    what a production job would persist alongside the model version."""
-    _, w = fit_quality_classifier(load(spark, sf_dir, "documents"))
+    what a production job would persist alongside the model version.
+    The fit's corpus-sized feature cache is released before returning
+    (round-11 review): a long-lived streaming job only ever needs the
+    67 weights afterwards, and an unreleased persist would pin the
+    feature frame for the life of the session."""
+    from ..session import persistent_rdd_ids, release_new_persists
+
+    before = persistent_rdd_ids(spark)
+    try:
+        _, w = fit_quality_classifier(load(spark, sf_dir, "documents"))
+    finally:
+        release_new_persists(spark, before)
     return w
 
 

@@ -54,6 +54,14 @@ def stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch run detection produces the spans, so the online scrub can't
     de-sync from the offline one). The masking is per-row in-array
     after the join (map-side), so the query is stateless and emits in
-    append mode; output rows are exactly batch q46's shape."""
-    spans = scrub_spans(load(spark, sf_dir, "documents"))
+    append mode; output rows are exactly batch q46's shape.
+
+    The span frame is persist_tracked (round-11 review): without the
+    cache, EVERY micro-batch re-executes the full q45 run detection —
+    the most expensive plan in the substring tier — where batch q46
+    pays it once; cached, each trigger is a cheap join against the
+    bounded span list (q45's caps bound it, never corpus-scale)."""
+    from ..session import persist_tracked
+
+    spans = persist_tracked(scrub_spans(load(spark, sf_dir, "documents")))
     return apply_span_scrub(stream_documents(spark, sf_dir), spans)

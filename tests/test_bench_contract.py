@@ -101,3 +101,25 @@ def test_exchange_count_dedups_idless_reprints_under_cache():
         "     +- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
     )
     assert _count_exchanges(mixed) == 2
+
+
+def test_exchange_count_dedup_is_scoped_to_the_cached_region():
+    """round-11 review: two GENUINELY distinct exchanges with identical
+    line text OUTSIDE the cached subtree (a Union repartitioning the
+    same relation twice) must stay 2 even when an InMemoryTableScan
+    exists elsewhere in the plan — the id-less dedup applies only to
+    lines indented under an InMemory* node."""
+    from bench import _count_exchanges
+
+    plan = (
+        "Union\n"
+        ":- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+        ":- Exchange hashpartitioning(a#1, 8), ENSURE_REQUIREMENTS\n"
+        "+- InMemoryTableScan\n"
+        "      +- Exchange hashpartitioning(b#2, 8), ENSURE_REQUIREMENTS\n"
+        "      +- Exchange hashpartitioning(b#2, 8), ENSURE_REQUIREMENTS\n"
+    )
+    assert _count_exchanges(plan) == 3  # 2 raw outside + 1 deduped inside
+    # leaving the cached region ends the dedup scope
+    after = plan + "+- Exchange hashpartitioning(b#2, 8), ENSURE_REQUIREMENTS\n"
+    assert _count_exchanges(after) == 4
