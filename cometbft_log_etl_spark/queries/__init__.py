@@ -53,6 +53,7 @@ def _load_all() -> None:
     # Import side-effect registration; keep alphabetical for stable ordering.
     from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401
+    from . import dsir  # noqa: F401
     from . import events_analytics  # noqa: F401
     from . import log_pipeline  # noqa: F401
     from . import multimodal  # noqa: F401

@@ -199,6 +199,20 @@ EXPECTATIONS = {
                                                  "BroadcastHashJoin",
                                                  "WindowExec",
                                                  "BroadcastNestedLoopJoin"]},
+    # DSIR importance selection: the compact pair frame is cached (one
+    # corpus scan feeds both distributions + scoring), the model-sized
+    # ratio table BROADCASTS into the scoring join (an SMJ here means
+    # the 64-row model joined as a big side), the two
+    # BroadcastNestedLoopJoins are the 1-row totals crosses, and the
+    # selection is a TakeOrderedAndProject — never a global sort
+    "q105_dsir_selection": {"max_scan_cols": 3,
+                            "contains": ["TakeOrderedAndProject",
+                                         "InMemoryTableScan",
+                                         "BroadcastHashJoin"],
+                            "max_n": {"BroadcastNestedLoopJoin": 2},
+                            "contains_not": ["CartesianProduct",
+                                             "SortMergeJoin",
+                                             "WindowExec"]},
     # count-min sketch: the d-fold (row, bucket) expansion collapses to
     # the FIXED d x w table before the shuffle (partial agg), and the
     # estimate join must BROADCAST that fixed-size sketch — an SMJ here
