@@ -3155,39 +3155,24 @@ def q103_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selfrep_scrub(load(spark, sf_dir, "documents"))
 
 
-def selfrep_scrub(docs: DataFrame) -> DataFrame:
-    """The q103 kernel over any (doc_id, text) frame — separated so the
-    periodic-document semantics test (tests/test_lsh_guard.py) can
-    drive it with engineered stutter corpora."""
-    spans = (
+def selfrep_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans): per-document LATER-copy removal spans from the
+    q102 run detection — the intra-doc scrub's 'model', factored like
+    scrub_spans so the streaming twin applies the SAME spans as a
+    static frame (streaming/substring.py); run output is bounded by
+    the per-(doc, gram) caps, never corpus-scale."""
+    return (
         selfrep_runs(docs)
         .select("doc_id", "start_b", "run_tokens")
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("start_b", "run_tokens")).alias("spans"))
     )
-    toks = docs.select(
-        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
-    ).filter(F.size("t") >= 1)
-    j = toks.join(spans, "doc_id", "left").withColumn(
-        "spans",
-        F.coalesce(
-            "spans", F.array().cast("array<struct<start_b:bigint,run_tokens:bigint>>")
-        ),
-    )
-    idx = F.transform(
-        F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("p"))
-    )
-    kept = F.filter(
-        idx,
-        lambda pr: ~F.exists(
-            "spans",
-            lambda s: (pr["p"] >= s["start_b"])
-            & (pr["p"] < s["start_b"] + s["run_tokens"]),
-        ),
-    )
-    return j.select(
-        "doc_id",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
-    )
+
+
+def selfrep_scrub(docs: DataFrame) -> DataFrame:
+    """The q103 kernel over any (doc_id, text) frame — separated so the
+    periodic-document semantics test (tests/test_lsh_guard.py) can
+    drive it with engineered stutter corpora. The masking half IS
+    q46's apply_span_scrub (one doc-keyed join, in-array mask) — one
+    definition for both scrub tiers."""
+    return apply_span_scrub(docs, selfrep_spans(docs))

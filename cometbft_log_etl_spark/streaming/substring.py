@@ -65,3 +65,17 @@ def stream_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = persist_tracked(scrub_spans(load(spark, sf_dir, "documents")))
     return apply_span_scrub(stream_documents(spark, sf_dir), spans)
+
+
+def stream_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q103 on a stream: the intra-document repetition scrub with the
+    batch-fitted LATER-copy span lists as the static side — the same
+    shape as stream_substring_scrub with q102's selfrep_spans as the
+    model (shared apply_span_scrub masking, so online output is
+    bit-identical to batch q103; parity-tested). Cached for the same
+    reason: the q102 run detection must not re-run per micro-batch."""
+    from ..queries.datapipe import selfrep_spans
+    from ..session import persist_tracked
+
+    spans = persist_tracked(selfrep_spans(load(spark, sf_dir, "documents")))
+    return apply_span_scrub(stream_documents(spark, sf_dir), spans)

@@ -158,3 +158,31 @@ def test_stream_substring_scrub_matches_batch_q46(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     assert any(v[1] > 0 for v in got.values())  # the scrub actually removed spans
+
+
+def test_stream_selfrep_scrub_matches_batch_q103(spark, sf_dir):
+    """The streaming intra-doc scrub (q102-derived span lists static,
+    shared apply_span_scrub masking) must reproduce batch q103 exactly,
+    including n_removed == 0 rows for non-repetitive documents."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.streaming.substring import stream_selfrep_scrub
+
+    q = (
+        stream_selfrep_scrub(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_stream_selfrep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in spark.table("t_stream_selfrep").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in catalog()["q103_selfrep_scrub"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(v[1] > 0 for v in got.values())  # real self-repeats scrubbed
