@@ -140,20 +140,36 @@ def _bucket(tok) -> F.Column:
 
 def _row_bucket_pairs() -> F.Column:
     """Per-row array<struct<d, c>>: hashed-bucket counts built entirely
-    IN-ARRAY (distinct buckets then a counted filter per bucket —
-    bounded by _QC_D distinct values per doc), so a row contributes at
-    most 64 compact pairs to the doc_id shuffle instead of one row per
-    TOKEN (the q09/q33 map-side-collapse idiom; measured 2.4s -> 1.5s
-    for the count tier alone at sf0.1, and it removes the token-level
-    Generate entirely)."""
+    IN-ARRAY, so a row contributes at most 64 compact pairs to the
+    doc_id shuffle instead of one row per TOKEN (the q09/q33 map-side-
+    collapse idiom; measured 2.4s -> 1.5s for the count tier alone at
+    sf0.1, and it removes the token-level Generate entirely).
+
+    Counted in ONE aggregate pass over the bucket array (map update per
+    element, map bounded at _QC_D entries). The first draft counted via
+    `filter(buckets, b == d)` per distinct bucket — but a non-lambda-
+    variable expression inside a higher-order-function body re-evaluates
+    PER ELEMENT (the round-11 q09 lesson), so the md5 bucket array was
+    being recomputed up to 64x per row — O(distinct x tokens) hashing.
+    aggregate()'s input collection is a child expression, evaluated
+    once."""
     buckets = F.transform("t", lambda tok: _bucket(tok))
-    ds = F.array_distinct(buckets)
-    return F.transform(
-        ds,
-        lambda d: F.struct(
-            d.alias("d"),
-            F.size(F.filter(buckets, lambda b: b == d)).cast("bigint").alias("c"),
+    empty = F.map_from_arrays(
+        F.array().cast("array<bigint>"), F.array().cast("array<bigint>")
+    )
+    cnts = F.aggregate(
+        buckets,
+        empty,
+        lambda m, b: F.map_concat(
+            F.map_filter(m, lambda k, v: k != b),
+            F.create_map(
+                b, F.coalesce(F.element_at(m, b), F.lit(0).cast("bigint")) + 1
+            ),
         ),
+    )
+    return F.transform(
+        F.map_entries(cnts),
+        lambda e: F.struct(e["key"].alias("d"), e["value"].alias("c")),
     )
 
 

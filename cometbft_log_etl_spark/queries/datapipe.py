@@ -2035,17 +2035,22 @@ _BP_FLAG_FRAC = 0.5  # docs that are mostly boilerplate get flagged
     "q09_boilerplate_ngrams",
     tags=("datapipe", "text", "quality"),
     oracle=f"""
-WITH doc_grams AS (
+WITH tk AS MATERIALIZED (
+  -- split ONCE per row: string_split(text) referenced inside the
+  -- lambda re-splits per gram — O(tokens^2) per row, >10 min on one
+  -- 20k-token document (round-11 giant-doc probe; the Spark side had
+  -- the same bug through expression inlining, fixed the same way)
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+doc_grams AS (
   SELECT doc_id, source,
          list_distinct(
-           CASE WHEN len(string_split(text, ' ')) >= {_BP_N}
+           CASE WHEN len(t) >= {_BP_N}
                 THEN list_transform(
-                       generate_series(1, len(string_split(text, ' ')) - {_BP_N - 1}),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i + 1] || ' ' ||
-                            string_split(text, ' ')[i + 2])
+                       generate_series(1, len(t) - {_BP_N - 1}),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
                 ELSE [] END) AS grams
-  FROM documents
+  FROM tk
 ),
 exploded AS (
   SELECT doc_id, source, unnest(grams) AS gram FROM doc_grams
@@ -2094,19 +2099,27 @@ def q09_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
+    # Gram build via zip_with over SHIFTED SLICES, not element_at in a
+    # transform lambda: any non-lambda-variable expression inside a
+    # higher-order-function body re-evaluates PER ELEMENT (and
+    # CollapseProject inlines a projected alias right back into the
+    # lambda), so the old `element_at(split(text), i + k)` form
+    # re-split the full text per gram — O(tokens^2) per row, one task
+    # pinned 9+ minutes on a single 20k-token document (round-11
+    # giant-doc probe; 326s -> 3s). zip_with's inputs are child
+    # expressions, evaluated once per ROW; the lambda touches only its
+    # element variables.
     toks = F.split("text", " ")
-    gram_at = lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + k) for k in range(_BP_N)]
-    )
-    # Spark's sequence(1, n) DESCENDS for n < 1 — gate short/null docs
-    # to an explicit empty list (mirrors the oracle's CASE ... ELSE []).
+    n = F.size(toks)
+    s2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    s3 = F.slice(toks, 3, F.greatest(n - 2, F.lit(0)))
+    g12 = F.zip_with(toks, s2, lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the shorter side with NULL and concat_ws skips
+    # nulls, so the last two entries are short grams — sliced off below
+    g123 = F.zip_with(g12, s3, lambda ab, c: F.concat_ws(" ", ab, c))
     grams = F.when(
-        F.size(toks) >= _BP_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (_BP_N - 1)), gram_at
-            )
-        ),
+        n >= _BP_N,
+        F.array_distinct(F.slice(g123, 1, n - (_BP_N - 1))),
     ).otherwise(F.array().cast("array<string>"))
     doc_grams = docs.select("doc_id", "source", grams.alias("grams"))
     exploded = doc_grams.select("doc_id", "source", F.explode("grams").alias("gram"))

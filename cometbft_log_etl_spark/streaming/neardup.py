@@ -50,18 +50,28 @@ def minhash_sig(docs: DataFrame) -> DataFrame:
     formulation for whole-stage codegen (see its docstring); value
     equality between the two is asserted in tests.
     """
+    # Shingles via zip_with over SHIFTED SLICES: the old form indexed
+    # `element_at(toks, i + k)` inside the transform lambda, and a
+    # non-lambda-variable expression in a higher-order-function body
+    # re-evaluates PER ELEMENT — the text was re-split once per shingle,
+    # O(tokens^2) per row (the round-11 q09 lesson). zip_with's inputs
+    # are child expressions, evaluated once per row; concat_ws skips the
+    # NULL padding on the short side, so the last two entries are short
+    # shingles — sliced off before hashing.
     toks = F.split("text", " ")
-    hs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: _h32_expr(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
+    n = F.size(toks)
+    s2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    s3 = F.slice(toks, 3, F.greatest(n - 2, F.lit(0)))
+    shingles = F.slice(
+        F.zip_with(
+            F.zip_with(toks, s2, lambda a, b: F.concat_ws(" ", a, b)),
+            s3,
+            lambda ab, c: F.concat_ws(" ", ab, c),
         ),
+        1,
+        F.greatest(n - 2, F.lit(0)),
     )
+    hs = F.transform(shingles, lambda sh: _h32_expr(sh))
     sig = F.array(
         *[
             F.array_min(
