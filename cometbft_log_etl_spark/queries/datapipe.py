@@ -574,11 +574,16 @@ def q87_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_repetition_ratio",
     tags=("datapipe", "text", "quality"),
     oracle="""
-WITH grams AS (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-                                       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS g
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
+WITH tk AS MATERIALIZED (
+  -- split ONCE per row: string_split(text) inside the lambda re-splits
+  -- per gram — O(tokens^2) per row (the round-11 q09 lesson)
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM tk
+  WHERE len(t) >= 2
 ),
 stats AS (
   SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
@@ -724,22 +729,24 @@ WITH bench AS (
   SELECT DISTINCT
          {_SQL_H32.format(expr="sh")} AS h
   FROM (
-    SELECT unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
-                                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-                                      string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
-                                      string_split(text, ' ')[i+4])) AS sh
-    FROM documents WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 5
+    SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                                      t[i+3] || ' ' || t[i+4])) AS sh
+    -- split once per row (the round-11 q09 lesson)
+    FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 20)
+    WHERE len(t) >= 5
   )
 ),
 cand AS (
   SELECT doc_id, {_SQL_H32.format(expr="sh")} AS h
   FROM (
     SELECT doc_id,
-           unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
-                                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-                                      string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
-                                      string_split(text, ' ')[i+4])) AS sh
-    FROM documents WHERE doc_id >= 20 AND len(string_split(text, ' ')) >= 5
+           unnest(list_transform(generate_series(1, len(t) - 4),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                                      t[i+3] || ' ' || t[i+4])) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE doc_id >= 20)
+    WHERE len(t) >= 5
   )
 )
 SELECT c.doc_id,
@@ -1177,14 +1184,19 @@ _SHINGLE_K = 5
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
-idx AS (
-  SELECT doc_id, toks,
-         unnest(generate_series(1, len(toks) - {_SHINGLE_K - 1})) AS i
-  FROM base
-),
 sh AS (
-  SELECT doc_id, array_to_string(toks[i:i + {_SHINGLE_K - 1}], ' ') AS shingle
-  FROM idx
+  -- shingles in ONE list_transform per doc, via INDEXING not slicing:
+  -- the original form unnested an index series while carrying the full
+  -- token array per index row, and a toks[i:j] SLICE inside a lambda
+  -- copies the outer list per element — both tokens^2 on long
+  -- documents (20s on one 20k-token doc; the round-11 q09 probe
+  -- class). Element indexing of an outer list column is O(1).
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {_SHINGLE_K - 1}),
+           i -> {" || ' ' || ".join(f"toks[i + {k}]" for k in range(_SHINGLE_K))}))
+           AS shingle
+  FROM base
 ),
 owner AS (
   SELECT shingle, min(doc_id) AS owner_doc FROM sh GROUP BY shingle

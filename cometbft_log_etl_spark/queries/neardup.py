@@ -349,11 +349,13 @@ def q56_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "jaccard"),
     oracle=f"""
 WITH g_all AS (
-  SELECT doc_id, lang, n_chars // 100 AS size_block,
-         list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-                                      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 2
+  SELECT doc_id, lang, size_block,
+         list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])) AS grams
+  -- split once per row (the round-11 q09 lesson)
+  FROM (SELECT doc_id, lang, n_chars // 100 AS size_block,
+               string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 2
 ),
 g AS (
   -- degenerate-block guard: same deterministic lowest-doc_id cap as the
