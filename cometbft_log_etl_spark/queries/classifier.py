@@ -173,27 +173,10 @@ def _row_bucket_pairs() -> F.Column:
     )
 
 
-def _farr_from(praw, n, ur) -> F.Column:
-    """The per-doc feature array from merged (d, c) pairs: xn =
-    round(c/n, 9) exactly as the oracle's featc CTE computes it, plus
-    the bias/length/uniq pseudo-features. Pure column expression so the
-    batch build (merged across duplicate-id copies) and the streaming
-    twin (single-row praw) share one definition and cannot hash or
-    quantize apart."""
-    ds = F.array_distinct(F.transform(praw, lambda p: p["d"]))
-    cnt = lambda d: F.aggregate(  # noqa: E731
-        F.filter(praw, lambda p: p["d"] == d),
-        F.lit(0).cast("bigint"),
-        lambda acc, p: acc + p["c"],
-    )
-    featc = F.transform(
-        ds,
-        lambda d: F.struct(
-            d.alias("d"),
-            F.round(cnt(d).cast("double") / n, 9).cast(_G_DEC).alias("xn"),
-        ),
-    )
-    extras = F.array(
+def _farr_extras(n, ur) -> F.Column:
+    """The bias/length/uniq pseudo-feature structs — ONE definition for
+    the batch and streaming feature builders."""
+    return F.array(
         F.struct(
             F.lit(_QC_BIAS).cast("bigint").alias("d"),
             F.lit(1.0).cast(_G_DEC).alias("xn"),
@@ -207,7 +190,50 @@ def _farr_from(praw, n, ur) -> F.Column:
             ur.cast(_G_DEC).alias("xn"),
         ),
     )
-    return F.concat(featc, extras)
+
+
+def _farr_from(praw, n, ur) -> F.Column:
+    """The per-doc feature array from POSSIBLY-UNMERGED (d, c) pairs
+    (the batch path flattens per-copy pair arrays across duplicate-id
+    rows): re-merge by bucket, then xn = round(c/n, 9) exactly as the
+    oracle's featc CTE computes it, plus the pseudo-features.
+
+    `praw` MUST be a bound column (the batch groupBy output), not an
+    inline expression: it is referenced inside the lambdas below, and a
+    non-lambda-variable EXPRESSION there re-evaluates per element (the
+    round-11 q09 lesson). Streams use _stream_farr, which needs no
+    merge and references its pair array exactly once."""
+    ds = F.array_distinct(F.transform(praw, lambda p: p["d"]))
+    cnt = lambda d: F.aggregate(  # noqa: E731
+        F.filter(praw, lambda p: p["d"] == d),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + p["c"],
+    )
+    featc = F.transform(
+        ds,
+        lambda d: F.struct(
+            d.alias("d"),
+            F.round(cnt(d).cast("double") / n, 9).cast(_G_DEC).alias("xn"),
+        ),
+    )
+    return F.concat(featc, _farr_extras(n, ur))
+
+
+def _stream_farr(n, ur) -> F.Column:
+    """Per-row feature array for a STREAM: _row_bucket_pairs() already
+    emits unique buckets (map_entries), so no merge is needed and the
+    pair array is the transform's input — evaluated once per row, with
+    the lambda touching only its element variable (no per-element
+    re-evaluation; round-11 review). xn is the same round(c/n, 9)
+    expression as the batch featc, so scores stay bit-identical."""
+    featc = F.transform(
+        _row_bucket_pairs(),
+        lambda p: F.struct(
+            p["d"].alias("d"),
+            F.round(p["c"].cast("double") / n, 9).cast(_G_DEC).alias("xn"),
+        ),
+    )
+    return F.concat(featc, _farr_extras(n, ur))
 
 
 def _qc_doc_feats(docs: DataFrame) -> DataFrame:

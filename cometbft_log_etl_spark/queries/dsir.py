@@ -31,10 +31,14 @@ Scale shape at 100 TB:
 - the top-K is a TakeOrderedAndProject (per-partition heads, never a
   global sort).
 
-Duplicate-id posture: scoring is LINEAR in the per-(doc, bucket)
-counts, so per-copy pair rows sum to the same score as the oracle's
-GROUP BY doc_id, d merge — value-identical by linearity, no explicit
-merge needed; src/n take min/sum per doc_id symmetrically.
+Duplicate-id posture: every consumer of the pair rows is LINEAR in the
+per-(doc, source, bucket) counts (distribution sums, scoring sums,
+n_grams) or merge-invariant (min source), so Spark's per-row pairs and
+the oracle's GROUP BY (doc_id, source, d) merge are value-identical
+for ANY duplicate pattern. The oracle deliberately keys by source too:
+a (doc_id, d) merge with min(source) would pull a duplicate id's
+other-source counts into the target distribution on the oracle side
+only (round-11 review finding, probed with a two-source duplicate).
 
 No reference analog (the reference has no data-selection surface).
 """
@@ -51,7 +55,11 @@ from .classifier import _QC_D, _qc_rows, _row_bucket_pairs, _SQL_BUCKET
 
 _DSIR_K = 100  # selection budget: global top-K by importance weight
 _C_DEC = "decimal(19,0)"  # per-(doc,bucket) token counts (integers)
-_R_DEC = "decimal(10,9)"  # rounded log ratios
+# rounded log ratios: |ln p - ln q| is bounded by ln(corpus tokens)+ln D
+# (~60 even at 1e26 tokens), but NOT by 10 — a target source whose
+# constrained vocabulary leaves a raw-hot bucket empty reaches |r| >= 10
+# and an ANSI cast to DECIMAL(10,9) would kill the job (round-11 review)
+_R_DEC = "decimal(14,9)"
 
 
 def dsir_scores(docs: DataFrame) -> DataFrame:
@@ -66,9 +74,9 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
     # q25 precedent). Compact: <= 64 pair rows per document.
     pairs = persist_tracked(
         rows.select(
-            "doc_id", "source", "nr", F.explode(_row_bucket_pairs()).alias("p")
+            "doc_id", "source", F.explode(_row_bucket_pairs()).alias("p")
         ).select(
-            "doc_id", "source", "nr", F.col("p.d").alias("d"), F.col("p.c").alias("c")
+            "doc_id", "source", F.col("p.d").alias("d"), F.col("p.c").alias("c")
         )
     )
     tgt_src = docs.agg(F.min("source").alias("tsrc"))
@@ -123,10 +131,14 @@ rows_ AS MATERIALIZED (
   SELECT doc_id, source, t FROM toks WHERE len(t) >= 1
 ),
 pairs AS MATERIALIZED (
-  SELECT doc_id, min(source) AS source, d, CAST(count(*) AS BIGINT) AS c
+  -- keyed (doc_id, source, d), NOT (doc_id, d) with min(source): the
+  -- Spark side filters the target slice per ROW, and a min-merged
+  -- source would pull a duplicate id's other-source counts into the
+  -- target distribution on one side only (round-11 review, probed)
+  SELECT doc_id, source, d, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT doc_id, source, {_SQL_BUCKET} AS d
         FROM (SELECT doc_id, source, unnest(t) AS tok FROM rows_))
-  GROUP BY doc_id, d
+  GROUP BY doc_id, source, d
 ),
 tsrc AS MATERIALIZED (SELECT min(source) AS tsrc FROM documents),
 raw AS MATERIALIZED (SELECT d, sum(c) AS cq FROM pairs GROUP BY d),
@@ -141,7 +153,7 @@ ratio AS MATERIALIZED (
          CAST(round(ln((coalesce(tgt.cp, 0) + 1.0)
                        / ((SELECT tp FROM tp) + {_QC_D}))
                     - ln((raw.cq + 1.0) / ((SELECT tq FROM tq) + {_QC_D})),
-                    9) AS DECIMAL(10,9)) AS r
+                    9) AS DECIMAL(14,9)) AS r
   FROM raw LEFT JOIN tgt ON tgt.d = raw.d
 ),
 scored AS MATERIALIZED (

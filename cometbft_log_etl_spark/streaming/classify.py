@@ -24,12 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.classifier import (
-    _farr_from,
     _map_lit,
     _QC_FLAG,
     _qc_pred_col,
     _qc_rows,
-    _row_bucket_pairs,
+    _stream_farr,
     _W_DEC,
     fit_quality_classifier,
 )
@@ -63,9 +62,13 @@ def stream_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = fitted_quality_weights(spark, sf_dir)
     wmap = _map_lit(list(w.items()), _W_DEC)
     rows = _qc_rows(stream_documents(spark, sf_dir))
-    farr = _farr_from(_row_bucket_pairs(), F.col("nr"), F.col("ur"))
+    # _stream_farr, not _farr_from: the merge-based builder references
+    # its pair array inside lambdas, which re-evaluates an inline
+    # EXPRESSION per element (round-11 review — the bucket fold was
+    # re-running up to 64x per row); the stream's pairs are already
+    # unique-bucket so no merge is needed
     return (
-        rows.withColumn("farr", farr)
+        rows.withColumn("farr", _stream_farr(F.col("nr"), F.col("ur")))
         .select(
             "doc_id",
             F.col("source").alias("src"),

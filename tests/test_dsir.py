@@ -40,7 +40,9 @@ def _reference_selection(sf_dir: str):
         if not toks:
             continue
         rec = per_doc.setdefault(doc_id, {"src": source, "cnt": {}, "n": 0})
-        rec["src"] = min(rec["src"], source)
+        # min() skipping NULLs, like both engines' MIN aggregate
+        if source is not None:
+            rec["src"] = source if rec["src"] is None else min(rec["src"], source)
         rec["n"] += len(toks)
         for tok in toks:
             d = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _QC_D
@@ -91,12 +93,21 @@ def test_selection_matches_independent_reference(spark, sf_dir, reference):
         ]
     finally:
         release_new_persists(spark, before)
-    assert [g[0] for g in got] == [r[0] for r in ref]  # same docs, same order
-    for g, r in zip(got, ref):
+    # same SELECTED SET always; exact order only where the reference
+    # scores are separated by more than the JVM-vs-libm ln() tolerance
+    # below — near-ties may legitimately swap when a single bucket's
+    # round(ln ratio, 9) lands on opposite sides of a rounding boundary
+    # in the two libms (round-11 review: an exact-order assert plus a
+    # value tolerance contradict each other on ties)
+    assert {g[0] for g in got} == {r[0] for r in ref}
+    ref_by_id = {r[0]: r for r in ref}
+    for g in got:
+        r = ref_by_id[g[0]]
         assert g[1] == r[1] and g[2] == r[2]
-        # the engine rounds ln() JVM-side, the mirror with libm: scores
-        # may differ at the final ulp of a 9-decimal term sum
         assert abs(g[3] - r[3]) < 1e-6, (g, r)
+    for (ga, gb), (ra, rb) in zip(zip(got, got[1:]), zip(ref, ref[1:])):
+        if ra[3] - rb[3] > 1e-5:  # clearly separated in the reference
+            assert ga[3] >= gb[3] - 1e-6, (ga, gb, ra, rb)
 
 
 def test_selection_is_enriched_in_target_source(reference):
