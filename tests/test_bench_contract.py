@@ -123,3 +123,32 @@ def test_exchange_count_dedup_is_scoped_to_the_cached_region():
     # leaving the cached region ends the dedup scope
     after = plan + "+- Exchange hashpartitioning(b#2, 8), ENSURE_REQUIREMENTS\n"
     assert _count_exchanges(after) == 4
+
+
+def test_fingerprint_v4_is_print_order_independent():
+    """round-11: AQE prints materialized broadcast subtrees in a
+    timing-dependent position, and FileScan metadata truncates at a
+    character budget that shifts with raw lambda-counter digit widths —
+    the SAME plan produced three different v3 fingerprints. v4
+    normalizes per line, elides the truncatable DataFilters field, and
+    hashes the SORTED line multiset."""
+    from bench import _normalize_plan
+
+    a = (
+        "Project [x#1]\n"
+        "+- BroadcastExchange\n"
+        "   +- FileScan parquet [v#2] Batched: true, DataFilters: "
+        "[NOT exists(e#3, lambdafunction(isnan(lambda x_4#5)..., "
+        "Format: Parquet, PushedFilters: [IsNotNull(v)]\n"
+    )
+    b = (  # same operators, different print order, different truncation
+        "+- FileScan parquet [v#9] Batched: true, DataFilters: "
+        "[NOT exists(e#8, lambdafunction(isnan(lambda x_1234#7)) AND..., "
+        "Format: Parquet, PushedFilters: [IsNotNull(v)]\n"
+        "Project [x#6]\n"
+        "+- BroadcastExchange\n"
+    )
+    assert _normalize_plan(a) == _normalize_plan(b)
+    # an operator CHANGE still moves the fingerprint
+    c = a.replace("BroadcastExchange", "Exchange hashpartitioning(v#2, 8)")
+    assert _normalize_plan(c) != _normalize_plan(a)
