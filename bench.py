@@ -110,18 +110,22 @@ def _normalize_plan(plan: str) -> str:
     # distinctness either way.
     #
     # fingerprint v4 (round 11): normalize PER LINE, strip the tree
-    # glyph prefixes, renumber lambda counters per line, then SORT the
-    # lines before hashing. v3 hashed the plan string in PRINT order,
-    # and AQE prints materialized broadcast subtrees in a
-    # timing-dependent position — q04's two broadcast branches gave
-    # THREE different v3 fingerprints for one provably identical plan
-    # (isolated run vs in-bench run vs the r10 artifact; verified by
-    # diffing normalized text — only section order and the first-seen
-    # lambda ordinals moved). Hashing the sorted multiset of normalized
-    # lines is print-order-independent while still distinguishing any
-    # operator/expression change; per-line renumbering keeps
-    # within-line variable distinctions (cross-line identity is
-    # sacrificed — n_exchanges and plan diffs adjudicate the residue).
+    # glyph prefixes, renumber lambda counters per line, prefix each
+    # line with its PARENT operator, then SORT before hashing. v3
+    # hashed the plan string in PRINT order, and AQE prints
+    # materialized broadcast subtrees in a timing-dependent position —
+    # q04's two broadcast branches gave THREE different v3 fingerprints
+    # for one provably identical plan (isolated run vs in-bench run vs
+    # the r10 artifact; verified by diffing normalized text — only
+    # section order and the first-seen lambda ordinals moved). The
+    # sorted multiset of PARENT-EDGE-tagged lines is print-order
+    # independent (a reordered print is the same tree, so every line
+    # keeps its parent) while a genuine tree change — e.g. a Filter
+    # drifting above an Exchange when pushdown is lost — moves a
+    # parent tag and the hash with it (a plain line multiset missed
+    # exactly that case; round-11 review). Per-line renumbering keeps
+    # within-line variable distinctions; cross-line identity is
+    # sacrificed — n_exchanges and plan diffs adjudicate the residue.
     norm = re.sub(r"\[plan_id=\d+\]", "", norm)          # exchange plan ids
     norm = re.sub(r"\[id=#\]", "", norm)                 # codegen stage ids
     norm = re.sub(r"\(\d+\)", "", norm)                  # codegen ordinals
@@ -129,8 +133,10 @@ def _normalize_plan(plan: str) -> str:
     norm = re.sub(r"Statistics\([^)]*\)", "", norm)
 
     out = []
-    for line in norm.splitlines():
-        line = re.sub(r"^[\s:+\-*]+", "", line).strip()
+    depth_stack: list = []  # (indent, operator name) of open ancestors
+    for raw_line in norm.splitlines():
+        indent = len(re.match(r"[\s:+\-*]*", raw_line).group(0))
+        line = re.sub(r"^[\s:+\-*]+", "", raw_line).strip()
         if not line:
             continue
         # FileScan metadata fields are TRUNCATED at a fixed character
@@ -150,7 +156,13 @@ def _normalize_plan(plan: str) -> str:
             return _seen[tok]
 
         line = re.sub(r"(?<![A-Za-z0-9_])([a-z]+)_\d+#", _renum, line)
-        out.append(re.sub(r"\s+", " ", line))
+        line = re.sub(r"\s+", " ", line)
+        while depth_stack and indent <= depth_stack[-1][0]:
+            depth_stack.pop()
+        parent = depth_stack[-1][1] if depth_stack else "<root>"
+        op = line.split(" ", 1)[0].split("(", 1)[0]
+        depth_stack.append((indent, op))
+        out.append(f"{parent} > {line}")
     return "\n".join(sorted(out))
 
 
@@ -316,11 +328,13 @@ def main() -> None:
                 "queries": timings,
                 "query_runs": all_runs,
                 "plans_fingerprint": fingerprints,
-                # v3: lambda-variable counters renumbered per-plan by
-                # first appearance (round 9; v2 collapsed distinct
-                # same-named variables). Fingerprints containing lambda
-                # vars rebase vs v2 — compare those across versions by
-                # n_exchanges + plan diffs, as with the v1→v2 rebase.
+                # v4 (round 11): per-line normalization + parent-edge
+                # tags + sorted line multiset — print-order independent
+                # (v3 hashed AQE's timing-dependent print order and the
+                # truncation-shifted scan metadata). ALL fingerprints
+                # rebase vs v3 — compare across versions by n_exchanges
+                # + plan diffs, as with every prior rebase. Full
+                # rationale in _normalize_plan.
                 "fingerprint_version": 4,
                 "n_exchanges": n_exchanges,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -222,10 +222,14 @@ def _farr_from(praw, n, ur) -> F.Column:
 def _stream_farr(n, ur) -> F.Column:
     """Per-row feature array for a STREAM: _row_bucket_pairs() already
     emits unique buckets (map_entries), so no merge is needed and the
-    pair array is the transform's input — evaluated once per row, with
-    the lambda touching only its element variable (no per-element
-    re-evaluation; round-11 review). xn is the same round(c/n, 9)
-    expression as the batch featc, so scores stay bit-identical."""
+    pair array is the transform's input — evaluated once per row
+    (round-11 review). The lambda does reference ``n`` (a size(t)
+    alias CollapseProject may inline), a DOCUMENTED exception to the
+    only-bound-columns rule: re-evaluating size() per element is O(1)
+    on Spark's array representation, and the lambda iterates at most
+    _QC_D pair entries — keep anything costlier than O(1) out of this
+    body. xn is the same round(c/n, 9) expression as the batch featc,
+    so scores stay bit-identical."""
     featc = F.transform(
         _row_bucket_pairs(),
         lambda p: F.struct(

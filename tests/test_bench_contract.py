@@ -39,7 +39,7 @@ def test_distinct_lambda_vars_stay_distinct():
 def test_renumbering_is_consistent_within_a_plan():
     """Every occurrence of one variable maps to one ordinal."""
     plan = "f(x_7#, y_3#, x_7#, y_3#, x_7#)"
-    assert _normalize_plan(plan) == "f(x_0#, y_1#, x_0#, y_1#, x_0#)"
+    assert _normalize_plan(plan) == "<root> > f(x_0#, y_1#, x_0#, y_1#, x_0#)"
 
 
 def test_underscore_prefixed_columns_untouched():
@@ -48,7 +48,7 @@ def test_underscore_prefixed_columns_untouched():
     plan = "Project [_t_0# AS out#]"
     # the token _t_0# starts with '_' so the lookbehind rejects a match
     # beginning inside it; 't_0#' inside '_t_0#' is preceded by '_'
-    assert _normalize_plan(plan) == "Project [_t_0# AS out#]"
+    assert _normalize_plan(plan) == "<root> > Project [_t_0# AS out#]"
 
 
 def test_exchange_count_dedups_cached_subplan_reprints():
@@ -135,20 +135,39 @@ def test_fingerprint_v4_is_print_order_independent():
     from bench import _normalize_plan
 
     a = (
-        "Project [x#1]\n"
-        "+- BroadcastExchange\n"
-        "   +- FileScan parquet [v#2] Batched: true, DataFilters: "
+        "Sort [s#0]\n"
+        ":- Project [x#1]\n"
+        ":  +- BroadcastExchange\n"
+        ":     +- FileScan parquet [v#2] Batched: true, DataFilters: "
         "[NOT exists(e#3, lambdafunction(isnan(lambda x_4#5)..., "
         "Format: Parquet, PushedFilters: [IsNotNull(v)]\n"
+        "+- HashAggregate [k#4]\n"
     )
-    b = (  # same operators, different print order, different truncation
-        "+- FileScan parquet [v#9] Batched: true, DataFilters: "
-        "[NOT exists(e#8, lambdafunction(isnan(lambda x_1234#7)) AND..., "
+    b = (  # same TREE, sections printed in the other order (the AQE
+        #     reprint shape: every line keeps its parent), different
+        #     metadata truncation point
+        "Sort [s#9]\n"
+        ":- HashAggregate [k#8]\n"
+        "+- Project [x#6]\n"
+        "   +- BroadcastExchange\n"
+        "      +- FileScan parquet [v#7] Batched: true, DataFilters: "
+        "[NOT exists(e#5, lambdafunction(isnan(lambda x_1234#3)) AND..., "
         "Format: Parquet, PushedFilters: [IsNotNull(v)]\n"
-        "Project [x#6]\n"
-        "+- BroadcastExchange\n"
     )
     assert _normalize_plan(a) == _normalize_plan(b)
     # an operator CHANGE still moves the fingerprint
     c = a.replace("BroadcastExchange", "Exchange hashpartitioning(v#2, 8)")
     assert _normalize_plan(c) != _normalize_plan(a)
+    # and so does a pure REORDERING of the tree (lost filter pushdown):
+    # the parent-edge tags catch what a plain line multiset missed
+    push = (
+        "Exchange hashpartitioning(a#1, 8)\n"
+        "+- Filter (a#1 > 5)\n"
+        "   +- FileScan parquet [a#1]\n"
+    )
+    lost = (
+        "Filter (a#1 > 5)\n"
+        "+- Exchange hashpartitioning(a#1, 8)\n"
+        "   +- FileScan parquet [a#1]\n"
+    )
+    assert _normalize_plan(push) != _normalize_plan(lost)

@@ -93,21 +93,32 @@ def test_selection_matches_independent_reference(spark, sf_dir, reference):
         ]
     finally:
         release_new_persists(spark, before)
-    # same SELECTED SET always; exact order only where the reference
-    # scores are separated by more than the JVM-vs-libm ln() tolerance
-    # below — near-ties may legitimately swap when a single bucket's
-    # round(ln ratio, 9) lands on opposite sides of a rounding boundary
-    # in the two libms (round-11 review: an exact-order assert plus a
-    # value tolerance contradict each other on ties)
-    assert {g[0] for g in got} == {r[0] for r in ref}
+    # JVM ln() and libm ln() can round a single bucket's 9th decimal
+    # apart, so near-ties may legitimately swap — including across the
+    # K selection boundary. The gates (round-11 review, second pass —
+    # the first rewrite's adjacent-order loop compared the engine's
+    # output to its own ORDER BY and could never fail):
+    # 1. the symmetric difference of the selected SETS is confined to
+    #    near-boundary docs (ref score within 1e-5 of the rank-K score);
+    # 2. at every CLEARLY separated reference rank, the selected
+    #    prefixes contain the same docs;
+    # 3. every common doc matches on src/n_grams and score to 1e-6.
+    got_ids, ref_ids = {g[0] for g in got}, {r[0] for r in ref}
+    k_score = ref[-1][3]
+    got_by_id = {g[0]: g for g in got}
+    for d in got_ids ^ ref_ids:
+        row = next((r for r in ref if r[0] == d), None) or got_by_id[d]
+        assert abs(row[3] - k_score) < 1e-5, (d, row, k_score)
     ref_by_id = {r[0]: r for r in ref}
     for g in got:
-        r = ref_by_id[g[0]]
+        r = ref_by_id.get(g[0])
+        if r is None:  # boundary-swap doc, covered by gate 1
+            continue
         assert g[1] == r[1] and g[2] == r[2]
         assert abs(g[3] - r[3]) < 1e-6, (g, r)
-    for (ga, gb), (ra, rb) in zip(zip(got, got[1:]), zip(ref, ref[1:])):
-        if ra[3] - rb[3] > 1e-5:  # clearly separated in the reference
-            assert ga[3] >= gb[3] - 1e-6, (ga, gb, ra, rb)
+    for i in range(len(ref) - 1):
+        if ref[i][3] - ref[i + 1][3] > 1e-5:  # clearly separated rank
+            assert {g[0] for g in got[: i + 1]} == {r[0] for r in ref[: i + 1]}, i
 
 
 def test_selection_is_enriched_in_target_source(reference):
