@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False, tags:
 
 def _load_all() -> None:
     # Import side-effect registration; keep alphabetical for stable ordering.
+    from . import budget  # noqa: F401
     from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import dsir  # noqa: F401
@@ -59,6 +60,7 @@ def _load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import neardup  # noqa: F401
     from . import olap  # noqa: F401
+    from . import perplexity  # noqa: F401
     from . import relational  # noqa: F401
     from . import scalars  # noqa: F401
     from . import temporal  # noqa: F401

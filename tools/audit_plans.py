@@ -304,6 +304,35 @@ EXPECTATIONS = {
     "q14_token_budget_mix": {"codegen": True, "max_scan_cols": 3, "broadcasts": 1, "no_smj": True},
     # drift monitor: global band distribution must broadcast
     "q19_quality_drift": {"codegen": True, "max_scan_cols": 4, "broadcasts": 1, "no_smj": True},
+    # CCNet perplexity bands: the tertile machinery must NEVER window
+    # the corpus — per-doc scores reduce to the (lang, milli-nat)
+    # distribution FIRST (partial_count on the fine composite key, the
+    # q26 restatement), so a row_number anywhere means the corpus-wide
+    # quantile window crept in. Bigrams build in-array (Generate is the
+    # bounded explode of the zip_with stream: corpus + target + vocab);
+    # scans stay 3 columns. No codegen expectation (HOF lambdas stay
+    # out of codegen by design).
+    "q106_perplexity_bands": {"max_scan_cols": 3,
+                              "contains": ["partial_count"],
+                              "contains_not": ["row_number",
+                                               "CartesianProduct",
+                                               "SortMergeJoin"],
+                              "max_n": {"Generate": 4,
+                                        "Exchange hashpartitioning": 8}},
+    # per-source token budget: the greedy cumulative-sum selection runs
+    # over the cached (source, n_chars) DISTRIBUTION (InMemoryTableScan
+    # — one corpus pass feeds both the roll-up and the boundary
+    # locator), never the raw rows: a row_number or an uncached second
+    # corpus aggregation means the q26-class low-cardinality corpus
+    # window crept back. The boundary join must broadcast (at most one
+    # boundary group per source).
+    "q107_source_token_budget": {"max_scan_cols": 4,
+                                 "contains": ["InMemoryTableScan",
+                                              "partial_sum"],
+                                 "contains_not": ["row_number",
+                                                  "CartesianProduct",
+                                                  "SortMergeJoin"],
+                                 "max_n": {"Exchange hashpartitioning": 7}},
     # retention cohorts: user-keyed join + window over the aggregated
     # cohort×offset matrix — no nested-loop pairing anywhere
     "q40_retention_cohorts": {"codegen": True, "max_scan_cols": 2,
