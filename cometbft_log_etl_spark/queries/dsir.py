@@ -62,6 +62,51 @@ _C_DEC = "decimal(19,0)"  # per-(doc,bucket) token counts (integers)
 _R_DEC = "decimal(14,9)"
 
 
+def dsir_ratio(pairs: DataFrame, docs: DataFrame, with_default: bool = False) -> DataFrame:
+    """(d, r): the fitted 64-row log-ratio model over the compact pair
+    frame. With ``with_default`` a sentinel row d = -1 carries the
+    cp = cq = 0 formula value — the honest ratio for a bucket the fit
+    never saw (impossible on the fitted corpus, routine on a live
+    stream); the batch scoring join is inner on real bucket ids, so
+    the sentinel never reaches the batch plan."""
+    tgt_src = docs.agg(F.min("source").alias("tsrc"))
+    # raw (q) distribution over the full corpus; target (p) over the
+    # tsrc slice — both bucket-keyed, both model-sized outputs
+    raw = pairs.groupBy("d").agg(F.sum("c").alias("cq"))
+    tgt = (
+        pairs.join(F.broadcast(tgt_src), pairs.source == F.col("tsrc"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("cp"))
+    )
+    totals_q = raw.agg(F.sum("cq").alias("tq"))
+    totals_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
+
+    def _r(cp_col, cq_col):
+        return (
+            F.round(
+                F.log((cp_col + F.lit(1.0)) / (F.col("tp") + F.lit(_QC_D)))
+                - F.log((cq_col + F.lit(1.0)) / (F.col("tq") + F.lit(_QC_D))),
+                9,
+            )
+            .cast(_R_DEC)
+            .alias("r")
+        )
+
+    ratio = (
+        raw.join(tgt, "d", "left")
+        .crossJoin(F.broadcast(totals_q))
+        .crossJoin(F.broadcast(totals_p))
+        .select("d", _r(F.coalesce(F.col("cp"), F.lit(0)), F.col("cq")))
+    )
+    if not with_default:
+        return ratio
+    default = (
+        totals_q.crossJoin(F.broadcast(totals_p))
+        .select(F.lit(-1).cast("bigint").alias("d"), _r(F.lit(0), F.lit(0)))
+    )
+    return ratio.unionByName(default)
+
+
 def dsir_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, src, n_tokens, score): every document's importance
     weight under the target-vs-raw hashed-ngram models."""
@@ -79,35 +124,7 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
             "doc_id", "source", F.col("p.d").alias("d"), F.col("p.c").alias("c")
         )
     )
-    tgt_src = docs.agg(F.min("source").alias("tsrc"))
-    # raw (q) distribution over the full corpus; target (p) over the
-    # tsrc slice — both bucket-keyed, both model-sized outputs
-    raw = pairs.groupBy("d").agg(F.sum("c").alias("cq"))
-    tgt = (
-        pairs.join(F.broadcast(tgt_src), pairs.source == F.col("tsrc"))
-        .groupBy("d")
-        .agg(F.sum("c").alias("cp"))
-    )
-    totals_q = raw.agg(F.sum("cq").alias("tq"))
-    totals_p = tgt.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("tp"))
-    ratio = (
-        raw.join(tgt, "d", "left")
-        .crossJoin(F.broadcast(totals_q))
-        .crossJoin(F.broadcast(totals_p))
-        .select(
-            "d",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("tp") + F.lit(_QC_D))
-                )
-                - F.log((F.col("cq") + F.lit(1.0)) / (F.col("tq") + F.lit(_QC_D))),
-                9,
-            )
-            .cast(_R_DEC)
-            .alias("r"),
-        )
-    )
+    ratio = dsir_ratio(pairs, docs)
     return (
         pairs.join(F.broadcast(ratio), "d")
         .groupBy("doc_id")

@@ -77,6 +77,84 @@ def _bigrams(frame: DataFrame, *keys: str) -> DataFrame:
     ).select(*keys, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
+def fit_bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(c2, c1, voc): the per-language add-one bigram LM fitted on the
+    target-domain slice (min(source) — the q105 convention). All three
+    are vocabulary-bounded static tables, never corpus-scale — the same
+    offline-model adjudication as the BPE length table
+    (streaming/tokenize.py), so the streaming twin scores against the
+    EXACT tables the batch query uses."""
+    toks = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t"))
+    tsrc = docs.agg(F.min("source").alias("tsrc"))
+    tbase = toks.join(F.broadcast(tsrc), toks.source == F.col("tsrc")).select(
+        "doc_id", "lang", "t"
+    )
+    tbig = _bigrams(tbase, "lang")
+    c2 = tbig.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    # context totals derive from the bigram counts (sum over w2) — one
+    # less target-slice scan than re-counting the bigram stream, and
+    # c1 is consistent with c2 by construction
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("n12").alias("n1"))
+    voc = (
+        tbase.select("lang", F.explode(F.array_distinct("t")).alias("tok"))
+        .groupBy("lang")
+        .agg((F.count_distinct("tok") + F.lit(1)).alias("v"))
+    )
+    return c2, c1, voc
+
+
+def logp_col() -> F.Column:
+    """round(ln P_add1(w2|w1), 9) as a 9-decimal short, from the joined
+    (n12, n1, v) columns — ONE definition for batch and stream."""
+    return (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("n12"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("n1"), F.lit(0)) + F.coalesce(F.col("v"), F.lit(1)))
+            ),
+            9,
+        )
+        .cast(_LP_DEC)
+        .alias("logp")
+    )
+
+
+def join_lm(big: DataFrame, c2: DataFrame, c1: DataFrame, voc: DataFrame) -> DataFrame:
+    """(doc_id, lang, logp) per bigram: the model joins shared by the
+    batch query and the streaming twin (stream-static on the stream
+    side — all three static frames are vocabulary-bounded)."""
+    c2r = c2.select(
+        F.col("lang").alias("l2"), F.col("w1").alias("a2"),
+        F.col("w2").alias("b2"), "n12",
+    )
+    c1r = c1.select(F.col("lang").alias("l1"), F.col("w1").alias("a1"), "n1")
+    vocr = voc.select(F.col("lang").alias("lv"), "v")
+    return (
+        big.join(
+            c2r,
+            F.col("lang").eqNullSafe(F.col("l2"))
+            & (F.col("w1") == F.col("a2"))
+            & (F.col("w2") == F.col("b2")),
+            "left",
+        )
+        .join(
+            c1r,
+            F.col("lang").eqNullSafe(F.col("l1")) & (F.col("w1") == F.col("a1")),
+            "left",
+        )
+        .join(F.broadcast(vocr), F.col("lang").eqNullSafe(F.col("lv")), "left")
+        .select("doc_id", "lang", logp_col())
+    )
+
+
+def milli_col(s, nb) -> F.Column:
+    """floor(mean-log-prob * 1000): the integer milli-nat — one IEEE
+    division of a <2^53-scaled decimal, one multiply, one floor, so the
+    double never diverges across engines or between batch and stream."""
+    return F.floor(s.cast("double") / nb * F.lit(_MILLI)).alias("mb")
+
+
+
 @register(
     "q106_perplexity_bands",
     headline=True,
@@ -158,72 +236,18 @@ def q106_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t"))
-
-    tsrc = docs.agg(F.min("source").alias("tsrc"))
-    tbase = toks.join(F.broadcast(tsrc), toks.source == F.col("tsrc")).select(
-        "doc_id", "lang", "t"
-    )
-    tbig = _bigrams(tbase, "lang")
-    c2 = tbig.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    # context totals derive from the bigram counts (sum over w2) — one
-    # less target-slice scan than re-counting the bigram stream, and
-    # c1 is consistent with c2 by construction
-    c1 = c2.groupBy("lang", "w1").agg(F.sum("n12").alias("n1"))
-    voc = (
-        tbase.select("lang", F.explode(F.array_distinct("t")).alias("tok"))
-        .groupBy("lang")
-        .agg((F.count_distinct("tok") + F.lit(1)).alias("v"))
-    )
-
+    c2, c1, voc = fit_bigram_lm(docs)
     big = _bigrams(toks, "doc_id", "lang")
     # null-safe lang equality mirrors the oracle's IS NOT DISTINCT FROM:
     # a null-lang doc must fall to the unseen/1-vocab branch on BOTH
     # engines, not silently drop from a plain-equality join; model
-    # columns are renamed up front so multi-join attribute resolution
-    # stays unambiguous
-    c2r = c2.select(
-        F.col("lang").alias("l2"), F.col("w1").alias("a2"),
-        F.col("w2").alias("b2"), "n12",
-    )
-    c1r = c1.select(F.col("lang").alias("l1"), F.col("w1").alias("a1"), "n1")
-    vocr = voc.select(F.col("lang").alias("lv"), "v")
-    lp = (
-        big.join(
-            c2r,
-            F.col("lang").eqNullSafe(F.col("l2"))
-            & (F.col("w1") == F.col("a2"))
-            & (F.col("w2") == F.col("b2")),
-            "left",
-        )
-        .join(
-            c1r,
-            F.col("lang").eqNullSafe(F.col("l1")) & (F.col("w1") == F.col("a1")),
-            "left",
-        )
-        .join(F.broadcast(vocr), F.col("lang").eqNullSafe(F.col("lv")), "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("n12"), F.lit(0)) + F.lit(1.0))
-                    / (F.coalesce(F.col("n1"), F.lit(0)) + F.coalesce(F.col("v"), F.lit(1)))
-                ),
-                9,
-            )
-            .cast(_LP_DEC)
-            .alias("logp"),
-        )
-    )
+    # columns are renamed inside join_lm so multi-join attribute
+    # resolution stays unambiguous
+    lp = join_lm(big, c2, c1, voc)
     perdoc = (
         lp.groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("s"))
-        .select(
-            "lang",
-            F.floor(
-                F.col("s").cast("double") / F.col("nb") * F.lit(_MILLI)
-            ).alias("mb"),
-        )
+        .select("lang", milli_col(F.col("s"), F.col("nb")))
     )
     dist = perdoc.groupBy("lang", "mb").agg(F.count(F.lit(1)).alias("cnt"))
 
