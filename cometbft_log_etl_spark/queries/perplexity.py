@@ -234,8 +234,17 @@ def q106_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, with the tertile thresholds computed scale-safely over
     the (lang, milli-nat) distribution table."""
     tune_session(spark)
+    from ..session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", "source", F.split("text", " ").alias("t"))
+    # explicit width on the SCORING side only: a single-file corpus
+    # scan otherwise feeds the corpus bigram explode and the LM joins
+    # from 1-2 tasks (the round-6 AQE-coalesce class; the q105
+    # precedent). The fit side stays unrepartitioned — it reduces the
+    # target slice straight into vocabulary-sized aggregates
+    toks = docs.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("t")
+    ).repartition(default_parallelism())
     c2, c1, voc = fit_bigram_lm(docs)
     big = _bigrams(toks, "doc_id", "lang")
     # null-safe lang equality mirrors the oracle's IS NOT DISTINCT FROM:
