@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False, tags:
 
 def _load_all() -> None:
     # Import side-effect registration; keep alphabetical for stable ordering.
+    from . import bloom  # noqa: F401
     from . import budget  # noqa: F401
     from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401

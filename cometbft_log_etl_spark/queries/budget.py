@@ -47,6 +47,16 @@ family — duplicate rows are identical (same source, length, tokens),
 so any tie order among them yields the same kept multiset, and every
 output is a count/sum over that multiset.
 
+Deliberately NO streaming twin: the selection is a function of the
+source's FULL token distribution (the budget is a third of total mass
+and the cut point depends on every document's rank), so an online
+variant would re-decide past admissions on every micro-batch — a
+corpus-level assembly decision, not a per-document score. The
+streamable halves already have twins: per-doc quality scoring
+(streaming/classify.py) and banding (streaming/perplexity.py) decide
+document-level fates online; budget packing runs where the batch
+assembly runs.
+
 No reference analog (the reference has no corpus-assembly surface).
 """
 

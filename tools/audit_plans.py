@@ -319,6 +319,20 @@ EXPECTATIONS = {
                                                "SortMergeJoin"],
                               "max_n": {"Generate": 4,
                                         "Exchange hashpartitioning": 8}},
+    # Bloom ingestion screen: the two BroadcastNestedLoopJoins are the
+    # 1-row m-scalar crosses; the position-set and history-fp joins
+    # stay hash joins (broadcast while small, shuffle at scale — never
+    # a cartesian); Generate is the bounded k=3 position explode x2.
+    # The exact fp join's probe side must be the filtered maybe
+    # residue, which the gate pins indirectly: no third Generate and
+    # no SMJ means the fp join consumed the screened frame, not a
+    # rebuilt corpus stream
+    "q108_bloom_screen": {"max_scan_cols": 3,
+                          "contains_not": ["CartesianProduct",
+                                           "SortMergeJoin"],
+                          "max_n": {"Generate": 2,
+                                    "BroadcastNestedLoopJoin": 2,
+                                    "Exchange hashpartitioning": 7}},
     # per-source token budget: the greedy cumulative-sum selection runs
     # over the cached (source, n_chars) DISTRIBUTION (InMemoryTableScan
     # — one corpus pass feeds both the roll-up and the boundary
