@@ -115,12 +115,23 @@ def q36_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode and decode steps are Arrow-batched mapInPandas; at lake
     scale the encode step is replaced by reading the binary column.
     """
-    import pandas as pd
-
     tune_session(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_media_real(synthesize_real_media(docs)).select(
+        "doc_id", "format", "media_type", "width", "height", "sample_rate",
+        "n_samples", "orientation",
+    )
+
+
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): each id becomes a spec-valid PNG/JPEG/GIF/
+    BMP/WAV blob with dims a deterministic function of doc_id — the
+    encode half of the q36 round-trip, shared with the streaming twin
+    (mapInPandas is stateless, so the same kernel runs on a stream)."""
 
     def synth(batches):
+        import pandas as pd
+
         encoders = (
             lambda d: encode_png(d % 64 + 1, d % 48 + 1),
             lambda d: encode_jpeg(d % 64 + 1, d % 48 + 1, orientation=d % 8 + 1),
@@ -136,8 +147,4 @@ def q36_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(synth, schema="doc_id long, content binary")
-    return decode_media_real(media).select(
-        "doc_id", "format", "media_type", "width", "height", "sample_rate",
-        "n_samples", "orientation",
-    )
+    return docs.mapInPandas(synth, schema="doc_id long, content binary")
