@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scale-stress harness: warm 1x-vs-10x wall-time ratios for named
+catalog queries over an id-shifted 10x union of the documents table.
+
+This formalizes the recipe the round ledgers cite (COVERAGE.md stress
+rows): build /tmp/stress10x once (10 copies of sf0.1 documents with
+doc_ids shifted by 10M per copy — disjoint ids, identical value
+distributions), then min-of-N warm timings at both scales. A
+super-linear ratio at 10x is a plan bug (corpus-derived state growing
+into a broadcast/collect, an uncapped pair expansion), not noise —
+this caught q39's corpus-growing centroid set in round 6 and q106's
+1-2-task single-file scan narrowness in round 11.
+
+Usage:
+    python tools/stress10x.py q106_perplexity_bands q108_bloom_screen
+    python tools/stress10x.py --sf-dir /root/testdata/sf0.1 --runs 4 q55_minhash_lsh
+
+Only the documents table is multiplied; queries over other tables time
+identical inputs at both labels and should print ~1.0x (a useful
+no-op control).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SHIFT = 10_000_000
+_COPIES = 10
+
+
+def build_corpus(sf_dir: str, out: str) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, ".built_from")
+    if os.path.exists(marker) and open(marker).read() == sf_dir:
+        return out
+    src = os.path.join(sf_dir, "documents.parquet")
+    tab = pq.read_table(src)
+    idx = tab.schema.get_field_index("doc_id")
+    parts = [
+        tab.set_column(idx, "doc_id", pc.add(tab.column("doc_id"), i * _SHIFT))
+        for i in range(_COPIES)
+    ]
+    pq.write_table(pa.concat_tables(parts), os.path.join(out, "documents.parquet"))
+    # other tables pass through unchanged so every query can run
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            dst = os.path.join(out, f)
+            if not os.path.exists(dst):
+                pq.write_table(pq.read_table(os.path.join(sf_dir, f)), dst)
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="/tmp/stress10x")
+    ap.add_argument("--runs", type=int, default=4)
+    args = ap.parse_args()
+
+    big = build_corpus(args.sf_dir, args.out)
+
+    from pyspark.sql import SparkSession
+
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.session import (
+        persistent_rdd_ids,
+        release_new_persists,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .appName("stress10x")
+        .getOrCreate()
+    )
+    cat = catalog()
+    bad = [q for q in args.queries if q not in cat]
+    if bad:
+        print(f"unknown queries: {bad}", file=sys.stderr)
+        return 2
+    rc = 0
+    for q in args.queries:
+        mins = {}
+        for label, d in (("1x", args.sf_dir), ("10x", big)):
+            times = []
+            for _ in range(args.runs):
+                before = persistent_rdd_ids(spark)
+                t0 = time.time()
+                try:
+                    cat[q].fn(spark, d).collect()
+                finally:
+                    release_new_persists(spark, before)
+                times.append(time.time() - t0)
+            mins[label] = min(times)
+        ratio = mins["10x"] / mins["1x"] if mins["1x"] else float("inf")
+        verdict = "ok" if ratio < 5.0 else "SUPER-LINEAR"
+        if ratio >= 5.0:
+            rc = 1
+        print(
+            f"{q}: 1x {mins['1x']:.3f}s  10x {mins['10x']:.3f}s  "
+            f"ratio {ratio:.2f}x  [{verdict}]"
+        )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
