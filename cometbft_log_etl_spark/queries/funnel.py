@@ -1,0 +1,323 @@
+"""End-to-end curation funnel — the whole pretraining data-assembly
+chain as ONE declarative plan (public knowledge: this is the
+Gopher/RefinedWeb/CCNet pipeline order — heuristic quality gate →
+exact dedup → LM perplexity band → per-source budget), reported as a
+per-source funnel so an operator can see where documents die.
+
+Stages, each a FLAG on one corpus pass (no stage re-scans the lake):
+
+1. quality gate: >= 30 tokens and >= 0.35 distinct-token ratio (the
+   q104 label rule — the heuristic the learned tier bootstraps from);
+2. exact dedup: md5 canonical winner = min doc_id per fingerprint
+   among quality survivors (the q28/q13 convention);
+3. perplexity band: an add-one bigram LM (queries/perplexity.py
+   helpers, fitted on the SURVIVOR population's target-source slice)
+   scores each survivor; CCNet keeps head+middle, so the cut is
+   mb >= t2 over the survivor (lang, milli-nat) distribution —
+   bigram-less survivors (single-token docs) fail the band;
+4. token budget: q107's greedy quality-ranked prefix per source over
+   band survivors (budget = a third of surviving token mass), via the
+   same two-phase distribution + boundary-group decomposition — here
+   producing per-DOC flags, so the group decision table (distribution
+   -sized) broadcasts back onto the survivor frame and ONLY the
+   boundary group's documents see a window.
+
+Scale shape: one corpus scan builds the flag frame; the LM fit
+aggregates the survivor target slice into vocabulary-bounded tables;
+the band thresholds and budget boundaries come from distribution
+tables (the q26 restatement, twice); the only row-level windows are
+the per-fingerprint dedup winner (key-partitioned on the md5 — fine
+at any scale) and the boundary-group running sum (one length-group
+per source). Every output column is an integer.
+
+Determinism: inherits each stage's attested discipline — the mb
+milli-nat (decimal sum → one IEEE division → floor), integer budget
+arithmetic, md5 canonical ids. Duplicate-id posture: the dedup stage
+is keyed by fingerprint (not id), and min(doc_id) over identical
+copies is merge-invariant, so both engines classify duplicate copies
+identically (CI probe adjudicates).
+
+No reference analog (the reference has no curation surface); this is
+the composition of q104's label rule, q28/q13's dedup, q106's bands,
+and q107's budget into the plan a real corpus build would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+from .perplexity import _MILLI, _bigrams, fit_bigram_lm, join_lm, milli_col
+
+_FUN_MIN_TOKENS = 30
+_FUN_MIN_UNIQ = 0.35  # distinct-token ratio floor (q104's label rule)
+
+
+@register(
+    "q109_curation_funnel",
+    tags=("datapipe", "quality", "dedup", "lm", "selection", "pipeline"),
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source, lang, n_chars, text,
+         string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS tc
+  FROM documents WHERE text IS NOT NULL
+),
+flagged AS MATERIALIZED (
+  SELECT *,
+         tc >= {_FUN_MIN_TOKENS}
+           AND CAST(len(list_distinct(t)) AS DOUBLE) / tc >= {_FUN_MIN_UNIQ}
+           AS q_pass,
+         md5(text) AS fp
+  FROM base
+),
+canon AS MATERIALIZED (
+  SELECT *,
+         q_pass AND doc_id = min(doc_id)
+             FILTER (WHERE q_pass) OVER (PARTITION BY fp) AS is_canon
+  FROM flagged
+),
+surv1 AS MATERIALIZED (SELECT * FROM canon WHERE is_canon),
+tsrc AS MATERIALIZED (SELECT min(source) AS tsrc FROM surv1),
+tbase AS MATERIALIZED (
+  SELECT * FROM surv1 WHERE source = (SELECT tsrc FROM tsrc)
+),
+tbig AS MATERIALIZED (
+  SELECT lang, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tbase)
+),
+c2 AS MATERIALIZED (SELECT lang, w1, w2, count(*) AS n12 FROM tbig GROUP BY 1, 2, 3),
+c1 AS MATERIALIZED (SELECT lang, w1, sum(n12) AS n1 FROM c2 GROUP BY 1, 2),
+voc AS MATERIALIZED (
+  SELECT lang, count(DISTINCT tok) + 1 AS v
+  FROM (SELECT lang, unnest(list_distinct(t)) AS tok FROM tbase)
+  GROUP BY lang
+),
+big AS MATERIALIZED (
+  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM surv1)
+),
+lp AS MATERIALIZED (
+  SELECT big.doc_id, big.lang,
+         CAST(round(ln((coalesce(c2.n12, 0) + 1.0)
+                       / (coalesce(c1.n1, 0) + coalesce(voc.v, 1))), 9)
+              AS DECIMAL(14,9)) AS logp
+  FROM big
+  LEFT JOIN c2 ON c2.lang IS NOT DISTINCT FROM big.lang
+              AND c2.w1 = big.w1 AND c2.w2 = big.w2
+  LEFT JOIN c1 ON c1.lang IS NOT DISTINCT FROM big.lang AND c1.w1 = big.w1
+  LEFT JOIN voc ON voc.lang IS NOT DISTINCT FROM big.lang
+),
+perdoc AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(floor(CAST(sum(logp) AS DOUBLE) / count(*) * {_MILLI}) AS BIGINT)
+           AS mb
+  FROM lp GROUP BY doc_id, lang
+),
+dist AS MATERIALIZED (
+  SELECT lang, mb, count(*) AS cnt FROM perdoc GROUP BY lang, mb
+),
+cum AS MATERIALIZED (
+  SELECT lang, mb, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY mb DESC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM dist
+),
+th AS MATERIALIZED (
+  SELECT lang,
+         min(CASE WHEN cum - cnt + 1 <= (2 * n + 2) // 3 THEN mb END) AS t2
+  FROM cum GROUP BY lang
+),
+surv2 AS MATERIALIZED (
+  SELECT s.*
+  FROM surv1 s
+  JOIN perdoc p ON p.doc_id = s.doc_id AND p.lang IS NOT DISTINCT FROM s.lang
+  JOIN th ON th.lang IS NOT DISTINCT FROM s.lang
+  WHERE p.mb >= th.t2
+),
+sel AS MATERIALIZED (
+  SELECT doc_id,
+         sum(tc) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST
+                       ROWS UNBOUNDED PRECEDING)
+           <= sum(tc) OVER (PARTITION BY source) // 3 AS kept,
+         tc
+  FROM surv2
+)
+SELECT c.source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE c.q_pass) AS BIGINT) AS n_quality,
+       CAST(count(*) FILTER (WHERE c.is_canon) AS BIGINT) AS n_canonical,
+       CAST(count(*) FILTER (WHERE s2.doc_id IS NOT NULL) AS BIGINT) AS n_banded,
+       CAST(count(*) FILTER (WHERE sel.kept) AS BIGINT) AS n_selected,
+       CAST(coalesce(sum(sel.tc) FILTER (WHERE sel.kept), 0) AS BIGINT)
+         AS toks_selected
+FROM canon c
+LEFT JOIN surv2 s2 ON s2.doc_id = c.doc_id
+LEFT JOIN sel ON sel.doc_id = c.doc_id
+GROUP BY c.source
+""",
+)
+def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report: per source, how many documents
+    survive each stage and how many tokens the budget finally admits."""
+    tune_session(spark)
+    from ..session import default_parallelism, persist_tracked
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("bigint").alias("tc"),
+    ).repartition(default_parallelism())
+    uniq = F.size(F.array_distinct("t")).cast("double") / F.col("tc")
+    flagged = base.withColumn(
+        "q_pass",
+        (F.col("tc") >= F.lit(_FUN_MIN_TOKENS)) & (uniq >= F.lit(_FUN_MIN_UNIQ)),
+    ).withColumn("fp", F.md5(F.col("text").cast("binary")))
+    wfp = W.partitionBy("fp")
+    # persist_tracked at every reuse cut (q25/dsir/q107 discipline —
+    # the first formulation re-derived these subtrees per consumer: 46
+    # corpus scans, 95 exchanges). The flag frame is the one
+    # corpus-sized cache (MEMORY_AND_DISK spills at lake scale; a
+    # production build would stage it to a table between stages); the
+    # token array is dropped before caching and re-split where needed
+    # so the cache holds one text copy, not two.
+    canon = persist_tracked(
+        flagged.withColumn(
+            "is_canon",
+            F.col("q_pass")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(wfp)
+            ),
+        ).drop("t", "fp")
+    )
+    surv1 = canon.filter(F.col("is_canon")).select(
+        "doc_id", "source", "lang", "n_chars", "text", "tc"
+    ).withColumn("t", F.split("text", " "))
+
+    # stage 3: bands over the survivor population (helpers shared with
+    # q106 — the fit sees only surv1, so its target slice and vocab are
+    # the CLEAN corpus's, as CCNet prescribes). c2 caches (vocab-sized)
+    # because c1 re-aggregates it and the scoring join reads it again;
+    # perdoc caches (compact: 3 columns per surviving doc) because the
+    # distribution AND the band filter consume it.
+    lm_docs = surv1.select("doc_id", "lang", "source", "text")
+    c2, c1, voc = fit_bigram_lm(lm_docs)
+    c2 = persist_tracked(c2)
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("n12").alias("n1"))
+    lp = join_lm(_bigrams(surv1, "doc_id", "lang"), c2, c1, voc)
+    perdoc = persist_tracked(
+        lp.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("s"))
+        .select("doc_id", "lang", milli_col(F.col("s"), F.col("nb")))
+    )
+    dist = perdoc.groupBy("lang", "mb").agg(F.count(F.lit(1)).alias("cnt"))
+    part = W.partitionBy("lang")
+    cum = dist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            part.orderBy(F.col("mb").desc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    ).withColumn("n", F.sum("cnt").over(part))
+    th = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") - F.col("cnt") + F.lit(1) <= F.expr("(2 * n + 2) div 3"),
+                F.col("mb"),
+            )
+        ).alias("t2")
+    )
+    pd_r = perdoc.select(
+        F.col("doc_id").alias("p_id"), F.col("lang").alias("p_lang"), "mb"
+    )
+    th_r = th.select(F.col("lang").alias("t_lang"), "t2")
+    # surv2 caches (4 compact columns per band survivor): the budget
+    # distribution, the selection join, and the funnel assembly all
+    # consume it
+    surv2 = persist_tracked(
+        surv1.join(
+            pd_r,
+            (F.col("doc_id") == F.col("p_id"))
+            & F.col("lang").eqNullSafe(F.col("p_lang")),
+        )
+        .join(F.broadcast(th_r), F.col("lang").eqNullSafe(F.col("t_lang")))
+        .filter(F.col("mb") >= F.col("t2"))
+        .select("doc_id", "source", "n_chars", "tc")
+    )
+
+    # stage 4: budget flags via the q107 two-phase shape — the group
+    # decision table broadcasts; only the boundary group's docs window
+    g = surv2.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("tc").alias("gtok")
+    )
+    wsrc = W.partitionBy("source")
+    gcum = (
+        g.withColumn(
+            "gcum",
+            F.sum("gtok").over(
+                wsrc.orderBy(F.col("n_chars").desc_nulls_last()).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .withColumn("tot", F.sum("gtok").over(wsrc))
+        .withColumn("budget", F.expr("tot div 3"))
+        .select(
+            F.col("source").alias("g_src"),
+            F.col("n_chars").alias("g_chars"),
+            (F.col("gcum") <= F.col("budget")).alias("g_full"),
+            ((F.col("gcum") > F.col("budget"))
+             & (F.col("gcum") - F.col("gtok") <= F.col("budget"))).alias("g_bnd"),
+            (F.col("budget") - (F.col("gcum") - F.col("gtok"))).alias("remaining"),
+        )
+    )
+    sel_in = surv2.join(
+        F.broadcast(gcum),
+        surv2.source.eqNullSafe(F.col("g_src"))
+        & surv2.n_chars.eqNullSafe(F.col("g_chars")),
+    )
+    bwin = (
+        W.partitionBy("g_src", "g_chars")
+        .orderBy(F.col("doc_id").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sel = sel_in.withColumn(
+        "kept",
+        F.when(F.col("g_full"), F.lit(True)).otherwise(
+            F.col("g_bnd") & (F.sum("tc").over(bwin) <= F.col("remaining"))
+        ),
+    ).select(F.col("doc_id").alias("s_id"), "kept", F.col("tc").alias("s_tc"))
+
+    # funnel assembly: band/selection flags join back onto the flag
+    # frame by doc id (band survivors are a subset, so left joins)
+    s2_r = surv2.select(F.col("doc_id").alias("b_id"))
+    out = (
+        canon.select("doc_id", "source", "q_pass", "is_canon")
+        .join(s2_r, F.col("doc_id") == F.col("b_id"), "left")
+        .join(sel, F.col("doc_id") == F.col("s_id"), "left")
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(zero)).cast("bigint").alias("n_quality"),
+        F.sum(F.when(F.col("is_canon"), 1).otherwise(zero)).cast("bigint").alias("n_canonical"),
+        F.sum(F.when(F.col("b_id").isNotNull(), 1).otherwise(zero)).cast("bigint").alias("n_banded"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(zero)).cast("bigint").alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("s_tc")).otherwise(zero)), F.lit(0)
+        ).cast("bigint").alias("toks_selected"),
+    )

@@ -333,6 +333,21 @@ EXPECTATIONS = {
                           "max_n": {"Generate": 2,
                                     "BroadcastNestedLoopJoin": 2,
                                     "Exchange hashpartitioning": 7}},
+    # curation funnel: every stage flag computes off CACHED cuts (the
+    # flag frame, c2, per-doc scores, band survivors) — the first
+    # formulation re-derived the subtrees per consumer (46 corpus
+    # scans, 95 exchanges; the executed assembly must read ONE scan +
+    # InMemoryTableScans). No row_number anywhere (dedup winner is a
+    # null-skipping min window; budget is the two-phase shape)
+    # (no no-SMJ term: the band join is per-doc scores x survivors —
+    # corpus-sized on BOTH sides, so a doc-keyed SMJ is the correct
+    # strategy at scale; forbidding it would pin a broadcast that
+    # breaks at 100 TB)
+    "q109_curation_funnel": {"max_scans": 1,
+                             "contains": ["InMemoryTableScan"],
+                             "contains_not": ["row_number",
+                                              "CartesianProduct"],
+                             "max_n": {"Exchange hashpartitioning": 8}},
     # per-source token budget: the greedy cumulative-sum selection runs
     # over the cached (source, n_chars) DISTRIBUTION (InMemoryTableScan
     # — one corpus pass feeds both the roll-up and the boundary
