@@ -70,6 +70,36 @@ def _pos_array() -> F.Column:
     return F.array(*[_pos(i) for i in range(_BLOOM_K)])
 
 
+_HIST_MOD = 10
+_HIST_CUT = 8  # doc_id % 10 < 8 -> history (the q13 split convention)
+
+
+def corpus_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, fp, is_hist): the fingerprint + history-split
+    frame — ONE definition for the batch screen and the streaming twin
+    (the split rule and hash recipe must never exist twice)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        (F.col("doc_id") % _HIST_MOD < _HIST_CUT).alias("is_hist"),
+    )
+
+
+def history_fingerprints(fp: DataFrame) -> DataFrame:
+    return fp.filter(F.col("is_hist")).select("fp").distinct()
+
+
+def bloom_m_frame(hist: DataFrame) -> DataFrame:
+    """One-row m scalar: max(floor, bits-per-element * |history fps|)."""
+    return hist.agg(
+        F.greatest(
+            F.lit(_BLOOM_MIN_M).cast("bigint"),
+            (F.lit(_BLOOM_BITS_PER) * F.count(F.lit(1))).cast("bigint"),
+        ).alias("m")
+    )
+
+
 @register(
     "q108_bloom_screen",
     tags=("datapipe", "dedup", "sketch", "incremental"),
@@ -122,20 +152,9 @@ def q108_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, exact-verify only the maybe residue, and report per-source
     new / maybe / true-duplicate / false-positive counts."""
     tune_session(spark)
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    fp = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("text").cast("binary")).alias("fp"),
-        (F.col("doc_id") % 10 < 8).alias("is_hist"),
-    )
-    hist = fp.filter(F.col("is_hist")).select("fp").distinct()
-    mrow = hist.agg(
-        F.greatest(
-            F.lit(_BLOOM_MIN_M).cast("bigint"),
-            (F.lit(_BLOOM_BITS_PER) * F.count(F.lit(1))).cast("bigint"),
-        ).alias("m")
-    )
+    fp = corpus_fingerprints(load(spark, sf_dir, "documents"))
+    hist = history_fingerprints(fp)
+    mrow = bloom_m_frame(hist)
     hpos = (
         hist.crossJoin(F.broadcast(mrow))
         .select(F.explode(_pos_array()).alias("pos"))

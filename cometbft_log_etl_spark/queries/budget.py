@@ -183,7 +183,14 @@ def q107_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    return per_source.join(F.broadcast(bkept), "source", "left").select(
+    # null-safe: a NULL-source group is a real group in both engines'
+    # GROUP BY, and a plain-equality join here silently dropped its
+    # boundary-kept counts (round-11 review — the only null-unsafe
+    # join in the function)
+    bkept_r = bkept.select(F.col("source").alias("k_src"), "n_kept_bnd", "toks_bnd")
+    return per_source.join(
+        F.broadcast(bkept_r), per_source.source.eqNullSafe(F.col("k_src")), "left"
+    ).select(
         "source",
         "n_total",
         F.col("tok_total").cast("bigint").alias("tok_total"),

@@ -223,24 +223,11 @@ def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("s"))
         .select("doc_id", "lang", milli_col(F.col("s"), F.col("nb")))
     )
-    dist = perdoc.groupBy("lang", "mb").agg(F.count(F.lit(1)).alias("cnt"))
-    part = W.partitionBy("lang")
-    cum = dist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            part.orderBy(F.col("mb").desc()).rowsBetween(
-                W.unboundedPreceding, W.currentRow
-            )
-        ),
-    ).withColumn("n", F.sum("cnt").over(part))
-    th = cum.groupBy("lang").agg(
-        F.min(
-            F.when(
-                F.col("cum") - F.col("cnt") + F.lit(1) <= F.expr("(2 * n + 2) div 3"),
-                F.col("mb"),
-            )
-        ).alias("t2")
-    )
+    # one threshold row per language, off the SHARED tertile helper (the
+    # cut rule must not exist twice — round-11 review)
+    from .perplexity import dist_with_tertiles
+
+    th = dist_with_tertiles(perdoc).select("lang", "t2").distinct()
     pd_r = perdoc.select(
         F.col("doc_id").alias("p_id"), F.col("lang").alias("p_lang"), "mb"
     )
@@ -285,8 +272,26 @@ def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("budget") - (F.col("gcum") - F.col("gtok"))).alias("remaining"),
         )
     )
-    sel_in = surv2.join(
-        F.broadcast(gcum),
+    # wholesale-kept docs never see a window; ONLY the boundary
+    # group's documents (at most one length-group per source) are
+    # joined and running-summed. The first draft joined ALL survivors
+    # and computed the window everywhere with the g_full branch merely
+    # masking it — Spark still shuffled and sorted the whole survivor
+    # frame (round-11 review). Docs in post-boundary groups match
+    # neither side and fall out; the funnel's left join reads absent
+    # as not-kept.
+    full_docs = surv2.join(
+        F.broadcast(gcum.filter(F.col("g_full"))),
+        surv2.source.eqNullSafe(F.col("g_src"))
+        & surv2.n_chars.eqNullSafe(F.col("g_chars")),
+        "left_semi",
+    ).select(
+        F.col("doc_id").alias("s_id"),
+        F.lit(True).alias("kept"),
+        F.col("tc").alias("s_tc"),
+    )
+    bnd_in = surv2.join(
+        F.broadcast(gcum.filter(F.col("g_bnd"))),
         surv2.source.eqNullSafe(F.col("g_src"))
         & surv2.n_chars.eqNullSafe(F.col("g_chars")),
     )
@@ -295,12 +300,10 @@ def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_id").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    sel = sel_in.withColumn(
-        "kept",
-        F.when(F.col("g_full"), F.lit(True)).otherwise(
-            F.col("g_bnd") & (F.sum("tc").over(bwin) <= F.col("remaining"))
-        ),
+    bnd_docs = bnd_in.withColumn(
+        "kept", F.sum("tc").over(bwin) <= F.col("remaining")
     ).select(F.col("doc_id").alias("s_id"), "kept", F.col("tc").alias("s_tc"))
+    sel = full_docs.unionByName(bnd_docs)
 
     # funnel assembly: band/selection flags join back onto the flag
     # frame by doc id (band survivors are a subset, so left joins)

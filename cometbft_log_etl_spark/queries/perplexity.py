@@ -154,6 +154,43 @@ def milli_col(s, nb) -> F.Column:
     return F.floor(s.cast("double") / nb * F.lit(_MILLI)).alias("mb")
 
 
+def dist_with_tertiles(perdoc: DataFrame) -> DataFrame:
+    """(lang, mb, cnt, t1, t2): the per-language milli-nat distribution
+    with discrete tertile thresholds attached — the q26 quantile shape
+    over a domain-bounded table, shared by the batch band report and
+    the streaming threshold fit (so the cut rule never exists twice).
+    ``perdoc`` needs (lang, mb) — one row per scored document."""
+    dist = perdoc.groupBy("lang", "mb").agg(F.count(F.lit(1)).alias("cnt"))
+    part = W.partitionBy("lang")
+    cum = (
+        dist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                part.orderBy(F.col("mb").desc()).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .withColumn("n", F.sum("cnt").over(part))
+    )
+
+    def tertile(kexpr: str, name: str):
+        # the group whose rank interval starts at or before k holds the
+        # k-th highest milli-nat; min picks the containing group because
+        # the next group starts at cum+1 > k (the q26 discrete-quantile
+        # shape, descending)
+        start = F.col("cum") - F.col("cnt") + F.lit(1)
+        return F.min(F.when(start <= F.expr(kexpr), F.col("mb"))).over(part).alias(name)
+
+    return cum.select(
+        "lang",
+        "mb",
+        "cnt",
+        tertile("(n + 2) div 3", "t1"),
+        tertile("(2 * n + 2) div 3", "t2"),
+    )
+
+
 
 @register(
     "q106_perplexity_bands",
@@ -258,36 +295,7 @@ def q106_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("s"))
         .select("lang", milli_col(F.col("s"), F.col("nb")))
     )
-    dist = perdoc.groupBy("lang", "mb").agg(F.count(F.lit(1)).alias("cnt"))
-
-    part = W.partitionBy("lang")
-    cum = (
-        dist.withColumn(
-            "cum",
-            F.sum("cnt").over(
-                part.orderBy(F.col("mb").desc()).rowsBetween(
-                    W.unboundedPreceding, W.currentRow
-                )
-            ),
-        )
-        .withColumn("n", F.sum("cnt").over(part))
-    )
-
-    def tertile(kexpr: str, name: str):
-        # the group whose rank interval starts at or before k holds the
-        # k-th highest milli-nat; min picks the containing group because
-        # the next group starts at cum+1 > k (the q26 discrete-quantile
-        # shape, descending)
-        start = F.col("cum") - F.col("cnt") + F.lit(1)
-        return F.min(F.when(start <= F.expr(kexpr), F.col("mb"))).over(part).alias(name)
-
-    th = cum.select(
-        "lang",
-        "mb",
-        "cnt",
-        tertile("(n + 2) div 3", "t1"),
-        tertile("(2 * n + 2) div 3", "t2"),
-    )
+    th = dist_with_tertiles(perdoc)
     return (
         th.groupBy(
             "lang",

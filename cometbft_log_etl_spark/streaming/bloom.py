@@ -36,34 +36,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.bloom import _BLOOM_BITS_PER, _BLOOM_MIN_M, _pos_array
+from ..queries.bloom import (
+    _HIST_CUT,
+    _HIST_MOD,
+    _pos_array,
+    bloom_m_frame,
+    corpus_fingerprints,
+    history_fingerprints,
+)
 from ..tables import load
 from .curation import stream_documents
 
 
 def fitted_bloom(spark: SparkSession, sf_dir: str):
     """(m scalar, position-set frame, history-fp frame) from the batch
-    pipeline — the q108 history side, reusable as stream-static join
-    inputs. m is ONE driver-held integer; the frames stay distributed
-    (the position set is history-sized in bits, not collectable by
-    fiat at lake scale — AQE decides the join strategy per
-    micro-batch)."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    hist = (
-        docs.filter(F.col("doc_id") % 10 < 8)
-        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
-        .distinct()
+    pipeline — the q108 history side via the SAME shared builders the
+    batch screen uses (fingerprint recipe, history split, m sizing —
+    round-11 review de-duplicated them), reusable as stream-static
+    join inputs. m is ONE driver-held integer; the frames stay
+    distributed (the position set is history-sized in bits, not
+    collectable by fiat at lake scale — AQE decides the join strategy
+    per micro-batch)."""
+    hist = history_fingerprints(
+        corpus_fingerprints(load(spark, sf_dir, "documents"))
     )
-    m = (
-        hist.agg(
-            F.greatest(
-                F.lit(_BLOOM_MIN_M).cast("bigint"),
-                (F.lit(_BLOOM_BITS_PER) * F.count(F.lit(1))).cast("bigint"),
-            ).alias("m")
-        )
-        .collect()[0]
-        .m
-    )
+    m = bloom_m_frame(hist).collect()[0].m
     hpos = (
         hist.withColumn("m", F.lit(m).cast("bigint"))
         .select(F.explode(_pos_array()).alias("pos"))
@@ -112,5 +109,7 @@ def stream_bloom_screen_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convenience wiring: fit the seen-set offline on sf_dir's history
     slice, stream the BATCH slice through the screen (the q108 split)."""
     m, hpos, hist = fitted_bloom(spark, sf_dir)
-    batch = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 10 >= 8)
+    batch = stream_documents(spark, sf_dir).filter(
+        F.col("doc_id") % _HIST_MOD >= _HIST_CUT
+    )
     return stream_bloom_screen(batch, m, hpos, hist)

@@ -44,18 +44,28 @@ def _lang_key(col: F.Column) -> F.Column:
 def fitted_lm_and_thresholds(spark: SparkSession, sf_dir: str):
     """((c2, c1, voc) static LM frames, [(lang_key, t1, t2), ...]) from
     the batch fit — the thresholds a production job would version
-    alongside the LM tables."""
-    from ..queries import catalog
+    alongside the LM tables. ONE scoring pass: the first draft ran the
+    full q106 query just to read the two cuts back out, re-fitting the
+    LM and re-scoring the corpus it had already fitted (round-11
+    review); now the fitted frames feed the shared per-doc scorer and
+    tertile helper directly."""
+    from pyspark.sql import functions as F2
+
+    from ..queries.perplexity import dist_with_tertiles, logp_col, milli_col  # noqa: F401
 
     docs = load(spark, sf_dir, "documents")
     lm = fit_bigram_lm(docs)
+    c2, c1, voc = lm
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    lp = join_lm(_bigrams(toks, "doc_id", "lang"), c2, c1, voc)
+    perdoc = (
+        lp.groupBy("doc_id", "lang")
+        .agg(F2.count(F2.lit(1)).alias("nb"), F2.sum("logp").alias("s"))
+        .select("lang", milli_col(F2.col("s"), F2.col("nb")))
+    )
     th = [
-        (r.lang if r.lang is not None else _NULL_LANG, r.head_cut, r.mid_cut)
-        for r in catalog()["q106_perplexity_bands"]
-        .fn(spark, sf_dir)
-        .select("lang", "head_cut", "mid_cut")
-        .distinct()
-        .collect()
+        (r.lang if r.lang is not None else _NULL_LANG, r.t1, r.t2)
+        for r in dist_with_tertiles(perdoc).select("lang", "t1", "t2").distinct().collect()
     ]
     return lm, th
 

@@ -128,6 +128,42 @@ def boundary_tie_dir(tmp_path):
     return str(tmp_path)
 
 
+@pytest.fixture()
+def null_source_boundary_dir(tmp_path):
+    """A NULL-source group whose budget boundary BITES: the final
+    roll-up join must be null-safe or the NULL group's boundary-kept
+    counts silently drop (round-11 review finding — the null-cell
+    battery missed it because its null-source group never had a
+    boundary)."""
+    docs = {
+        "doc_id": [1, 2, 3, 4],
+        "source": [None, None, None, None],
+        "n_chars": [9, 8, 8, 7],
+        # tot 9 -> budget 3: doc 1 (2 tok) kept wholesale; the
+        # n_chars=8 BOUNDARY group has remaining 1, so doc 2 (1 tok)
+        # is boundary-KEPT — exactly the count the null-unsafe join
+        # dropped — and doc 3 (5 tok) is dropped; doc 4 dropped
+        "text": ["t t", "y", "x x x x x", "z"],
+    }
+    pq.write_table(pa.table(docs), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_null_source_boundary_counts_survive(spark, null_source_boundary_dir):
+    got = _engine_selection(spark, null_source_boundary_dir)
+    assert got == {None: (4, 9, 3, 2, 3)}
+    tab = pq.read_table(f"{null_source_boundary_dir}/documents.parquet")
+    ref = _reference_selection(
+        zip(
+            tab.column("doc_id").to_pylist(),
+            tab.column("source").to_pylist(),
+            tab.column("n_chars").to_pylist(),
+            tab.column("text").to_pylist(),
+        )
+    )
+    assert got == ref
+
+
 def test_boundary_entered_exactly_at_budget(spark, boundary_tie_dir):
     got = _engine_selection(spark, boundary_tie_dir)
     # hand-computed, equal to the naive window semantics (cum <= budget)

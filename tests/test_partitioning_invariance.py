@@ -32,6 +32,7 @@ _PRONE = [
     "q45_exact_substring_runs",  # per-gram occurrence cap rank + islands
     "q46_substring_scrub",  # inherits the cap + collect_list span sets
     "q107_source_token_budget",  # running-sum windows + boundary-group picks
+    "q109_curation_funnel",  # min-id dedup winner + budget boundary picks
 ]
 
 
