@@ -56,8 +56,8 @@ def _load_all() -> None:
     from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import dsir  # noqa: F401
-    from . import funnel  # noqa: F401
     from . import events_analytics  # noqa: F401
+    from . import funnel  # noqa: F401
     from . import log_pipeline  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import neardup  # noqa: F401

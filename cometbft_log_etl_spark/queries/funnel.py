@@ -68,10 +68,15 @@ WITH base AS MATERIALIZED (
   FROM documents WHERE text IS NOT NULL
 ),
 flagged AS MATERIALIZED (
+  -- the gate counts FILTERED tokens (q104's convention: doubled
+  -- spaces don't make a doc longer); the CASE keeps the ratio's
+  -- division unreachable when the filtered count is below the floor
   SELECT *,
-         tc >= {_FUN_MIN_TOKENS}
-           AND CAST(len(list_distinct(t)) AS DOUBLE) / tc >= {_FUN_MIN_UNIQ}
-           AS q_pass,
+         CASE WHEN len(list_filter(t, x -> x <> '')) >= {_FUN_MIN_TOKENS}
+              THEN CAST(len(list_distinct(list_filter(t, x -> x <> '')))
+                        AS DOUBLE)
+                   / len(list_filter(t, x -> x <> '')) >= {_FUN_MIN_UNIQ}
+              ELSE false END AS q_pass,
          md5(text) AS fp
   FROM base
 ),
@@ -180,10 +185,20 @@ def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("t"),
         F.size(F.split("text", " ")).cast("bigint").alias("tc"),
     ).repartition(default_parallelism())
-    uniq = F.size(F.array_distinct("t")).cast("double") / F.col("tc")
+    # the quality gate uses q104's FILTERED-token convention (empty
+    # tokens from doubled spaces don't count — _qc_rows filters them
+    # before tc and the distinct ratio; round-11 review caught this
+    # gate counting raw split tokens, which let a space-padded short
+    # doc through). The LM and budget stages keep their own tiers'
+    # raw-split conventions (q106/q14), each documented there.
+    qt = F.filter(F.col("t"), lambda x: x != "")
+    qn = F.size(qt)
+    quniq = F.size(F.array_distinct(qt)).cast("double") / qn
     flagged = base.withColumn(
         "q_pass",
-        (F.col("tc") >= F.lit(_FUN_MIN_TOKENS)) & (uniq >= F.lit(_FUN_MIN_UNIQ)),
+        F.when(
+            qn >= F.lit(_FUN_MIN_TOKENS), quniq >= F.lit(_FUN_MIN_UNIQ)
+        ).otherwise(F.lit(False)),
     ).withColumn("fp", F.md5(F.col("text").cast("binary")))
     wfp = W.partitionBy("fp")
     # persist_tracked at every reuse cut (q25/dsir/q107 discipline —

@@ -57,8 +57,16 @@ def fitted_bloom(spark: SparkSession, sf_dir: str):
     distributed (the position set is history-sized in bits, not
     collectable by fiat at lake scale — AQE decides the join strategy
     per micro-batch)."""
-    hist = history_fingerprints(
-        corpus_fingerprints(load(spark, sf_dir, "documents"))
+    from ..session import persist_tracked
+
+    # persist: the m count, the position explode, AND the caller's
+    # exact-verify static side all read the distinct history
+    # fingerprints — uncached, each re-scans the corpus (the q25/dsir
+    # precedent; round-11 review). A long-lived streaming job keeps
+    # the cache for the life of the model; test harnesses release it
+    # via their snapshot/release wrappers.
+    hist = persist_tracked(
+        history_fingerprints(corpus_fingerprints(load(spark, sf_dir, "documents")))
     )
     m = bloom_m_frame(hist).collect()[0].m
     hpos = (

@@ -49,9 +49,7 @@ def fitted_lm_and_thresholds(spark: SparkSession, sf_dir: str):
     LM and re-scoring the corpus it had already fitted (round-11
     review); now the fitted frames feed the shared per-doc scorer and
     tertile helper directly."""
-    from pyspark.sql import functions as F2
-
-    from ..queries.perplexity import dist_with_tertiles, logp_col, milli_col  # noqa: F401
+    from ..queries.perplexity import dist_with_tertiles
 
     docs = load(spark, sf_dir, "documents")
     lm = fit_bigram_lm(docs)
@@ -60,8 +58,8 @@ def fitted_lm_and_thresholds(spark: SparkSession, sf_dir: str):
     lp = join_lm(_bigrams(toks, "doc_id", "lang"), c2, c1, voc)
     perdoc = (
         lp.groupBy("doc_id", "lang")
-        .agg(F2.count(F2.lit(1)).alias("nb"), F2.sum("logp").alias("s"))
-        .select("lang", milli_col(F2.col("s"), F2.col("nb")))
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("logp").alias("s"))
+        .select("lang", milli_col(F.col("s"), F.col("nb")))
     )
     th = [
         (r.lang if r.lang is not None else _NULL_LANG, r.t1, r.t2)

@@ -39,7 +39,13 @@ def _reference_funnel(sf_dir: str):
     for doc_id, source, lang, n_chars, text in rows:
         toks = text.split(" ")
         tc = len(toks)
-        q = tc >= _FUN_MIN_TOKENS and len(set(toks)) / tc >= _FUN_MIN_UNIQ
+        # quality gate over FILTERED tokens (q104's convention); LM and
+        # budget stages use the raw split like q106/q14
+        qt = [x for x in toks if x]
+        q = (
+            len(qt) >= _FUN_MIN_TOKENS
+            and len(set(qt)) / len(qt) >= _FUN_MIN_UNIQ
+        )
         fp = hashlib.md5(text.encode()).hexdigest()
         recs.append([doc_id, source, lang, n_chars, toks, tc, q, fp, False, False, False])
     winners: dict = {}

@@ -42,6 +42,13 @@ def build_corpus(sf_dir: str, out: str) -> str:
     marker = os.path.join(out, ".built_from")
     if os.path.exists(marker) and open(marker).read() == sf_dir:
         return out
+    # marker mismatch -> REBUILD EVERY table: an if-not-exists copy of
+    # the siblings would leave the previous corpus's tables next to the
+    # new documents and then stamp the marker as if they matched
+    # (round-11 review) — a silent mixed corpus for multi-table queries
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(out, f))
     src = os.path.join(sf_dir, "documents.parquet")
     tab = pq.read_table(src)
     idx = tab.schema.get_field_index("doc_id")
@@ -53,9 +60,9 @@ def build_corpus(sf_dir: str, out: str) -> str:
     # other tables pass through unchanged so every query can run
     for f in os.listdir(sf_dir):
         if f.endswith(".parquet") and f != "documents.parquet":
-            dst = os.path.join(out, f)
-            if not os.path.exists(dst):
-                pq.write_table(pq.read_table(os.path.join(sf_dir, f)), dst)
+            pq.write_table(
+                pq.read_table(os.path.join(sf_dir, f)), os.path.join(out, f)
+            )
     with open(marker, "w") as fh:
         fh.write(sf_dir)
     return out
