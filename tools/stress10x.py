@@ -115,8 +115,18 @@ def main() -> int:
                 times.append(time.time() - t0)
             mins[label] = min(times)
         ratio = mins["10x"] / mins["1x"] if mins["1x"] else float("inf")
-        verdict = "ok" if ratio < 5.0 else "SUPER-LINEAR"
-        if ratio >= 5.0:
+        # 10x data: <4x = the distribution/model-bounded work saturates
+        # (the shape most tiers aim for); 4-12x = near-linear, correct
+        # for per-document-dominated map work whose 1x run under-fills
+        # the cores; >=12x = genuinely super-linear in the data — a
+        # plan bug (corpus-derived state in a broadcast/collect, an
+        # uncapped pair expansion: q39's round-6 centroid bug was 32x)
+        if ratio < 4.0:
+            verdict = "saturating"
+        elif ratio < 12.0:
+            verdict = "near-linear"
+        else:
+            verdict = "SUPER-LINEAR"
             rc = 1
         print(
             f"{q}: 1x {mins['1x']:.3f}s  10x {mins['10x']:.3f}s  "
