@@ -67,6 +67,7 @@ def _load_all() -> None:
     from . import scalars  # noqa: F401
     from . import temporal  # noqa: F401
     from . import tokenizer  # noqa: F401
+    from . import winnow  # noqa: F401
 
 
 def catalog() -> dict[str, QueryDef]:

@@ -333,6 +333,17 @@ EXPECTATIONS = {
                           "max_n": {"Generate": 2,
                                     "BroadcastNestedLoopJoin": 2,
                                     "Exchange hashpartitioning": 7}},
+    # winnowing fingerprints: all gram/hash/window-minima work is
+    # in-array map-side (zip_with over shifted slices — an indexed-
+    # lambda formulation re-ran the md5 chain per window, the q09
+    # class); the fingerprint frame is cached (sharing tier + report
+    # both read it), and the only joins are the fingerprint-count
+    # share join and the report's doc-keyed left join
+    "q110_winnowing_fingerprints": {"contains": ["InMemoryTableScan"],
+                                    "contains_not": ["row_number",
+                                                     "CartesianProduct",
+                                                     "SortMergeJoin"],
+                                    "max_n": {"Exchange hashpartitioning": 4}},
     # curation funnel: every stage flag computes off CACHED cuts (the
     # flag frame, c2, per-doc scores, band survivors) — the first
     # formulation re-derived the subtrees per consumer (46 corpus
