@@ -53,6 +53,49 @@ _SQL_GRAM = " || ' ' || ".join(f"t[i + {j}]" for j in range(_WIN_K))
 _SQL_LEAST = ", ".join(f"h[i + {j}]" for j in range(_WIN_W))
 
 
+def winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_windows, fp) per document — the winnowed
+    fingerprint sets, built entirely in-array. ``docs`` needs
+    (doc_id, t); shared by the batch query and the streaming twin so
+    the gram/hash/minima recipe exists once. Callers persist if they
+    fan out."""
+    n = F.size("t")
+    # slice length floors at 0: a doc shorter than k tokens would pass
+    # a NEGATIVE length (n - 3) and Spark's slice() errors on it where
+    # DuckDB's generate_series just comes back empty
+    glen = F.greatest(n - F.lit(_WIN_K - 1), F.lit(0))
+    slices = [F.slice(F.col("t"), j + 1, glen) for j in range(_WIN_K)]
+    grams = slices[0]
+    for s in slices[1:]:
+        grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
+    hashes = docs.select(
+        "doc_id",
+        F.transform(grams, lambda g: _h32(g)).alias("h"),
+    )
+    nh = F.size("h")
+    nw = F.greatest(nh - F.lit(_WIN_W - 1), F.lit(0))
+    # window minima as nested zip_with over SHIFTED SLICES of h — the
+    # round-11 HOF rule's safe form. The first draft indexed h from a
+    # sequence()-driven lambda, and CollapseProject inlined h's whole
+    # gram+hash build into that lambda: the md5 chain re-ran per
+    # window element (~15s for 500 docs; 0.35s this way). zip_with
+    # inputs are child expressions, evaluated once per row; slice
+    # length floors at 0 so short docs fall out as empty arrays on
+    # both engines.
+    hs = [F.slice(F.col("h"), j + 1, nw) for j in range(_WIN_W)]
+    minima = F.zip_with(
+        F.zip_with(hs[0], hs[1], lambda a, b: F.least(a, b)),
+        F.zip_with(hs[2], hs[3], lambda a, b: F.least(a, b)),
+        lambda a, b: F.least(a, b),
+    )
+    return hashes.select(
+        "doc_id",
+        nh.cast("bigint").alias("n_grams"),
+        nw.cast("bigint").alias("n_windows"),
+        F.array_distinct(minima).alias("fp"),
+    )
+
+
 @register(
     "q110_winnowing_fingerprints",
     tags=("datapipe", "dedup", "fingerprint"),
@@ -107,48 +150,12 @@ def q110_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("t"))
         .repartition(default_parallelism())
     )
-    n = F.size("t")
-    # slice length floors at 0: a doc shorter than k tokens would pass
-    # a NEGATIVE length (n - 3) and Spark's slice() errors on it where
-    # DuckDB's generate_series just comes back empty
-    glen = F.greatest(n - F.lit(_WIN_K - 1), F.lit(0))
-    slices = [F.slice(F.col("t"), j + 1, glen) for j in range(_WIN_K)]
-    grams = slices[0]
-    for s in slices[1:]:
-        grams = F.zip_with(grams, s, lambda a, b: F.concat(a, F.lit(" "), b))
-    hashes = docs.select(
-        "doc_id",
-        F.transform(grams, lambda g: _h32(g)).alias("h"),
-    )
-    nh = F.size("h")
-    nw = F.greatest(nh - F.lit(_WIN_W - 1), F.lit(0))
-    # window minima as nested zip_with over SHIFTED SLICES of h — the
-    # round-11 HOF rule's safe form. The first draft indexed h from a
-    # sequence()-driven lambda, and CollapseProject inlined h's whole
-    # gram+hash build into that lambda: the md5 chain re-ran per
-    # window element (~15s for 500 docs; 0.35s this way). zip_with
-    # inputs are child expressions, evaluated once per row; slice
-    # length floors at 0 so short docs fall out as empty arrays on
-    # both engines.
-    hs = [F.slice(F.col("h"), j + 1, nw) for j in range(_WIN_W)]
-    minima = F.zip_with(
-        F.zip_with(hs[0], hs[1], lambda a, b: F.least(a, b)),
-        F.zip_with(hs[2], hs[3], lambda a, b: F.least(a, b)),
-        lambda a, b: F.least(a, b),
-    )
     # persist: the sharing tier and the final report both consume the
     # fingerprint frame — uncached, each re-runs the gram+hash build
     # (compact: one row per doc, the distinct-minima array)
     from ..session import persist_tracked
 
-    fps = persist_tracked(
-        hashes.select(
-            "doc_id",
-            nh.cast("bigint").alias("n_grams"),
-            nw.cast("bigint").alias("n_windows"),
-            F.array_distinct(minima).alias("fp"),
-        )
-    )
+    fps = persist_tracked(winnow_fps(docs))
     u = fps.select("doc_id", F.explode("fp").alias("f"))
     share = u.groupBy("f").agg(F.count(F.lit(1)).alias("n_docs"))
     pds = (
