@@ -373,6 +373,23 @@ EXPECTATIONS = {
                                                   "CartesianProduct",
                                                   "SortMergeJoin"],
                                  "max_n": {"Exchange hashpartitioning": 7}},
+    # exact deciles WITHOUT the global-sort window (round-11's one
+    # `weak` plan, restated): the corpus reduces to the CACHED
+    # (price_cents -> count) distribution first — one corpus scan
+    # feeds the cumulative window, the bucket totals and the count
+    # aggregate via InMemoryTableScan — and the cumulative window is
+    # PARTITIONED by the 65536-cent value bucket, so an ntile/
+    # row_number/percent_rank (the unpartitioned corpus window) can
+    # never reappear. The only executed BNLJ is the 1-row count
+    # cross; the triangular bucket-prefix join is bucket-table-sized
+    # (domain/65536 rows) behind broadcast stages.
+    "q67_ntile_deciles": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
+                          "contains": ["InMemoryTableScan"],
+                          "contains_not": ["ntile", "row_number",
+                                           "percent_rank", "cume_dist",
+                                           "CartesianProduct", "SortMergeJoin"],
+                          "max_n": {"Exchange hashpartitioning": 3,
+                                    "BroadcastNestedLoopJoin": 2}},
     # retention cohorts: user-keyed join + window over the aggregated
     # cohort×offset matrix — no nested-loop pairing anywhere
     "q40_retention_cohorts": {"codegen": True, "max_scan_cols": 2,

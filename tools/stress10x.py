@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Scale-stress harness: warm 1x-vs-10x wall-time ratios for named
-catalog queries over an id-shifted 10x union of the documents table.
+catalog queries over an id-shifted 10x union of one table
+(documents by default; --table orders/events for those families).
 
 This formalizes the recipe the round ledgers cite (COVERAGE.md stress
-rows): build /tmp/stress10x once (10 copies of sf0.1 documents with
-doc_ids shifted by 10M per copy — disjoint ids, identical value
+rows): build /tmp/stress10x once (10 copies of the chosen table with
+ids shifted by 10M per copy — disjoint ids, identical value
 distributions), then min-of-N warm timings at both scales. A
 super-linear ratio at 10x is a plan bug (corpus-derived state growing
 into a broadcast/collect, an uncapped pair expansion), not noise —
@@ -14,8 +15,9 @@ this caught q39's corpus-growing centroid set in round 6 and q106's
 Usage:
     python tools/stress10x.py q106_perplexity_bands q108_bloom_screen
     python tools/stress10x.py --sf-dir /root/testdata/sf0.1 --runs 4 q55_minhash_lsh
+    python tools/stress10x.py --table orders q67_ntile_deciles
 
-Only the documents table is multiplied; queries over other tables time
+Only the chosen table is multiplied; queries over other tables time
 identical inputs at both labels and should print ~1.0x (a useful
 no-op control).
 """
@@ -33,14 +35,20 @@ _SHIFT = 10_000_000
 _COPIES = 10
 
 
-def build_corpus(sf_dir: str, out: str) -> str:
+# table -> the unique id column shifted per copy so the 10x union has
+# disjoint ids but identical value distributions
+_ID_COLS = {"documents": "doc_id", "orders": "o_orderkey", "events": "event_id"}
+
+
+def build_corpus(sf_dir: str, out: str, table: str = "documents") -> str:
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(out, exist_ok=True)
     marker = os.path.join(out, ".built_from")
-    if os.path.exists(marker) and open(marker).read() == sf_dir:
+    stamp = f"{sf_dir}\n{table}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     # marker mismatch -> REBUILD EVERY table: an if-not-exists copy of
     # the siblings would leave the previous corpus's tables next to the
@@ -49,22 +57,22 @@ def build_corpus(sf_dir: str, out: str) -> str:
     for f in os.listdir(out):
         if f.endswith(".parquet"):
             os.remove(os.path.join(out, f))
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     tab = pq.read_table(src)
-    idx = tab.schema.get_field_index("doc_id")
+    idx = tab.schema.get_field_index(_ID_COLS[table])
     parts = [
-        tab.set_column(idx, "doc_id", pc.add(tab.column("doc_id"), i * _SHIFT))
+        tab.set_column(idx, _ID_COLS[table], pc.add(tab.column(_ID_COLS[table]), i * _SHIFT))
         for i in range(_COPIES)
     ]
-    pq.write_table(pa.concat_tables(parts), os.path.join(out, "documents.parquet"))
+    pq.write_table(pa.concat_tables(parts), os.path.join(out, f"{table}.parquet"))
     # other tables pass through unchanged so every query can run
     for f in os.listdir(sf_dir):
-        if f.endswith(".parquet") and f != "documents.parquet":
+        if f.endswith(".parquet") and f != f"{table}.parquet":
             pq.write_table(
                 pq.read_table(os.path.join(sf_dir, f)), os.path.join(out, f)
             )
     with open(marker, "w") as fh:
-        fh.write(sf_dir)
+        fh.write(stamp)
     return out
 
 
@@ -74,9 +82,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default="/tmp/stress10x")
     ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument(
+        "--table",
+        default="documents",
+        choices=sorted(_ID_COLS),
+        help="which table the 10x union multiplies (default: documents)",
+    )
     args = ap.parse_args()
 
-    big = build_corpus(args.sf_dir, args.out)
+    big = build_corpus(args.sf_dir, args.out, args.table)
 
     from pyspark.sql import SparkSession
 
