@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import dsir  # noqa: F401
     from . import events_analytics  # noqa: F401
     from . import funnel  # noqa: F401
+    from . import linedup  # noqa: F401
     from . import log_pipeline  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import neardup  # noqa: F401

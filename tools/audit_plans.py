@@ -373,6 +373,29 @@ EXPECTATIONS = {
                                                   "CartesianProduct",
                                                   "SortMergeJoin"],
                                  "max_n": {"Exchange hashpartitioning": 7}},
+    # CCNet line dedup: the per-doc DISTINCT line hashes build
+    # IN-ARRAY before the explode (array_distinct in the Generate — no
+    # count-distinct shuffle) and the exploded (doc_id, h) frame is
+    # CACHED (it feeds the duplicate vote AND the removal lists; the
+    # 2 extra FileScan/Generate prints are the cache build plan
+    # repeated under its two TableCacheQueryStage references — the
+    # real execution scans the corpus twice: cache build + mask side).
+    # Masking is in-array per doc row, so no row_number and no
+    # line-level reassembly shuffle can appear; join strategy is
+    # deliberately ungated (removal lists vs docs is corpus-sized on
+    # both sides at 100 TB — an SMJ there is correct).
+    "q111_line_dedup": {"codegen": True, "max_scan_cols": 3, "max_scans": 3,
+                        "contains_anywhere": ["InMemoryTableScan"],
+                        "contains_not": ["row_number", "CartesianProduct",
+                                         "BroadcastNestedLoopJoin"],
+                        "max_n": {"Generate": 2,
+                                  "Exchange hashpartitioning": 4}},
+    "q112_line_scrub": {"codegen": True, "max_scan_cols": 3, "max_scans": 3,
+                        "contains_anywhere": ["InMemoryTableScan"],
+                        "contains_not": ["row_number", "CartesianProduct",
+                                         "BroadcastNestedLoopJoin"],
+                        "max_n": {"Generate": 2,
+                                  "Exchange hashpartitioning": 3}},
     # exact deciles WITHOUT the global-sort window (round-11's one
     # `weak` plan, restated): the corpus reduces to the CACHED
     # (price_cents -> count) distribution first — one corpus scan
