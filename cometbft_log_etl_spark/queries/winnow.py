@@ -83,11 +83,12 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
     # length floors at 0 so short docs fall out as empty arrays on
     # both engines.
     hs = [F.slice(F.col("h"), j + 1, nw) for j in range(_WIN_W)]
-    minima = F.zip_with(
-        F.zip_with(hs[0], hs[1], lambda a, b: F.least(a, b)),
-        F.zip_with(hs[2], hs[3], lambda a, b: F.least(a, b)),
-        lambda a, b: F.least(a, b),
-    )
+    # generic fold so the Spark side tracks _WIN_W exactly like the
+    # generated _SQL_LEAST does (round-11 advice: the first version
+    # hardcoded a two-level tree that only worked for _WIN_W == 4)
+    minima = hs[0]
+    for s in hs[1:]:
+        minima = F.zip_with(minima, s, lambda a, b: F.least(a, b))
     return hashes.select(
         "doc_id",
         nh.cast("bigint").alias("n_grams"),

@@ -56,7 +56,17 @@ def fitted_bloom(spark: SparkSession, sf_dir: str):
     join inputs. m is ONE driver-held integer; the frames stay
     distributed (the position set is history-sized in bits, not
     collectable by fiat at lake scale — AQE decides the join strategy
-    per micro-batch)."""
+    per micro-batch).
+
+    OWNERSHIP CONTRACT (round-11 advice, the linedup-twin wording):
+    the returned history frame IS a live persist_tracked cache —
+    without it the m count, the position explode, and the caller's
+    exact-verify join each re-scan the corpus — and the CALLER owns
+    its release (hist.unpersist(), or a persistent_rdd_ids/
+    release_new_persists harness as the tests do). Repeated fits in
+    one session otherwise accumulate persisted RDDs; a long-lived
+    streaming job keeps the cache for the life of the model version.
+    """
     from ..session import persist_tracked
 
     # persist: the m count, the position explode, AND the caller's

@@ -21,7 +21,7 @@ def _run_stream(df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
 
 
 def test_stream_quality_matches_batch(spark, sf_dir):
@@ -100,7 +100,7 @@ def test_stream_source_stats_matches_batch_card(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = spark.table("t_card")
     want = (
         catalog()["q08_source_datacard"]

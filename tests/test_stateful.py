@@ -26,7 +26,7 @@ def matched(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     return spark.table("t_stateful"), sc
 
 
@@ -94,7 +94,7 @@ def test_reconfirmation_semantics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     rows = spark.table("t_dup").filter(F.col("status") == "confirmed").collect()
     # one send, two receives → TWO confirmations (80 ms and 200 ms)
     assert sorted(r.latency_ms for r in rows) == [80, 200]
@@ -186,7 +186,7 @@ def test_literal_map_semantics_single_run(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in time"
     rows = spark.table("t_literal").collect()
 
     got = sorted(

@@ -31,7 +31,7 @@ def test_stream_verdicts_match_batch(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         got = {
             r.doc_id: (r.source, r.verdict)
             for r in spark.table("t_stream_bloom").collect()
@@ -62,7 +62,7 @@ def test_stream_totals_match_q108_report(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         rows = spark.table("t_stream_bloom2").collect()
         got = Counter((r.source, r.verdict) for r in rows)
         report = {}

@@ -23,7 +23,7 @@ def test_stream_scores_match_batch_q104(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         got = {
             r.doc_id: (r.src, r.y, r.score, r.flagged)
             for r in spark.table("t_stream_qc").collect()

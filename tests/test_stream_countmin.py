@@ -47,7 +47,7 @@ def test_stream_sketch_matches_batch_single_trigger(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         (r.j, r.bucket): r.cnt for r in spark.table("t_stream_cm_one").collect()
     }
@@ -94,7 +94,7 @@ def test_stream_sketch_accumulates_across_micro_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         (r.j, r.bucket): r.cnt for r in spark.table("t_stream_cm_multi").collect()
     }
@@ -118,7 +118,7 @@ def test_stream_substring_containment_matches_batch_q47(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         r.doc_id: (r.n_grams, r.n_history_grams, r.containment, r.flagged)
         for r in spark.table("t_stream_contain").collect()
@@ -147,7 +147,7 @@ def test_stream_substring_scrub_matches_batch_q46(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
         for r in spark.table("t_stream_scrub").collect()
@@ -175,7 +175,7 @@ def test_stream_selfrep_scrub_matches_batch_q103(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
         for r in spark.table("t_stream_selfrep").collect()

@@ -24,7 +24,7 @@ def test_stream_scores_match_batch_dsir(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         got = {
             r.doc_id: (r.src, r.n_grams, r.score)
             for r in spark.table("t_stream_dsir").collect()

@@ -22,7 +22,7 @@ def test_stream_headers_match_batch_q36(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         got = {
             r.doc_id: (
                 r.format, r.media_type, r.width, r.height,

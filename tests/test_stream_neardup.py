@@ -58,7 +58,7 @@ def stream_pairs(spark, sf_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     return spark.table("t_stream_pairs")
 
 

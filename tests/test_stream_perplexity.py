@@ -35,7 +35,7 @@ def _run_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     return spark.table("t_stream_ppl").collect(), lm
 
 

@@ -24,7 +24,7 @@ def test_stream_encode_matches_batch_q18(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish in time"
     got = {
         r.doc_id: (r.n_words, r.n_bpe_tokens)
         for r in spark.table("t_stream_bpe").collect()

@@ -22,7 +22,7 @@ def test_stream_report_matches_batch_q110(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
         got = {
             r.doc_id: (r.n_grams, r.n_windows, r.n_fingerprints, r.max_fp_share)
             for r in spark.table("t_stream_winnow").collect()

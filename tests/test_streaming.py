@@ -37,7 +37,7 @@ def _run_to_memory(df, name: str, spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     return spark.table(name)
 
 
@@ -71,7 +71,7 @@ def test_windowed_counts(spark, log_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     out = spark.table("t_windows")
     total = out.agg(F.sum("n")).collect()[0][0] or 0
     assert total == sum(sc.expected.values())
@@ -268,7 +268,7 @@ def test_streaming_rate_anomalies_match_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     # Re-materialize the rollup (types × hours rows — trivially small):
     # Spark's self-join attribute dedup chokes on a MemorySink view used
