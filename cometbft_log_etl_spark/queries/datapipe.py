@@ -265,7 +265,7 @@ _SQL_EXPLODE = f"""
 
 
 @register(
-    "q62_subword_budget",
+    "q113_subword_budget",
     tags=("datapipe", "text", "tokenize"),
     oracle="""
 WITH tok AS (
@@ -288,7 +288,7 @@ FROM counts
 GROUP BY lang
 """,
 )
-def q62_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q113_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, whitespace + BPE-ish: regex word split, then each
     word costs ceil(len/4) subword units — a deterministic stand-in for
     BPE merge counts that keeps the budget arithmetic (tokens-per-doc,

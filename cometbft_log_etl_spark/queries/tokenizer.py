@@ -1,7 +1,7 @@
 """Distributed BPE tokenizer fitting over the documents corpus.
 
 The vocab-induction story so far counts whole tokens (q97) and applies
-a BPE-ish regex (q62); this module FITS the merge table itself — the
+a BPE-ish regex (q113); this module FITS the merge table itself — the
 iterative half of training a tokenizer — as a driver-looped sequence of
 DataFrame jobs, the same bounded-iteration shape as the Hash-Min
 connected components (neardup.hash_min_components):
@@ -251,7 +251,7 @@ def bpe_encode_word_lengths(docs: DataFrame, merges: list[dict]) -> DataFrame:
 )
 def q18_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subtoken counts under the corpus-fitted BPE
-    tokenizer (q16's merges applied): the real version of what q62
+    tokenizer (q16's merges applied): the real version of what q113
     approximates with a fixed regex. Word→length comes STRAIGHT from
     the fit's final checkpointed symbol state (no re-derive, no
     re-merge chain) and joins back onto the token stream (vocab-keyed
