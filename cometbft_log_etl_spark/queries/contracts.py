@@ -24,7 +24,11 @@ Membership history: 10 founding members adjudicated in round 8
 (COVERAGE.md "Round-8 duplicate-id probe"), q46_substring_scrub joined
 in round 9 and q103_selfrep_scrub in round 10 — both per-document
 scrub outputs that keep one row per duplicate input row where the
-oracle's final GROUP BY doc_id collapses them. q45/q47/q102 provably
+oracle's final GROUP BY doc_id collapses them —
+q114_incremental_clusters in round 12 (the q37 class exactly: its
+final assembly join-back keeps one output row per duplicate corpus
+row where the oracle's recursive-reach GROUP BY doc_id collapses
+them; cluster labels themselves are unaffected, ids are min-folded). q45/q47/q102 provably
 do NOT diverge (strict doc_a < doc_b never pairs equal ids; the q47
 oracle builds per-row list_distinct precisely so duplicate batch ids
 can't collapse on one side only).
@@ -47,5 +51,6 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q58_ann_lsh",
         "q61_multimodal_features",
         "q103_selfrep_scrub",
+        "q114_incremental_clusters",
     }
 )

@@ -915,6 +915,157 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q114 — incremental near-dup CLUSTER maintenance: new batch vs history
+# labels. The q13/q47/q108 incremental pattern applied to q37: history
+# clusters act as contracted super-nodes, Hash-Min re-iterates ONLY over
+# the touched frontier (batch docs + the history clusters their edges
+# reach), and unconnected history clusters never enter the loop.
+
+# The q13 split convention (doc_id % 10 < 8 -> already-ingested history,
+# else "today's batch") — shared with q47/q108 so the incremental tiers
+# model one consistent ingestion story.
+_INC_HIST_MOD = 10
+_INC_HIST_CUT = 8
+
+
+def _inc_is_hist(c: F.Column) -> F.Column:
+    return (c % _INC_HIST_MOD) < _INC_HIST_CUT
+
+
+def incremental_frontier(sym: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the symmetrized union dup-graph into (hist_sym, frontier).
+
+    hist_sym (both endpoints history) is the graph whose components a
+    production pipeline has ALREADY resolved and stored; frontier
+    (>= 1 batch endpoint) is every edge the new batch introduces. Any
+    path between two distinct history clusters in the union graph must
+    cross a frontier edge — a history-history edge lies inside one
+    history component by definition — which is what makes contraction
+    exact (see contract_frontier). Both frames are filters over the
+    eagerly-checkpointed edge list, so neither re-runs the MinHash
+    front."""
+    both_hist = _inc_is_hist(F.col("a")) & _inc_is_hist(F.col("b"))
+    return sym.filter(both_hist), sym.filter(~both_hist)
+
+
+def contract_frontier(frontier: DataFrame, hist_labels: DataFrame) -> DataFrame:
+    """Contract frontier edges through the history labels: each history
+    endpoint is replaced by its history cluster id (its own id when it
+    was isolated in the history graph — cc_seed only seats edge
+    endpoints), batch endpoints keep their ids. Self-loops drop,
+    duplicates collapse. The result is the SUPER-NODE graph the merge
+    loop iterates on: its vertex set is batch docs plus touched history
+    clusters — frontier-sized, never corpus-sized, and at production
+    scale orders of magnitude below the full dup-graph.
+
+    A history cluster id is the MIN doc_id of its history component, so
+    Hash-Min's min over contracted node ids equals the min over all
+    member doc_ids of the union component — incremental labels are
+    bit-identical to a full re-run (parity-tested both on synthetic
+    graphs and end-to-end in tests/test_incremental_clusters.py).
+
+    Eagerly checkpointed for the same reason dup_edges is: the merge
+    loop's iteration 1 fans two subtrees off this frame (cc_seed and
+    the propagate join), and a lazy cut would race both into the
+    contraction joins."""
+    return _contracted_edges(frontier, hist_labels).localCheckpoint(eager=True)
+
+
+def _contracted_edges(frontier: DataFrame, hist_labels: DataFrame) -> DataFrame:
+    """The contraction plan itself, un-checkpointed — separated so the
+    plan audit (tools/audit_plans.py cc:contract) gates the exact joins
+    contract_frontier executes: label lookups over the checkpointed
+    edge/label frames only, never a corpus scan."""
+    la = hist_labels.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("_la"))
+    lb = hist_labels.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("_lb"))
+    return (
+        frontier.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("_la", "a").alias("a"),
+            F.coalesce("_lb", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+@register(
+    "q114_incremental_clusters",
+    tags=("datapipe", "dedup", "clustering", "incremental"),
+    oracle=f"""
+WITH RECURSIVE {_CC_SQL_CTES},
+hsym AS (
+  SELECT a, b FROM sym
+  WHERE a % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+    AND b % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+),
+hreach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  WHERE doc_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+  UNION
+  SELECT hreach.doc_id, hsym.b AS r FROM hreach JOIN hsym ON hsym.a = hreach.r
+),
+hlabeled AS (
+  SELECT doc_id, min(r) AS hist_cluster FROM hreach GROUP BY doc_id
+)
+SELECT l.doc_id, l.cluster_id,
+       l.doc_id % {_INC_HIST_MOD} >= {_INC_HIST_CUT} AS is_batch,
+       coalesce(l.doc_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+                AND l.cluster_id <> h.hist_cluster, FALSE) AS relabeled
+FROM labeled l LEFT JOIN hlabeled h ON h.doc_id = l.doc_id
+""",
+)
+def q114_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup cluster maintenance: the day's batch
+    (doc_id % 10 >= 8, the q13 ingestion split) is folded into the
+    already-resolved history clustering without re-clustering history.
+
+    Three phases, all over the ONE eagerly-checkpointed union edge
+    list: (1) history labels — Hash-Min over history-history edges
+    (the stored state a production pipeline reads back instead of
+    recomputing; here derived in-plan so the query is self-contained,
+    exactly like q13 derives its history fingerprints); (2) frontier
+    contraction — every new edge's history endpoints collapse to their
+    cluster ids; (3) Hash-Min over the CONTRACTED frontier graph only.
+    History clusters no batch edge touches never enter phase 3 — at a
+    daily-crawl scale that is the difference between iterating shuffles
+    over the full corpus dup-graph and over the new batch's
+    neighborhood. Labels are bit-identical to a full q37 re-run
+    (contraction of a subgraph's components preserves the union graph's
+    components; min-label algebra in contract_frontier's docstring).
+
+    Output: every doc's incremental cluster id, its batch/history side,
+    and — the operational payoff — `relabeled`: history docs whose
+    cluster id changed because the batch bridged their cluster to a
+    lower-id component (the merge events a downstream canonical-corpus
+    table must replay). The DuckDB oracle resolves BOTH clusterings
+    independently via recursive transitive-closure CTEs.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    sym = dup_edges(docs)
+    hist_sym, frontier = incremental_frontier(sym)
+    hist_labels = hash_min_components(cc_seed(hist_sym), hist_sym)
+    contracted = contract_frontier(frontier, hist_labels)
+    merged = hash_min_components(cc_seed(contracted), contracted)
+    base = docs.select("doc_id", _inc_is_hist(F.col("doc_id")).alias("is_hist"))
+    # batch ids never appear in hist_labels, so the coalesce sends a
+    # history doc to its history cluster and a batch doc to itself
+    noded = base.join(hist_labels, "doc_id", "left").select(
+        "doc_id", "is_hist", F.coalesce("cluster_id", "doc_id").alias("node")
+    )
+    m = merged.select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("_m"))
+    final = F.coalesce("_m", "node")
+    return noded.join(m, "node", "left").select(
+        "doc_id",
+        final.alias("cluster_id"),
+        (~F.col("is_hist")).alias("is_batch"),
+        (F.col("is_hist") & (final != F.col("node"))).alias("relabeled"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q39 — IVF ANN: inverted-file index with deterministic seed centroids
 
 _IVF_SEED_STEP = 37  # every 37th vector is a seed CANDIDATE (no RNG/k-means);

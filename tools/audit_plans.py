@@ -279,6 +279,15 @@ EXPECTATIONS = {
     "q98_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
     "q99_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
     "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
+    # incremental cluster maintenance: both Hash-Min loops (history
+    # graph + contracted frontier) run behind localCheckpoints and are
+    # gated via CC_EXPECTATIONS (incl. cc:contract), so the catalog-
+    # level plan is only the final assembly — ONE corpus scan reading
+    # doc_id alone, joined to the label RDDs; a second corpus read or
+    # any pairwise operator means the incremental structure broke
+    "q114_incremental_clusters": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
+                                  "contains_not": ["CartesianProduct",
+                                                   "BroadcastNestedLoopJoin"]},
     # canonical-corpus resolution: the LSH front half (bucket-capped,
     # audited via q55/q37) sits behind the CC localCheckpoint, so the
     # final plan is only rank+agg — which must stay hash-partitioned
@@ -516,6 +525,14 @@ CC_EXPECTATIONS = {
                           "contains_not": ["FileScan parquet", "CartesianProduct",
                                            "BroadcastNestedLoopJoin"],
                           "max_n": {"Exchange hashpartitioning": 4, "BroadcastExchange": 4}},
+    # q114's frontier contraction: two label lookups + dedup over the
+    # CHECKPOINTED edge/label frames — the merge loop's input must be
+    # frontier-sized and corpus-scan-free by construction (the verdict's
+    # "iteration scans bounded to the frontier" bar). Join strategy
+    # ungated for the same reason as the loop itself.
+    "cc:contract": {"contains_not": ["FileScan parquet", "CartesianProduct",
+                                     "BroadcastNestedLoopJoin"],
+                    "max_n": {"Exchange hashpartitioning": 4}},
 }
 
 
@@ -525,17 +542,27 @@ def audit_cc(spark, sf_dir: str) -> list[str]:
     Builds the real dup-graph off ``sf_dir``'s documents and plans the
     iteration-1 propagate (labels = seed, exactly what the loop's first
     pass executes) and the pointer-jump variant."""
-    from cometbft_log_etl_spark.queries.neardup import cc_propagate, cc_seed, dup_edges
+    from cometbft_log_etl_spark.queries.neardup import (
+        _contracted_edges,
+        cc_propagate,
+        cc_seed,
+        dup_edges,
+        hash_min_components,
+        incremental_frontier,
+    )
     from cometbft_log_etl_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
     sym = dup_edges(docs)
     seed = cc_seed(sym)
+    hist_sym, frontier = incremental_frontier(sym)
+    hist_labels = hash_min_components(cc_seed(hist_sym), hist_sym)
     failures: list[str] = []
     plans = {
         "cc:seed": seed,
         "cc:propagate": cc_propagate(seed, sym, with_jump=False),
         "cc:propagate_jump": cc_propagate(seed, sym, with_jump=True),
+        "cc:contract": _contracted_edges(frontier, hist_labels),
     }
     for name, df in plans.items():
         df.collect()  # settle AQE on the final plan
