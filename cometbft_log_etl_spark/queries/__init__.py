@@ -53,6 +53,7 @@ def _load_all() -> None:
     # Import side-effect registration; keep alphabetical for stable ordering.
     from . import bloom  # noqa: F401
     from . import budget  # noqa: F401
+    from . import calibration  # noqa: F401
     from . import classifier  # noqa: F401
     from . import datapipe  # noqa: F401
     from . import dsir  # noqa: F401

@@ -467,8 +467,13 @@ w{t + 1} AS MATERIALIZED (
   FROM w{t} JOIN g{t + 1} ON g{t + 1}.d = w{t}.d)"""
 
 
-_QC_ORACLE = f"""
-WITH toks AS MATERIALIZED (
+def _qc_fit_ctes(base_where: str = "") -> str:
+    """The shared fit-CTE chain (token rows → per-doc base/features →
+    three unrolled steepest-descent steps → w3), parameterized on an
+    optional ``base_where`` doc filter so q115's held-out calibration
+    fits on the TRAIN slice through the exact same SQL q104 fits on
+    the full corpus — the fit algebra must never exist twice."""
+    return f"""toks AS MATERIALIZED (
   SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
@@ -480,7 +485,7 @@ rows_ AS MATERIALIZED (
 ),
 base AS MATERIALIZED (
   SELECT doc_id, min(source) AS src, sum(nr) AS n, min(yr) AS y, min(ur) AS ur
-  FROM rows_ GROUP BY doc_id
+  FROM rows_ {base_where} GROUP BY doc_id
 ),
 m AS MATERIALIZED (SELECT count(*) AS m FROM base),
 occ AS MATERIALIZED (
@@ -532,7 +537,11 @@ w1 AS MATERIALIZED (
   FROM g1
 ),
 {_sql_step(1)},
-{_sql_step(2)},
+{_sql_step(2)}"""
+
+
+_QC_ORACLE = f"""
+WITH {_qc_fit_ctes()},
 scores AS MATERIALIZED (
   SELECT b.doc_id, b.src, b.y, CAST(round(p.pred, 9) AS DOUBLE) AS score
   FROM base b

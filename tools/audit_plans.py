@@ -190,6 +190,19 @@ EXPECTATIONS = {
     # literal weight map folded per row. Zero Generates and zero joins
     # of any kind; no window, no cartesian; scans read only
     # (doc_id, text, source)
+    # held-out calibration sweep: the fit runs eagerly (driver-held
+    # weights), so the audited plan is the held-slice scoring pass —
+    # one 3-col corpus scan, the in-array feature build's single
+    # doc-keyed shuffle, ONE global confusion aggregate, one Generate
+    # (the grid explode of the 1-row aggregate). Join-free: any join
+    # means the weight map stopped being a literal
+    "q115_classifier_calibration": {"max_scan_cols": 3, "max_scans": 1,
+                                    "max_n": {"Generate": 1,
+                                              "Exchange hashpartitioning": 2},
+                                    "contains_not": ["CartesianProduct",
+                                                     "SortMergeJoin",
+                                                     "BroadcastHashJoin",
+                                                     "BroadcastNestedLoopJoin"]},
     "q104_quality_classifier": {"max_scan_cols": 3,
                                 "contains": ["InMemoryTableScan"],
                                 "max_n": {"Generate": 0,
