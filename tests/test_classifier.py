@@ -175,3 +175,21 @@ def test_model_actually_learns(reference):
         1 for k, s in scores.items() if (float(s) >= _QC_FLAG) == (labels[k] == 1.0)
     ) / len(labels)
     assert acc >= base + 0.05, f"accuracy {acc:.3f} vs base rate {base:.3f}"
+
+
+def test_bias_row_count_is_document_count(spark, sf_dir):
+    """The round-12 job fusion reads m off the step-0 gradient
+    aggregate's bias-bucket row instead of a separate count() job —
+    valid only while EVERY document row carries the bias feature."""
+    import pyspark.sql.functions as F
+
+    from cometbft_log_etl_spark.queries.classifier import (
+        _QC_BIAS,
+        _qc_doc_feats,
+        _qc_grad_sums,
+    )
+
+    feats = _qc_doc_feats(load(spark, sf_dir, "documents"))
+    sums = _qc_grad_sums(feats, (F.lit(0.0) - F.col("y")).cast("decimal(19,9)"))
+    bias_n = next(n for d, _, n in sums if d == _QC_BIAS)
+    assert bias_n == feats.count()
