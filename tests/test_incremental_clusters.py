@@ -137,3 +137,67 @@ def test_incremental_equals_full_rerun(spark, sf_dir):
     # sanity: the corpus actually has near-dup structure (a vacuous
     # all-singletons pass would not test the merge path)
     assert any(v != k for k, v in full_map.items())
+
+
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_iterated_maintenance_matches_full_clustering(spark, seed):
+    """The daily-ingestion story: history H absorbs batch A, then the
+    grown history absorbs batch B — two rounds of contraction — and
+    the composed labels must equal one full clustering of the union
+    graph (contraction exactness applied twice). Seeded random graphs;
+    pure-Python union-find as the oracle."""
+    import random
+
+    rng = random.Random(seed)
+    ids = list(range(60))
+    h_ids = [i for i in ids if i % 10 < 6]
+    a_ids = [i for i in ids if i % 10 in (6, 7)]
+    b_ids = [i for i in ids if i % 10 >= 8]
+    edges = [
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and rng.random() < 2.0 / len(ids)
+    ]
+
+    def _sym_frame(es):
+        rows = [(a, b) for a, b in es] + [(b, a) for a, b in es]
+        if not rows:
+            df = spark.createDataFrame([(0, 0)], "a long, b long").filter("a > 0")
+        else:
+            df = spark.createDataFrame(rows, "a long, b long")
+        return df.localCheckpoint(eager=True)
+
+    def _labels_frame(label_map):
+        rows = [(k, v) for k, v in label_map.items() if k != v]
+        if not rows:
+            return spark.createDataFrame(
+                [(0, 0)], "doc_id long, cluster_id long"
+            ).filter("doc_id > 0")
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+    def _round(prev_labels, arriving, present):
+        """Fold `arriving` ids into the clustering of `present` ids."""
+        frontier = [
+            (a, b) for a, b in edges
+            if (a in arriving or b in arriving)
+            and (a in present or a in arriving)
+            and (b in present or b in arriving)
+        ]
+        contracted = contract_frontier(_sym_frame(frontier), _labels_frame(prev_labels))
+        merged = {
+            r.doc_id: r.cluster_id
+            for r in hash_min_components(cc_seed(contracted), contracted).collect()
+        }
+        out = {}
+        for v in list(present) + list(arriving):
+            node = prev_labels.get(v, v)
+            out[v] = merged.get(node, node)
+        return out
+
+    hist_edges = [(a, b) for a, b in edges if a in h_ids and b in h_ids]
+    labels = _union_find(h_ids, hist_edges)  # the stored history state
+    labels = _round(labels, a_ids, h_ids)
+    labels = _round(labels, b_ids, h_ids + a_ids)
+    want = _union_find(ids, edges)
+    assert labels == want, f"seed {seed}"
