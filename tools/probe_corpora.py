@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Build the adversarial probe corpora and sweep the catalog on them.
+
+Round 11 ran these as ad-hoc /tmp scripts; this makes the recipe
+executable and repeatable (the stress10x precedent):
+
+- ``giant``: sf documents plus one 20k-token EXTREME-periodic document
+  ("tok{i%97}" repeating — the corpus that exposed the round-11 HOF
+  O(tokens^2) class) appended into the lexicographically-first source
+  so model fits (q106's LM slice) must eat it;
+- ``ws``: whitespace-adversarial documents — every 7th doc gets leading
+  and trailing spaces, every 5th doubles its inter-word gaps, every
+  31st becomes spaces-only, one doc becomes the empty string. Exercises
+  empty-token filtering and the Spark split vs DuckDB string_split
+  agreement on degenerate separators.
+
+Usage: python tools/probe_corpora.py [sf_dir] [query ...]
+Builds /tmp/probe_giant and /tmp/probe_ws (documents.parquet mutated,
+every other table copied verbatim) and runs the full oracle sweep on
+both. Exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_variants(sf_dir: str) -> dict[str, str]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = docs.to_pylist()
+
+    giant_text = " ".join(f"tok{i % 97}" for i in range(20_000))
+    first_src = min(r["source"] for r in rows)
+    giant_rows = rows + [
+        {
+            "doc_id": max(r["doc_id"] for r in rows) + 1,
+            "text": giant_text,
+            "lang": "en",
+            "source": first_src,
+            "n_chars": len(giant_text),
+        }
+    ]
+
+    ws_rows = []
+    for i, r in enumerate(rows):
+        r = dict(r)
+        t = r["text"]
+        if t is not None:
+            if i % 31 == 7:
+                t = "   "
+            elif i == 13:
+                t = ""
+            else:
+                if i % 5 == 0:
+                    t = t.replace(" ", "  ")
+                if i % 7 == 0:
+                    t = "  " + t + " "
+            r["text"] = t
+            r["n_chars"] = len(t)
+        ws_rows.append(r)
+
+    out = {}
+    for name, variant_rows in (("giant", giant_rows), ("ws", ws_rows)):
+        d = f"/tmp/probe_{name}"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for f in os.listdir(sf_dir):
+            if f != "documents.parquet":
+                src = os.path.join(sf_dir, f)
+                (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+                    src, os.path.join(d, f)
+                )
+        pq.write_table(
+            pa.Table.from_pylist(variant_rows, schema=docs.schema),
+            os.path.join(d, "documents.parquet"),
+        )
+        out[name] = d
+    return out
+
+
+def main() -> int:
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.session import get_spark
+    from cometbft_log_etl_spark.testing.compare import run_compare
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    cat = catalog()
+    if names:
+        cat = {n: cat[n] for n in names}
+    variants = _build_variants(sf_dir)
+    spark = get_spark(app_name="probe-corpora", cpus=8, shuffle_partitions=8)
+    failures = 0
+    for vname, vdir in variants.items():
+        ok = 0
+        for qname, qdef in cat.items():
+            try:
+                res = run_compare(spark, qdef, vdir)
+            except Exception as exc:  # noqa: BLE001
+                print(f"[ERR ] {vname}:{qname}: {type(exc).__name__}: {exc}")
+                failures += 1
+                continue
+            if res.ok:
+                ok += 1
+            else:
+                print(f"[FAIL] {vname}:{res}")
+                failures += 1
+        print(f"{vname}: {ok}/{len(cat)} cell-exact at {vdir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
