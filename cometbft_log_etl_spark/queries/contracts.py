@@ -25,10 +25,12 @@ Membership history: 10 founding members adjudicated in round 8
 in round 9 and q103_selfrep_scrub in round 10 — both per-document
 scrub outputs that keep one row per duplicate input row where the
 oracle's final GROUP BY doc_id collapses them —
-q114_incremental_clusters in round 12 (the q37 class exactly: its
-final assembly join-back keeps one output row per duplicate corpus
-row where the oracle's recursive-reach GROUP BY doc_id collapses
-them; cluster labels themselves are unaffected, ids are min-folded). q45/q47/q102 provably
+q114_incremental_clusters and q116_incremental_canonical in round 12
+(both the q37 class exactly: their member frames keep one row per
+duplicate corpus row where the oracles' recursive-reach GROUP BY
+doc_id collapses them — q116's member counts shift by the duplicate
+multiplicity; cluster labels and canonical ids themselves are
+unaffected, ids are min-folded and the winner rule ties on doc_id). q45/q47/q102 provably
 do NOT diverge (strict doc_a < doc_b never pairs equal ids; the q47
 oracle builds per-row list_distinct precisely so duplicate batch ids
 can't collapse on one side only).
@@ -52,5 +54,6 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q61_multimodal_features",
         "q103_selfrep_scrub",
         "q114_incremental_clusters",
+        "q116_incremental_canonical",
     }
 )

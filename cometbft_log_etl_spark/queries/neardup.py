@@ -1065,6 +1065,181 @@ def q114_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q116_incremental_canonical",
+    tags=("datapipe", "dedup", "clustering", "incremental", "quality"),
+    oracle=f"""
+WITH RECURSIVE {_CC_SQL_CTES},
+hsym AS (
+  SELECT a, b FROM sym
+  WHERE a % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+    AND b % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+),
+hreach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  WHERE doc_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+  UNION
+  SELECT hreach.doc_id, hsym.b AS r FROM hreach JOIN hsym ON hsym.a = hreach.r
+),
+hlabeled AS (
+  SELECT doc_id, min(r) AS hist_cluster FROM hreach GROUP BY doc_id
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM documents
+),
+members AS (
+  SELECT l.doc_id, l.cluster_id,
+         l.doc_id % {_INC_HIST_MOD} < {_INC_HIST_CUT} AS is_hist,
+         h.hist_cluster
+  FROM labeled l LEFT JOIN hlabeled h USING (doc_id)
+),
+touched AS (
+  SELECT cluster_id FROM members
+  GROUP BY cluster_id
+  HAVING max(CASE WHEN NOT is_hist THEN 1 ELSE 0 END) = 1
+),
+tm AS (
+  SELECT m.*, f.uniq_ratio FROM members m
+  JOIN touched USING (cluster_id)
+  LEFT JOIN feat f USING (doc_id)
+),
+canon AS (
+  SELECT cluster_id,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN NOT is_hist THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_members,
+         CAST(count(DISTINCT CASE WHEN is_hist THEN hist_cluster END)
+              AS BIGINT) AS n_hist_clusters
+  FROM (
+    SELECT cluster_id, doc_id, is_hist, hist_cluster,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY uniq_ratio DESC, doc_id) AS rn
+    FROM tm
+  )
+  GROUP BY cluster_id
+),
+prev AS (
+  SELECT hist_cluster,
+         max(CASE WHEN prn = 1 THEN doc_id END) AS prev_canonical
+  FROM (
+    SELECT hist_cluster, doc_id,
+           row_number() OVER (PARTITION BY hist_cluster
+                              ORDER BY uniq_ratio DESC, doc_id) AS prn
+    FROM tm WHERE is_hist
+  )
+  GROUP BY hist_cluster
+)
+SELECT c.cluster_id, c.canonical_doc,
+       p.prev_canonical,
+       c.n_members, c.n_batch_members, c.n_hist_clusters,
+       coalesce(c.canonical_doc <> p.prev_canonical, TRUE) AS canonical_changed
+FROM canon c LEFT JOIN prev p ON p.hist_cluster = c.cluster_id
+""",
+)
+def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-replay report downstream of q114: for every cluster the
+    incoming batch TOUCHES, the new quality-winner canonical document
+    (q10's selection rule — highest lexical diversity, doc_id
+    tie-break), the previously-stored canonical it supersedes (the
+    history cluster sharing the surviving cluster id; NULL for a
+    pure-batch cluster), member/batch/absorbed-cluster counts, and
+    whether the canonical actually changed. Untouched clusters never
+    appear — this IS the delta a production canonical-corpus table
+    applies after each ingestion round, and every history cluster that
+    merged away is accounted for in n_hist_clusters (> 1 = merge
+    event).
+
+    Scale shape: the q114 incremental pieces resolve the labels (the
+    merge loop sees only the contracted frontier); the touched-cluster
+    set is batch-neighborhood-sized and semi-joins the members BEFORE
+    the quality join, so both ranking windows run over touched,
+    LSH-cap-bounded clusters only — never the corpus.
+    """
+    from .datapipe import quality_features
+
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    sym = dup_edges(docs)
+    hist_sym, frontier = incremental_frontier(sym)
+    hist_labels = hash_min_components(cc_seed(hist_sym), hist_sym)
+    contracted = contract_frontier(frontier, hist_labels)
+    merged = hash_min_components(cc_seed(contracted), contracted)
+    base = docs.select("doc_id", _inc_is_hist(F.col("doc_id")).alias("is_hist"))
+    noded = base.join(hist_labels, "doc_id", "left").select(
+        "doc_id",
+        "is_hist",
+        # hist doc → its history cluster; batch doc → itself (batch ids
+        # never appear in hist_labels). ALSO the doc's hist_cluster when
+        # is_hist (the node IS the stored cluster id for history docs).
+        F.coalesce("cluster_id", "doc_id").alias("node"),
+    )
+    from ..session import persist_tracked
+
+    m = merged.select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("_m"))
+    # persist: members feeds the touched-set aggregate AND the member
+    # join; tm feeds BOTH ranking windows — uncached, each consumer
+    # re-runs its whole subtree (4 corpus scans; the plan gate caught
+    # it). members is the compact-int-columns class of cache (the q111
+    # id+hash precedent); tm is touched-neighborhood-sized.
+    members = persist_tracked(
+        noded.join(m, "node", "left").select(
+            "doc_id",
+            "is_hist",
+            F.col("node").alias("hist_cluster"),
+            F.coalesce("_m", "node").alias("cluster_id"),
+        )
+    )
+    touched = (
+        members.groupBy("cluster_id")
+        .agg(F.max((~F.col("is_hist")).cast("int")).alias("_ab"))
+        .filter(F.col("_ab") == 1)
+        .select("cluster_id")
+    )
+    feat = quality_features(docs).select("doc_id", "uniq_ratio")
+    tm = persist_tracked(members.join(touched, "cluster_id").join(feat, "doc_id", "left"))
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("uniq_ratio").desc(), "doc_id")
+    )
+    canon = (
+        tm.withColumn("rn", rn)
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((~F.col("is_hist")).cast("int")).cast("bigint").alias("n_batch_members"),
+            F.count_distinct(
+                F.when(F.col("is_hist"), F.col("hist_cluster"))
+            ).cast("bigint").alias("n_hist_clusters"),
+        )
+    )
+    prn = F.row_number().over(
+        W.partitionBy("hist_cluster").orderBy(F.col("uniq_ratio").desc(), "doc_id")
+    )
+    prev = (
+        tm.filter(F.col("is_hist"))
+        .withColumn("prn", prn)
+        .groupBy(F.col("hist_cluster"))
+        .agg(F.max(F.when(F.col("prn") == 1, F.col("doc_id"))).alias("prev_canonical"))
+    )
+    return canon.join(
+        prev, canon.cluster_id == prev.hist_cluster, "left"
+    ).select(
+        "cluster_id",
+        "canonical_doc",
+        "prev_canonical",
+        "n_members",
+        "n_batch_members",
+        "n_hist_clusters",
+        F.coalesce(
+            F.col("canonical_doc") != F.col("prev_canonical"), F.lit(True)
+        ).alias("canonical_changed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # q39 — IVF ANN: inverted-file index with deterministic seed centroids
 

@@ -301,6 +301,14 @@ EXPECTATIONS = {
     "q114_incremental_clusters": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
                                   "contains_not": ["CartesianProduct",
                                                    "BroadcastNestedLoopJoin"]},
+    # incremental canonical churn: labels behind the CC checkpoints
+    # (gated via CC_EXPECTATIONS), so the catalog plan is the assembly
+    # — base scan + quality scan (2 corpus reads), touched semi-join
+    # BEFORE the ranking windows (both cluster-partitioned, never
+    # corpus-wide), no pairing
+    "q116_incremental_canonical": {"codegen": True, "max_scans": 2,
+                                   "contains_not": ["CartesianProduct",
+                                                    "BroadcastNestedLoopJoin"]},
     # canonical-corpus resolution: the LSH front half (bucket-capped,
     # audited via q55/q37) sits behind the CC localCheckpoint, so the
     # final plan is only rank+agg — which must stay hash-partitioned

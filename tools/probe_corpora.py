@@ -13,6 +13,10 @@ executable and repeatable (the stress10x precedent):
   31st becomes spaces-only, one doc becomes the empty string. Exercises
   empty-token filtering and the Spark split vs DuckDB string_split
   agreement on degenerate separators.
+- ``same``: every document carries the identical 60-token text — the
+  round-11 one-off that binds every LSH bucket cap, collapses every
+  fingerprint tier to one cluster, and degenerates every distribution
+  table to a single cell.
 
 Usage: python tools/probe_corpora.py [sf_dir] [query ...]
 Builds /tmp/probe_giant and /tmp/probe_ws (documents.parquet mutated,
@@ -66,8 +70,17 @@ def _build_variants(sf_dir: str) -> dict[str, str]:
             r["n_chars"] = len(t)
         ws_rows.append(r)
 
+    same_text = " ".join(f"w{i % 23}" for i in range(60))
+    same_rows = [
+        {**r, "text": same_text, "n_chars": len(same_text)} for r in rows
+    ]
+
     out = {}
-    for name, variant_rows in (("giant", giant_rows), ("ws", ws_rows)):
+    for name, variant_rows in (
+        ("giant", giant_rows),
+        ("ws", ws_rows),
+        ("same", same_rows),
+    ):
         d = f"/tmp/probe_{name}"
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
