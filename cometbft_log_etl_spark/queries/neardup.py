@@ -799,12 +799,11 @@ def hash_min_components(labels: DataFrame, sym: DataFrame, max_iters: int = _CC_
     )
 
 
-def dup_edges(docs: DataFrame) -> DataFrame:
-    """Symmetrized near-dup edge list (a, b) over the LSH candidate
-    pairs, eagerly checkpointed — the loop re-scans EDGES only, never
-    the corpus; lineage is cut so iteration N's plan doesn't replay the
-    MinHash front half."""
-    pairs = lsh_band_pairs(_minhash_sigs(docs))
+def jaccard_sym_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized dedup edges (a, b) from LSH candidate pairs:
+    estimated jaccard (signature agreement fraction) >= the cluster
+    threshold. Shared by dup_edges and the streaming incremental fold
+    so the edge rule exists once."""
     agree = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(_MINHASH_K)),
@@ -815,7 +814,15 @@ def dup_edges(docs: DataFrame) -> DataFrame:
         pairs.filter((agree.cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def dup_edges(docs: DataFrame) -> DataFrame:
+    """Symmetrized near-dup edge list (a, b) over the LSH candidate
+    pairs, eagerly checkpointed — the loop re-scans EDGES only, never
+    the corpus; lineage is cut so iteration N's plan doesn't replay the
+    MinHash front half."""
+    sym = jaccard_sym_edges(lsh_band_pairs(_minhash_sigs(docs)))
     # freeze: iterations re-scan edges only. Deliberately EAGER, unlike
     # the loop's per-iteration checkpoint: sym feeds TWO subtrees of
     # iteration 1's first job (cc_seed and the propagate join), and a

@@ -1,0 +1,134 @@
+"""foreachBatch deployment of the q114 incremental cluster maintenance.
+
+q114 is the per-round maintenance QUERY (batch vs history, contracted
+frontier, labels bit-identical to a full re-run); this module is the
+DEPLOYMENT shape — a Structured Streaming job whose foreachBatch fold
+applies exactly that step to each arriving micro-batch, carrying two
+distributed state frames forward:
+
+- ``sigs``  (doc_id, sig): the MinHash signature of every ingested doc
+  — the stored index. Banding for new candidate pairs derives from
+  these map-side; arriving batches NEVER re-scan historical text.
+- ``labels`` (doc_id, cluster_id): the resolved clustering after every
+  fold, updated by mapping each stored label through the merge loop's
+  contracted-component output (the compose step the iterated-
+  maintenance parity test pins against union-find).
+
+Why foreachBatch and not a streaming aggregation: cluster merging is
+iterate-to-fixpoint (Hash-Min over the contracted frontier), which no
+single streaming aggregation expresses — the fold IS q114's plan, run
+per micro-batch with localCheckpoints carrying the state.
+
+Scale/fidelity caveats, documented not hidden: (1) the LSH bucket cap
+is evaluated against the per-arrival snapshot, so on a corpus where a
+degenerate bucket exceeds the cap the admitted pair set depends on
+arrival order — identical to how any capped incremental index behaves;
+the parity tests run below the cap. (2) A production deployment would
+keep the band->bucket index materialized instead of re-banding stored
+sigs per fold; banding from sigs is a map-side projection of the
+model-sized signature table, so the twin keeps the semantics while
+staying simple. Cites q114 (queries/neardup.py) for the maintenance
+algebra; reference parity: the reference has no incremental surface —
+this is extension surface (SURVEY.md training-data pipeline tier).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.neardup import (
+    _minhash_sigs,
+    cc_seed,
+    contract_frontier,
+    hash_min_components,
+    jaccard_sym_edges,
+    lsh_band_pairs,
+)
+from .curation import stream_documents
+
+
+@dataclass
+class ClusterState:
+    """Driver-held handles to the two checkpointed state frames."""
+
+    sigs: DataFrame
+    labels: DataFrame
+
+
+def fold_batch(state: Optional[ClusterState], batch_docs: DataFrame) -> ClusterState:
+    """One maintenance round: fold an arriving document batch into the
+    clustering. ``state=None`` means the first batch (empty history).
+    Returns the NEW state; both frames are eagerly checkpointed so the
+    next fold's plans never replay this one's work."""
+    sigs_b = _minhash_sigs(batch_docs).localCheckpoint(eager=True)
+    if state is None:
+        hist_sigs = sigs_b.limit(0)
+        hist_labels = sigs_b.select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        ).limit(0)
+    else:
+        hist_sigs, hist_labels = state.sigs, state.labels
+    union_sigs = hist_sigs.unionByName(sigs_b)
+    # candidate pairs over the union signature table (map-side banding
+    # of stored sigs — no text re-scan), kept only where >= 1 endpoint
+    # arrived in this batch: history-history pairs are already folded
+    # into hist_labels and must not re-enter the loop
+    ba = sigs_b.select(F.col("doc_id").alias("a"), F.lit(1).alias("_ba"))
+    bb = sigs_b.select(F.col("doc_id").alias("b"), F.lit(1).alias("_bb"))
+    frontier = (
+        jaccard_sym_edges(lsh_band_pairs(union_sigs))
+        .join(ba, "a", "left")
+        .join(bb, "b", "left")
+        .filter(F.col("_ba").isNotNull() | F.col("_bb").isNotNull())
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    contracted = contract_frontier(frontier, hist_labels)
+    merged = hash_min_components(cc_seed(contracted), contracted)
+    ml = merged.select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("_m"))
+    # compose: stored labels map through their CLUSTER id (the node the
+    # contraction used); new docs map through their own id
+    prev = (
+        hist_labels.join(ml, hist_labels.cluster_id == ml.node, "left")
+        .select("doc_id", F.coalesce("_m", "cluster_id").alias("cluster_id"))
+    )
+    newb = (
+        sigs_b.select("doc_id")
+        .join(ml, sigs_b.doc_id == ml.node, "left")
+        .select("doc_id", F.coalesce("_m", "doc_id").alias("cluster_id"))
+    )
+    return ClusterState(
+        sigs=union_sigs.localCheckpoint(eager=True),
+        labels=prev.unionByName(newb).localCheckpoint(eager=True),
+    )
+
+
+def stream_incremental_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_stream: Optional[DataFrame] = None,
+):
+    """Attach the maintenance fold to a document arrival stream.
+
+    Returns ``(query, get_state)``: await the query, then read the
+    final ClusterState from ``get_state()``. Documents with fewer than
+    3 tokens never produce a signature (the q55 shingle rule) and are
+    labeled by omission — downstream treats missing as singleton,
+    exactly like cluster_labels' left join."""
+    if docs_stream is None:
+        docs_stream = stream_documents(spark, sf_dir)
+    holder: dict[str, Optional[ClusterState]] = {"state": None}
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        holder["state"] = fold_batch(holder["state"], batch_df)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, lambda: holder["state"]

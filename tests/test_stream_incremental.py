@@ -1,0 +1,61 @@
+"""foreachBatch incremental clustering: after the corpus arrives
+across three micro-batches, the carried state's labels must equal a
+full cluster_labels run over the whole corpus — the iterated
+contraction theorem, exercised through a REAL Structured Streaming
+query with per-fold checkpointed state."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from cometbft_log_etl_spark.queries.neardup import cluster_labels
+from cometbft_log_etl_spark.tables import load
+
+
+def test_stream_incremental_matches_full(spark, sf_dir, tmp_path_factory):
+    from cometbft_log_etl_spark.streaming.incremental import (
+        stream_incremental_clusters,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    arrival = tmp_path_factory.mktemp("inc-arrivals")
+    flat = tmp_path_factory.mktemp("inc-arrivals-flat")
+    for i, cond in enumerate(
+        [
+            F.col("doc_id") < cut1,
+            (F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2),
+            F.col("doc_id") >= cut2,
+        ]
+    ):
+        docs.filter(cond).coalesce(1).write.parquet(str(arrival / f"batch{i}"))
+        src = [
+            f for f in os.listdir(arrival / f"batch{i}") if f.endswith(".parquet")
+        ][0]
+        os.link(arrival / f"batch{i}" / src, flat / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q, get_state = stream_incremental_clusters(spark, sf_dir, docs_stream=stream)
+    assert q.awaitTermination(300), "stream did not finish in time"
+    state = get_state()
+    assert state is not None
+
+    got = {r.doc_id: r.cluster_id for r in state.labels.collect()}
+    want = {r.doc_id: r.cluster_id for r in cluster_labels(docs).collect()}
+    # docs too short for a signature are labeled by omission — they
+    # must be singletons in the full run
+    for d in set(want) - set(got):
+        assert want[d] == d, f"unlabeled doc {d} is not a singleton"
+    for d, lab in got.items():
+        assert want[d] == lab, f"doc {d}: stream {lab} != full {want[d]}"
+    # the stream actually saw multiple batches and real merges
+    assert any(v != k for k, v in got.items())
+    assert len({r.doc_id for r in state.sigs.collect()}) == len(got)
