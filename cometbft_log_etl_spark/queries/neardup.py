@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..session import persist_tracked, tune_session
 from ..tables import load
 from . import register
-from ._det import SQL_EMB_SRC, dec12, ddot12, dnrm12, finite_embeddings
+from ._det import DEC12, SQL_EMB_SRC, dec12, ddot12, dnrm12, finite_embeddings
 from .datapipe import _h32
 
 _MINHASH_K = 8  # hash functions
@@ -1244,6 +1244,119 @@ def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.col("canonical_doc") != F.col("prev_canonical"), F.lit(True)
         ).alias("canonical_changed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — MinHash estimator audit: the LSH-then-verify pass. Every
+# candidate pair gets the EXACT distinct-shingle jaccard, grouped by
+# the signature-agreement estimate — the calibration curve an operator
+# reads before trusting the _CLUSTER_JACCARD threshold at lake scale,
+# plus the false-flag count the threshold would admit.
+
+
+@register(
+    "q117_lsh_estimator_audit",
+    tags=("datapipe", "dedup", "evaluation"),
+    oracle=f"""
+WITH {_Q55_CTES},
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(generate_series(1, {_MINHASH_K}),
+                         i -> p.sig_a[i] = p.sig_b[i])) AS n_agree,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)) AS exact_j
+  FROM pairs p
+  JOIN shs a ON a.doc_id = p.doc_a
+  JOIN shs b ON b.doc_id = p.doc_b
+)
+SELECT CAST(n_agree AS BIGINT) AS n_agree,
+       CAST(n_agree AS DOUBLE) / {_MINHASH_K} AS est_jaccard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(exact_j AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         AS mean_exact,
+       CAST(sum(CASE WHEN exact_j >= {_CLUSTER_JACCARD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN CAST(n_agree AS DOUBLE) / {_MINHASH_K}
+                          >= {_CLUSTER_JACCARD}
+                      AND exact_j < {_CLUSTER_JACCARD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_flags
+FROM verified GROUP BY verified.n_agree
+""",
+)
+def q117_lsh_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash estimator: every LSH candidate
+    pair is verified against its EXACT distinct-3-gram jaccard
+    (in-array intersect/union of the two shingle sets — the standard
+    LSH-then-verify pass), grouped by signature agreement. Per
+    agreement level: pair count, mean exact jaccard (the calibration
+    curve — should track est_jaccard), how many pairs are exact dups
+    at the cluster threshold, and how many the estimate would FALSELY
+    flag (est >= threshold, exact below) — the precision cost q37/q10
+    inherit from trusting the estimate.
+
+    Scale shape: candidate pairs are band-bucket-bounded (the audited
+    tier's own guarantee); the verify join brings each endpoint's
+    distinct shingle array to its pairs — the same doc-keyed join any
+    verify stage pays, with the shingle build map-only (zip_with over
+    shifted slices, distinct in-array). Join strategy deliberately
+    ungated: pairs x shingle-arrays is corpus-sized on the array side
+    at 100 TB and an SMJ there is the plan you want. The shingle rule
+    is q55's verbatim, so the audit measures the production recipe.
+    """
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= 3).select("doc_id", toks.alias("t"))
+    # distinct shingle set in-array: zip_with over shifted slices (the
+    # round-11 HOF rule — an indexed lambda would re-split per gram)
+    glen = F.size("t") - F.lit(2)
+    s1, s2, s3 = (F.slice("t", k, glen) for k in (1, 2, 3))
+    grams = F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        s3,
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sh = base.select("doc_id", F.array_distinct(grams).alias("sh"))
+    pairs = lsh_band_pairs(_minhash_sigs(docs))
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    verified = (
+        pairs.select("doc_a", "doc_b", agree.alias("n_agree"))
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "n_agree",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("exact_j"),
+        )
+    )
+    est = F.col("n_agree").cast("double") / _MINHASH_K
+    thresh = F.lit(_CLUSTER_JACCARD)
+    return verified.groupBy(F.col("n_agree").cast("bigint").alias("n_agree")).agg(
+        F.any_value(est).alias("est_jaccard"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(F.col("exact_j").cast(DEC12)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_exact"
+        ),
+        F.sum(F.when(F.col("exact_j") >= thresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.sum(F.when((est >= thresh) & (F.col("exact_j") < thresh), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_flags"),
     )
 
 

@@ -292,6 +292,15 @@ EXPECTATIONS = {
     "q98_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
     "q99_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
     "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
+    # LSH-then-verify estimator audit: the candidate front keeps q55's
+    # map-side bucket cap; the verify tier is two doc-keyed joins of
+    # the (bounded) pair table against in-array shingle sets — join
+    # strategy ungated (array side is corpus-sized at scale, SMJ is
+    # correct), pairing forbidden
+    "q117_lsh_estimator_audit": {"max_scans": 3,
+                                 "contains": ["WindowGroupLimit"],
+                                 "contains_not": ["CartesianProduct",
+                                                  "BroadcastNestedLoopJoin"]},
     # incremental cluster maintenance: both Hash-Min loops (history
     # graph + contracted frontier) run behind localCheckpoints and are
     # gated via CC_EXPECTATIONS (incl. cc:contract), so the catalog-
