@@ -1247,19 +1247,49 @@ def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# q117 — MinHash estimator audit: the LSH-then-verify pass. Every
-# candidate pair gets the EXACT distinct-shingle jaccard, grouped by
-# the signature-agreement estimate — the calibration curve an operator
-# reads before trusting the _CLUSTER_JACCARD threshold at lake scale,
-# plus the false-flag count the threshold would admit.
+def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_agree, exact_j): every LSH candidate pair with
+    its signature agreement AND its exact distinct-3-gram jaccard —
+    the verify pass, shared by the q117 calibration audit and the q118
+    source matrix so the verify recipe exists once. The shingle build
+    is in-array (zip_with over shifted slices — the round-11 HOF rule:
+    an indexed lambda would re-split the text per gram)."""
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= 3).select("doc_id", toks.alias("t"))
+    glen = F.size("t") - F.lit(2)
+    s1, s2, s3 = (F.slice("t", k, glen) for k in (1, 2, 3))
+    grams = F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        s3,
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sh = base.select("doc_id", F.array_distinct(grams).alias("sh"))
+    pairs = lsh_band_pairs(_minhash_sigs(docs))
+    agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    return (
+        pairs.select("doc_a", "doc_b", agree.alias("n_agree"))
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("exact_j"),
+        )
+    )
 
 
-@register(
-    "q117_lsh_estimator_audit",
-    tags=("datapipe", "dedup", "evaluation"),
-    oracle=f"""
-WITH {_Q55_CTES},
+# Shared verify-pass oracle CTEs: q55's pair chain + distinct shingle
+# sets + the exact-jaccard join. Used by q117 and q118.
+_VERIFY_SQL_CTES = f"""{_Q55_CTES},
 shs AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -1275,7 +1305,22 @@ verified AS (
   FROM pairs p
   JOIN shs a ON a.doc_id = p.doc_a
   JOIN shs b ON b.doc_id = p.doc_b
-)
+)"""
+
+
+# --------------------------------------------------------------------------
+# q117 — MinHash estimator audit: the LSH-then-verify pass. Every
+# candidate pair gets the EXACT distinct-shingle jaccard, grouped by
+# the signature-agreement estimate — the calibration curve an operator
+# reads before trusting the _CLUSTER_JACCARD threshold at lake scale,
+# plus the false-flag count the threshold would admit.
+
+
+@register(
+    "q117_lsh_estimator_audit",
+    tags=("datapipe", "dedup", "evaluation"),
+    oracle=f"""
+WITH {_VERIFY_SQL_CTES}
 SELECT CAST(n_agree AS BIGINT) AS n_agree,
        CAST(n_agree AS DOUBLE) / {_MINHASH_K} AS est_jaccard,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1312,37 +1357,7 @@ def q117_lsh_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    base = docs.filter(F.size(toks) >= 3).select("doc_id", toks.alias("t"))
-    # distinct shingle set in-array: zip_with over shifted slices (the
-    # round-11 HOF rule — an indexed lambda would re-split per gram)
-    glen = F.size("t") - F.lit(2)
-    s1, s2, s3 = (F.slice("t", k, glen) for k in (1, 2, 3))
-    grams = F.zip_with(
-        F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
-        s3,
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    sh = base.select("doc_id", F.array_distinct(grams).alias("sh"))
-    pairs = lsh_band_pairs(_minhash_sigs(docs))
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
-    verified = (
-        pairs.select("doc_a", "doc_b", agree.alias("n_agree"))
-        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
-        .select(
-            "n_agree",
-            (
-                F.size(F.array_intersect("sha", "shb")).cast("double")
-                / F.size(F.array_union("sha", "shb"))
-            ).alias("exact_j"),
-        )
-    )
+    verified = lsh_verified_pairs(docs)
     est = F.col("n_agree").cast("double") / _MINHASH_K
     thresh = F.lit(_CLUSTER_JACCARD)
     return verified.groupBy(F.col("n_agree").cast("bigint").alias("n_agree")).agg(
@@ -1357,6 +1372,64 @@ def q117_lsh_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((est >= thresh) & (F.col("exact_j") < thresh), 1).otherwise(0))
         .cast("bigint")
         .alias("n_false_flags"),
+    )
+
+
+@register(
+    "q118_source_dup_matrix",
+    tags=("datapipe", "dedup", "evaluation"),
+    oracle=f"""
+WITH {_VERIFY_SQL_CTES},
+vsrc AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS is_cross,
+         exact_j
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+  WHERE exact_j >= {_CLUSTER_JACCARD}
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       CAST(sum(CAST(exact_j AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         AS mean_exact,
+       CAST(max(is_cross) = 1 AS BOOLEAN) AS cross_source
+FROM vsrc GROUP BY source_a, source_b
+""",
+)
+def q118_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: VERIFIED near-dup pairs (exact
+    jaccard at the cluster threshold, not the estimate — the q117
+    verify pass) rolled up by normalized source pair. The diagonal is
+    within-source boilerplate; off-diagonal cells are mirror/syndication
+    relationships between sources — the diagnostic that tells a
+    curation operator which feeds to cap or drop before dedup even
+    runs. Reuses lsh_verified_pairs so the verify recipe exists once;
+    the source lookup is two doc-keyed joins of the (bounded) verified
+    pair table against the corpus, then a source-pair-cardinality
+    aggregate — nothing here grows faster than the dup-pair count."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    v = lsh_verified_pairs(docs).filter(F.col("exact_j") >= _CLUSTER_JACCARD)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    vsrc = (
+        v.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            (F.col("_sa") != F.col("_sb")).cast("int").alias("is_cross"),
+            "exact_j",
+        )
+    )
+    return vsrc.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        (F.sum(F.col("exact_j").cast(DEC12)).cast("double") / F.count(F.lit(1))).alias(
+            "mean_exact"
+        ),
+        (F.max("is_cross") == 1).alias("cross_source"),
     )
 
 

@@ -66,3 +66,34 @@ def test_audit_is_informative(audit):
     hi = max(audit)
     assert audit[hi].mean_exact > audit[lo].mean_exact
     assert audit[hi].n_exact_dups > 0
+
+
+def test_source_matrix_matches_pure_python(spark, sf_dir):
+    """q118: pure-Python rollup of the verified dup pairs by
+    normalized source pair."""
+    from collections import defaultdict
+
+    from cometbft_log_etl_spark.queries.neardup import lsh_verified_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    srcs = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    dups = [
+        (r.doc_a, r.doc_b, r.exact_j)
+        for r in lsh_verified_pairs(docs).collect()
+        if r.exact_j >= _CLUSTER_JACCARD
+    ]
+    want = defaultdict(list)
+    for a, b, e in dups:
+        key = tuple(sorted((srcs[a], srcs[b])))
+        want[key].append((e, srcs[a] != srcs[b]))
+    got = {
+        (r.source_a, r.source_b): r
+        for r in catalog()["q118_source_dup_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert want, "driver corpus has no verified dup pairs — vacuous"
+    for key, items in want.items():
+        r = got[key]
+        assert r.n_dup_pairs == len(items)
+        assert abs(r.mean_exact - sum(e for e, _ in items) / len(items)) < 1e-9
+        assert r.cross_source == any(c for _, c in items)

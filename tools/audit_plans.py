@@ -301,6 +301,13 @@ EXPECTATIONS = {
                                  "contains": ["WindowGroupLimit"],
                                  "contains_not": ["CartesianProduct",
                                                   "BroadcastNestedLoopJoin"]},
+    # source dup matrix: the q117 verify front (bucket cap intact)
+    # plus two doc-keyed source lookups; scans stay bounded (sig build,
+    # shingle build, source sides — AQE typically reuses one)
+    "q118_source_dup_matrix": {"max_scans": 4,
+                               "contains": ["WindowGroupLimit"],
+                               "contains_not": ["CartesianProduct",
+                                                "BroadcastNestedLoopJoin"]},
     # incremental cluster maintenance: both Hash-Min loops (history
     # graph + contracted frontier) run behind localCheckpoints and are
     # gated via CC_EXPECTATIONS (incl. cc:contract), so the catalog-
