@@ -1120,7 +1120,10 @@ canon AS (
          CAST(sum(CASE WHEN NOT is_hist THEN 1 ELSE 0 END) AS BIGINT)
            AS n_batch_members,
          CAST(count(DISTINCT CASE WHEN is_hist THEN hist_cluster END)
-              AS BIGINT) AS n_hist_clusters
+              AS BIGINT) AS n_hist_clusters,
+         -- the PRIMARY absorbed history cluster: min id among absorbed
+         -- (NOT the surviving union id, which can be a batch doc id)
+         min(CASE WHEN is_hist THEN hist_cluster END) AS prev_cluster
   FROM (
     SELECT cluster_id, doc_id, is_hist, hist_cluster,
            row_number() OVER (PARTITION BY cluster_id
@@ -1144,7 +1147,7 @@ SELECT c.cluster_id, c.canonical_doc,
        p.prev_canonical,
        c.n_members, c.n_batch_members, c.n_hist_clusters,
        coalesce(c.canonical_doc <> p.prev_canonical, TRUE) AS canonical_changed
-FROM canon c LEFT JOIN prev p ON p.hist_cluster = c.cluster_id
+FROM canon c LEFT JOIN prev p ON p.hist_cluster = c.prev_cluster
 """,
 )
 def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1152,8 +1155,10 @@ def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming batch TOUCHES, the new quality-winner canonical document
     (q10's selection rule — highest lexical diversity, doc_id
     tie-break), the previously-stored canonical it supersedes (the
-    history cluster sharing the surviving cluster id; NULL for a
-    pure-batch cluster), member/batch/absorbed-cluster counts, and
+    PRIMARY absorbed history cluster's winner — min cluster id among
+    absorbed, which is NOT always the surviving union id: a batch doc
+    can win the min; NULL only for pure-batch clusters), member/batch/
+    absorbed-cluster counts, and
     whether the canonical actually changed. Untouched clusters never
     appear — this IS the delta a production canonical-corpus table
     applies after each ingestion round, and every history cluster that
@@ -1221,6 +1226,14 @@ def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(
                 F.when(F.col("is_hist"), F.col("hist_cluster"))
             ).cast("bigint").alias("n_hist_clusters"),
+            # the PRIMARY absorbed history cluster (min id among
+            # absorbed) — joining prev on the surviving union id
+            # instead silently dropped the superseded canonical
+            # whenever a BATCH doc won the min (review finding,
+            # regression-pinned in tests/test_incremental_canonical.py)
+            F.min(F.when(F.col("is_hist"), F.col("hist_cluster"))).alias(
+                "prev_cluster"
+            ),
         )
     )
     prn = F.row_number().over(
@@ -1233,7 +1246,7 @@ def q116_incremental_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.when(F.col("prn") == 1, F.col("doc_id"))).alias("prev_canonical"))
     )
     return canon.join(
-        prev, canon.cluster_id == prev.hist_cluster, "left"
+        prev, canon.prev_cluster == prev.hist_cluster, "left"
     ).select(
         "cluster_id",
         "canonical_doc",

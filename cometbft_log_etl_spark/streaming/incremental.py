@@ -121,14 +121,30 @@ def stream_incremental_clusters(
     exactly like cluster_labels' left join."""
     if docs_stream is None:
         docs_stream = stream_documents(spark, sf_dir)
-    holder: dict[str, Optional[ClusterState]] = {"state": None}
-
-    def _fold(batch_df: DataFrame, _epoch: int) -> None:
-        holder["state"] = fold_batch(holder["state"], batch_df)
-
+    fold, get_state = make_epoch_fold()
     q = (
-        docs_stream.writeStream.foreachBatch(_fold)
+        docs_stream.writeStream.foreachBatch(fold)
         .trigger(availableNow=True)
         .start()
     )
-    return q, lambda: holder["state"]
+    return q, get_state
+
+
+def make_epoch_fold():
+    """(fold, get_state): a fold_batch wrapper that is idempotent under
+    Structured Streaming's at-least-once batch redelivery. foreachBatch
+    documents that a micro-batch whose side effects completed but whose
+    commit failed is RE-RUN with the same epoch id — an unguarded fold
+    would union the batch's signatures and labels into state twice
+    (duplicate rows, conflicting labels for the re-folded docs). The
+    guard skips any epoch id already applied (review finding,
+    regression-pinned in tests/test_stream_incremental.py)."""
+    holder: dict = {"state": None, "last_epoch": None}
+
+    def fold(batch_df: DataFrame, epoch: int) -> None:
+        if holder["last_epoch"] is not None and epoch <= holder["last_epoch"]:
+            return  # redelivered epoch: state already reflects it
+        holder["state"] = fold_batch(holder["state"], batch_df)
+        holder["last_epoch"] = epoch
+
+    return fold, lambda: holder["state"]

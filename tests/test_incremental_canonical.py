@@ -39,11 +39,12 @@ def test_canonical_matches_q10_rule(frames):
 def test_prev_canonical_pure_python(spark, sf_dir, frames):
     """Recompute the superseded canonicals independently: history
     labels from the machinery, quality ratios from quality_features,
-    winner = (uniq_ratio desc, doc_id asc) among the history cluster's
-    HISTORY members."""
+    prev cluster = MIN absorbed history cluster id (NOT the surviving
+    union id — a batch doc can win the min; the review finding this
+    pins), winner = (uniq_ratio desc, doc_id asc) among that history
+    cluster's HISTORY members."""
     from cometbft_log_etl_spark.queries.datapipe import quality_features
     from cometbft_log_etl_spark.queries.neardup import (
-        _inc_is_hist,
         cc_seed,
         dup_edges,
         hash_min_components,
@@ -61,24 +62,38 @@ def test_prev_canonical_pure_python(spark, sf_dir, frames):
         r.doc_id: r.uniq_ratio
         for r in quality_features(docs).select("doc_id", "uniq_ratio").collect()
     }
-    hist_ids = [
-        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id % 10 < 8
-    ]
+    hist_of = lambda d: hist_labels.get(d, d)  # noqa: E731
     clusters: dict[int, list[int]] = {}
-    for d in hist_ids:
-        clusters.setdefault(hist_labels.get(d, d), []).append(d)
+    for r in q114:
+        if not r.is_batch:
+            clusters.setdefault(hist_of(r.doc_id), []).append(r.doc_id)
+    # union-cluster -> absorbed history clusters
+    absorbed: dict[int, set[int]] = {}
+    for r in q114:
+        if not r.is_batch:
+            absorbed.setdefault(r.cluster_id, set()).add(hist_of(r.doc_id))
+    saw_batch_won_min = False
     for cid, r in q116.items():
-        members = clusters.get(cid)
-        if members is None:
+        hcs = absorbed.get(cid)
+        if not hcs:
             assert r.prev_canonical is None, f"cluster {cid}"
             assert r.canonical_changed, f"cluster {cid}"
             continue
+        prev_cluster = min(hcs)
+        saw_batch_won_min |= prev_cluster != cid
+        members = clusters[prev_cluster]
         want = min(
             members,
             key=lambda d: (-(uniq[d] if uniq[d] is not None else float("-inf")), d),
         )
         assert r.prev_canonical == want, f"cluster {cid}"
         assert r.canonical_changed == (r.canonical_doc != want), f"cluster {cid}"
+        # the regression: any cluster with history members must report
+        # the canonical it supersedes
+        assert r.prev_canonical is not None, f"cluster {cid}"
+    # the driver corpus actually exercises the batch-won-min case the
+    # review found (6 rows at sf0.01; at least one here)
+    assert saw_batch_won_min
 
 
 def test_merge_events_imply_relabels(frames):

@@ -59,3 +59,27 @@ def test_stream_incremental_matches_full(spark, sf_dir, tmp_path_factory):
     # the stream actually saw multiple batches and real merges
     assert any(v != k for k, v in got.items())
     assert len({r.doc_id for r in state.sigs.collect()}) == len(got)
+
+
+def test_fold_is_idempotent_under_epoch_redelivery(spark, sf_dir):
+    """foreachBatch is at-least-once: a committed-then-redelivered
+    epoch must not fold twice (duplicate signatures / conflicting
+    labels). The guard keys on the epoch id."""
+    from cometbft_log_etl_spark.streaming.incremental import make_epoch_fold
+
+    docs = load(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    fold, get_state = make_epoch_fold()
+    fold(half, 0)
+    s1 = get_state()
+    labels1 = sorted((r.doc_id, r.cluster_id) for r in s1.labels.collect())
+    n_sigs1 = s1.sigs.count()
+    fold(half, 0)  # redelivery of the SAME epoch: must be a no-op
+    s2 = get_state()
+    assert s2 is s1
+    assert sorted((r.doc_id, r.cluster_id) for r in s2.labels.collect()) == labels1
+    assert s2.sigs.count() == n_sigs1
+    fold(docs.filter(F.col("doc_id") % 2 == 1), 1)  # a NEW epoch folds
+    s3 = get_state()
+    assert s3 is not s1
+    assert s3.sigs.count() > n_sigs1

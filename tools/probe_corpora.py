@@ -104,8 +104,16 @@ def main() -> int:
     from cometbft_log_etl_spark.testing.compare import run_compare
 
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = args[1:] if args and os.path.isdir(args[0]) else args
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        # path-like first arg: it MUST be a directory — a typo must not
+        # silently fall back to the default corpus (or be read as a
+        # query name and die with an opaque KeyError)
+        if not os.path.isdir(args[0]):
+            print(f"error: corpus dir {args[0]!r} does not exist", file=sys.stderr)
+            return 2
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
     cat = catalog()
     if names:
         cat = {n: cat[n] for n in names}
