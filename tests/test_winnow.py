@@ -113,3 +113,41 @@ def test_shared_run_guarantee(spark, shared_run_dir):
     # the disjoint doc reports 1 (its own fingerprints only)
     assert got[1][3] >= 2 and got[2][3] >= 2
     assert got[3][3] == 1
+
+
+@pytest.mark.parametrize("win_w", [2, 3, 5])
+def test_fold_tracks_tunable_win_w(spark, monkeypatch, win_w):
+    """The round-11 advice: the Spark window-minima build must track
+    _WIN_W like the generated SQL does (the original two-level tree
+    only worked for _WIN_W == 4). Patch the constant and compare
+    winnow_fps against the pure-Python winnow at the same width."""
+    import pyspark.sql.functions as F
+
+    from cometbft_log_etl_spark.queries import winnow as winnow_mod
+
+    monkeypatch.setattr(winnow_mod, "_WIN_W", win_w)
+    texts = [
+        "a b c d e f g h i j k l m n o p",
+        "a b c d e f g",
+        "x y z w",          # exactly one gram -> zero windows at w >= 2
+        "one two three",    # shorter than a gram
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", F.split("text", " ").alias("t"))
+    got = {
+        r.doc_id: (r.n_grams, r.n_windows, list(r.fp))
+        for r in winnow_mod.winnow_fps(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = [" ".join(toks[j : j + _WIN_K]) for j in range(len(toks) - _WIN_K + 1)]
+        h = [_h32(g) for g in grams]
+        nw = max(len(h) - win_w + 1, 0)
+        minima = [min(h[j : j + win_w]) for j in range(nw)]
+        fp, seen = [], set()
+        for m in minima:
+            if m not in seen:
+                seen.add(m)
+                fp.append(m)
+        assert got[i] == (len(h), nw, fp), f"win_w={win_w} doc={i}"
