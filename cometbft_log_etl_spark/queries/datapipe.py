@@ -2740,6 +2740,118 @@ def exact_substring_runs(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "q119_duplicated_spans",
+    tags=("datapipe", "dedup", "substring"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+),
+duppos AS (
+  SELECT doc_id, p FROM grams SEMI JOIN dupg USING (g)
+),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER w IS NULL
+                OR p - lag(p) OVER w > {_SUB_K} THEN 1 ELSE 0 END AS new_isl
+  FROM duppos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {_SUB_K} - min(p) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, isl
+""",
+)
+def q119_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED exact-substring cut list (Lee et al. 2022's
+    ExactSubstr dedup, the published standard): for every document,
+    every maximal token span in which each _SUB_K-gram occurs at
+    least twice ANYWHERE in the corpus (another document or elsewhere
+    in the same one) — the exact spans the dedup pass removes. Unlike
+    q45's pair tier, there is no per-gram occurrence cap and no pair
+    expansion: the answer to "which of MY positions are duplicated"
+    never needs the occurrence LIST, only the occurrence COUNT, so
+    the quadratic term the cap exists to bound is absent by
+    construction — this restates the suffix-array sweep as sorted
+    k-gram runs (round-12 verdict "what's missing" #3).
+
+    Plan shape (audited): 2 parquet scans of the 2-column projection
+    (the gram frame feeds both sides of the duplicated-gram semi join;
+    re-scanning is the 100 TB-correct trade — a corpus-sized persist
+    to save a pruned 2-column scan is memory spent on the cheapest
+    stage). Duplicated grams come from a partial-aggregatable
+    groupBy(g).count() — a viral boilerplate gram collapses to one row
+    per map partition BEFORE the shuffle, so gram skew never builds a
+    hot partition the way an occurrence-list window would. The semi
+    join back is gram-keyed (skinny key side; AQE skew-split handles
+    hot grams). Island detection runs per DOCUMENT (partition sizes
+    bounded by doc length): gap > _SUB_K starts a new island — two
+    duplicated gram positions p1 < p2 cover a contiguous token region
+    iff p2 <= p1 + _SUB_K — and the final (doc_id, isl) aggregation
+    reuses the window's hash(doc_id) exchange (subset-key
+    colocation). Output is one row per maximal span: linear in the
+    corpus, never in the duplication multiplicity.
+    """
+    tune_session(spark)
+    return duplicated_spans(load(spark, sf_dir, "documents"))
+
+
+def duplicated_spans(docs: DataFrame) -> DataFrame:
+    """The q119 kernel over any (doc_id, text) frame — separated so the
+    boilerplate-corpus bound test (tests/test_lsh_guard.py) can drive
+    it without parquet."""
+    toks = _sub_tokens(docs)
+    gram_arr = F.transform(
+        F.sequence(F.lit(0), F.size("t") - _SUB_K),
+        lambda i: F.struct(i.alias("p"), _sub_gram_md5("t", i).alias("g")),
+    )
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
+        "doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_g, "g", "semi")
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    gap = F.col("p") - F.lag("p", 1).over(wdoc)
+    flagged = dup_pos.withColumn(
+        "new_isl", F.when(gap.isNull() | (gap > _SUB_K), 1).otherwise(0)
+    )
+    return (
+        flagged.withColumn(
+            "isl",
+            F.sum("new_isl").over(wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + _SUB_K - F.min("p")).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_tokens", "n_dup_grams")
+    )
+
+
+@register(
     "q46_substring_scrub",
     tags=("datapipe", "dedup", "substring"),
     oracle=f"""

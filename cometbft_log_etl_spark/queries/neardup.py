@@ -2522,3 +2522,280 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").isNull().alias("is_kept"),
         "dup_of",
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — incremental SemDeDup maintenance (round-12 verdict "next round" #1:
+# the q114 merge-replay pattern applied to the EMBEDDING tier). Production
+# story: the k-means model (centroids) and the per-vector assignments +
+# keep/drop decisions are STORED state fitted on the already-ingested
+# history; a day's new embeddings assign against the broadcast stored
+# centroids (one map pass — no refit), and the SemDeDup pair scan re-runs
+# ONLY over clusters the batch touched. Decisions for untouched clusters
+# are provably unchanged (same member set, same capped ranking, same
+# pairs), so incremental == a full pass under the stored model — the
+# parity tests/test_incremental_semdedup.py asserts, including on an
+# engineered corpus where some clusters receive NO batch member. Model
+# drift is handled by a periodic refit (the q25 plan), not per-batch:
+# folding batch vectors into the centroids per arrival would make every
+# cluster "touched" and the incremental structure vacuous — the churn
+# columns this query emits (newly_pruned, per-cluster batch share) are
+# exactly the refit trigger signal.
+
+_IKM_SQL_CTES = f"""elems AS (
+  SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding AS emb,
+               unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM elems GROUP BY vec_id
+),
+hseeds AS (SELECT vec_id FROM {SQL_EMB_SRC}
+           WHERE vec_id % {_KM_SEED_STEP} = 0
+             AND vec_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+           ORDER BY vec_id LIMIT {_KM_K}),
+hcent1 AS (SELECT e.vec_id AS cluster_id, pos, x FROM elems e
+           JOIN hseeds s ON s.vec_id = e.vec_id),
+hvc1 AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (nv.nrm * nc.nrm) AS cos
+  FROM elems e
+  JOIN hcent1 c ON c.pos = e.pos
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN norms nc ON nc.vec_id = c.cluster_id
+  WHERE e.vec_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
+  GROUP BY e.vec_id, c.cluster_id, nv.nrm, nc.nrm
+),
+ha1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM hvc1) WHERE rn = 1
+),
+hcent2 AS (
+  SELECT ha1.cluster_id, e.pos,
+         round(CAST(sum(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS x
+  FROM ha1 JOIN elems e ON e.vec_id = ha1.vec_id
+  GROUP BY ha1.cluster_id, e.pos
+),
+hcnorm2 AS (
+  SELECT cluster_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM hcent2 GROUP BY cluster_id
+  HAVING sum(CAST(x * x AS DECIMAL(28,12))) > 0
+),
+avc AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(sum(CAST(e.x * c.x AS DECIMAL(28,12))) AS DOUBLE)
+           / (nv.nrm * nc.nrm) AS cos
+  FROM elems e
+  JOIN hcent2 c ON c.pos = e.pos
+  JOIN norms nv ON nv.vec_id = e.vec_id
+  JOIN hcnorm2 nc ON nc.cluster_id = c.cluster_id
+  GROUP BY e.vec_id, c.cluster_id, nv.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id, cluster_id, cos,
+         vec_id % {_INC_HIST_MOD} >= {_INC_HIST_CUT} AS is_batch
+  FROM (
+    SELECT vec_id, cluster_id, cos, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+    FROM avc) WHERE rn = 1
+),
+touched AS (SELECT DISTINCT cluster_id FROM assign WHERE is_batch),
+tmem AS (SELECT a.* FROM assign a SEMI JOIN touched USING (cluster_id)),
+capped_new AS (
+  SELECT vec_id, cluster_id, cos FROM (
+    SELECT vec_id, cluster_id, cos, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn
+    FROM tmem) WHERE rn <= {_KM_MEMBER_CAP}
+),
+pairs_new AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM capped_new a
+  JOIN capped_new b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+  JOIN elems ea ON ea.vec_id = a.vec_id
+  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+  GROUP BY a.vec_id, b.vec_id
+),
+dups_new AS (
+  SELECT p.vec_b AS vec_id, min(p.vec_a) AS dup_of
+  FROM pairs_new p
+  JOIN norms na ON na.vec_id = p.vec_a
+  JOIN norms nb ON nb.vec_id = p.vec_b
+  WHERE p.dot / (na.nrm * nb.nrm) >= {_KM_DUP_COS}
+  GROUP BY p.vec_b
+),
+capped_old AS (
+  SELECT vec_id, cluster_id, cos FROM (
+    SELECT vec_id, cluster_id, cos, row_number() OVER (
+             PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn
+    FROM tmem WHERE NOT is_batch) WHERE rn <= {_KM_MEMBER_CAP}
+),
+pairs_old AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM capped_old a
+  JOIN capped_old b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+  JOIN elems ea ON ea.vec_id = a.vec_id
+  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+  GROUP BY a.vec_id, b.vec_id
+),
+dups_old AS (
+  SELECT p.vec_b AS vec_id, min(p.vec_a) AS dup_of
+  FROM pairs_old p
+  JOIN norms na ON na.vec_id = p.vec_a
+  JOIN norms nb ON nb.vec_id = p.vec_b
+  WHERE p.dot / (na.nrm * nb.nrm) >= {_KM_DUP_COS}
+  GROUP BY p.vec_b
+)"""
+
+
+@register(
+    "q120_incremental_semdedup",
+    tags=("datapipe", "dedup", "embedding", "clustering", "incremental"),
+    oracle=f"""
+WITH {_IKM_SQL_CTES}
+SELECT t.vec_id, t.cluster_id, round(t.cos, 9) AS centroid_cos, t.is_batch,
+       dn.dup_of IS NULL AS is_kept, dn.dup_of,
+       CASE WHEN t.is_batch THEN NULL ELSE do_.dup_of IS NULL END AS was_kept,
+       coalesce(NOT t.is_batch AND do_.dup_of IS NULL
+                AND dn.dup_of IS NOT NULL, FALSE) AS newly_pruned
+FROM tmem t
+LEFT JOIN dups_new dn ON dn.vec_id = t.vec_id
+LEFT JOIN dups_old do_ ON do_.vec_id = t.vec_id
+""",
+)
+def q120_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup maintenance over the embedding tier: the
+    day's batch (vec_id % 10 >= 8, the q13/q114 ingestion split)
+    assigns against the STORED history-fitted k-means centroids — one
+    broadcast map pass, no refit — and the within-cluster semantic
+    pair scan re-runs ONLY over clusters the batch touched. Output is
+    the merge-replay report per touched-cluster member: the new
+    keep/drop decision, the previously-stored one, and `newly_pruned`
+    — history docs a batch arrival demoted (the rows a downstream
+    canonical corpus must replay, the q116 shape for embeddings).
+
+    Exactness (the q114 argument, semantic tier): with the model held
+    fixed, per-vector assignment is independent of every other vector,
+    and a cluster's decision set depends only on its own capped member
+    ranking — a cluster with no batch member has the identical member
+    set it had yesterday, hence identical decisions. So incremental
+    maintenance (stored decisions for untouched clusters + this
+    query's re-scan of touched ones) is bit-equal to a full pass under
+    the stored model: asserted both ways in
+    tests/test_incremental_semdedup.py, including an engineered corpus
+    where clusters receive no batch member. The model itself refreshes
+    by PERIODIC refit (q25's plan) — folding arrivals into centroids
+    per-batch would touch every cluster and make the incremental
+    structure vacuous; `newly_pruned` volume and per-cluster batch
+    share are the refit trigger.
+
+    Scale shape: the history fit is the q17/q25 front (broadcast
+    FIXED-k centroids, map-side argmax; at production scale it is read
+    back from storage, not recomputed — the q114 precedent for
+    deriving state in-plan so the query stays self-contained). The
+    assignment is persist()ed once (three consumers: touched set,
+    new-decision tier, stored-decision tier — the q25 barrier
+    rationale). `touched` is at most k rows, so the semi join
+    broadcasts; both pair tiers run AFTER the touched semi-join and
+    under the _KM_MEMBER_CAP rank filter (map-side WindowGroupLimit),
+    so per-cluster pair cost is capped and clusters the batch never
+    touches contribute ZERO pair work — at daily-crawl scale that is
+    the difference between re-scoring the whole corpus's clusters and
+    the batch's neighborhood.
+    """
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    a1h = _km_assign_round(hist, _km_seed_centroids(hist))
+    stored_cent = _km_update_centroids(a1h)
+    assign = persist_tracked(
+        _km_assign_round(emb, stored_cent).withColumn(
+            "is_batch", ~_inc_is_hist(F.col("vec_id"))
+        )
+    )
+    touched = assign.filter("is_batch").select("cluster_id").distinct()
+    tmem = assign.join(F.broadcast(touched), "cluster_id", "semi")
+    dups_new = _semdedup_dups(tmem)
+    dups_old = _semdedup_dups(tmem.filter(~F.col("is_batch")))
+    was_kept = F.when(F.col("is_batch"), F.lit(None).cast("boolean")).otherwise(
+        F.col("_old_dup").isNull()
+    )
+    return (
+        tmem.join(dups_new, "vec_id", "left")
+        .join(
+            dups_old.select(F.col("vec_id"), F.col("dup_of").alias("_old_dup")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round("cos", 9).alias("centroid_cos"),
+            "is_batch",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            was_kept.alias("was_kept"),
+            (
+                ~F.col("is_batch")
+                & F.col("_old_dup").isNull()
+                & F.col("dup_of").isNotNull()
+            ).alias("newly_pruned"),
+        )
+    )
+
+
+def _semdedup_dups(members: DataFrame) -> DataFrame:
+    """(vec_id, dup_of) SemDeDup decisions over a (vec_id, cluster_id,
+    cos, emb, nrm) member frame — the q25 pair tier factored out so the
+    incremental query's new-state and stored-state scans share one
+    definition (two copies would let the churn columns drift from the
+    decision rule). Capped rank filter -> one array row per cluster ->
+    in-array pair expansion with decimal dot folds; no pairwise join."""
+    from ..session import default_parallelism
+
+    wcap = W.partitionBy("cluster_id").orderBy(F.col("cos").desc(), "vec_id")
+    grouped = (
+        members.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _KM_MEMBER_CAP)
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+        .repartition(default_parallelism())
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(
+                    a["vec_id"].alias("vec_a"),
+                    b["vec_id"].alias("vec_b"),
+                    ddot12(a["emb"], b["emb"]).alias("dot"),
+                    a["nrm"].alias("nrm_a"),
+                    b["nrm"].alias("nrm_b"),
+                ),
+            ),
+        )
+    )
+    cosine = F.col("p.dot") / (F.col("p.nrm_a") * F.col("p.nrm_b"))
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .filter(cosine >= _KM_DUP_COS)
+        .groupBy(F.col("p.vec_b").alias("vec_id"))
+        .agg(F.min("p.vec_a").alias("dup_of"))
+    )

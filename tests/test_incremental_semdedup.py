@@ -1,0 +1,250 @@
+"""q120 incremental SemDeDup maintenance (the q114 pattern, embedding tier).
+
+Three independent checks of the incremental algebra:
+
+- a NumPy restatement of the whole query (history-fit model, assign-all,
+  capped decisions old/new) on the driver corpus — every output column;
+- the exactness claim itself, Spark vs Spark: the incremental result
+  must equal a FULL pass under the stored model restricted to touched
+  clusters, and untouched clusters' full-pass decisions must equal the
+  stored (history-only) decisions — the two halves that together make
+  "stored state + touched re-scan" bit-equal to a monolithic rerun;
+- an engineered corpus where one cluster receives NO batch member:
+  q120 must emit zero rows for it (the plan's touched semi-join is the
+  scale story — untouched clusters contribute zero pair work).
+
+The DuckDB oracle cross-check (the same history-fit chain as
+independent CTEs) runs in the driver window / check_correctness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _np_inc_model(sf_dir: str):
+    """NumPy restatement of q120's stored model: seeds + round-1
+    assignment + centroid update over HISTORY ONLY, then one assignment
+    of ALL vectors against the stored centroids."""
+    from cometbft_log_etl_spark.queries._det import EMB_MAX_ABS
+    from cometbft_log_etl_spark.queries.neardup import (
+        _INC_HIST_CUT,
+        _INC_HIST_MOD,
+        _KM_K,
+        _KM_SEED_STEP,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    finite = (
+        np.isfinite(emb).all(axis=1)
+        & (np.abs(emb) < EMB_MAX_ABS).all(axis=1)
+        & (np.round(emb * emb, 12) > 0).any(axis=1)
+    )
+    ids, emb = ids[finite], emb[finite]
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    is_hist = (ids % _INC_HIST_MOD) < _INC_HIST_CUT
+
+    seed_ids = ids[((ids % _KM_SEED_STEP) == 0) & is_hist][:_KM_K]
+    seed_idx = np.searchsorted(ids, seed_ids)
+
+    def assign(sub_emb, sub_nrm, cents, cent_ids, cnrm):
+        cos = (sub_emb @ cents.T) / (sub_nrm[:, None] * cnrm[None, :])
+        best = np.argmax(cos, axis=1)  # first max == lowest cluster_id tie-break
+        return cent_ids[best], cos[np.arange(len(sub_emb)), best]
+
+    h_emb, h_nrm = emb[is_hist], nrm[is_hist]
+    a1_cid, _ = assign(h_emb, h_nrm, emb[seed_idx], seed_ids, nrm[seed_idx])
+    cents2, cent2_ids = [], []
+    for cid in seed_ids:
+        members = h_emb[a1_cid == cid]
+        if len(members):
+            c = np.round(members.sum(axis=0) / len(members), 9)
+            if (np.round(c * c, 12) > 0).any():
+                cents2.append(c)
+                cent2_ids.append(cid)
+    cents2, cent2_ids = np.array(cents2), np.array(cent2_ids)
+    cnrm2 = np.sqrt((cents2 * cents2).sum(axis=1))
+    a_cid, a_cos = assign(emb, nrm, cents2, cent2_ids, cnrm2)
+    return ids, emb, nrm, is_hist, a_cid, a_cos
+
+
+def _np_decisions(ids, emb, nrm, members_mask, cid, tau, cap):
+    """{vec_id: dup_of} over each cluster's members (restricted to
+    members_mask), mirroring _semdedup_dups without the cap path."""
+    dup_of = {}
+    for c in np.unique(cid[members_mask]):
+        m = np.where(members_mask & (cid == c))[0]
+        if len(m) > cap:
+            pytest.skip("corpus exceeds member cap; reference needs rank logic")
+        for bi in m:
+            cands = [
+                ids[ai]
+                for ai in m
+                if ids[ai] < ids[bi]
+                and (emb[ai] @ emb[bi]) / (nrm[ai] * nrm[bi]) >= tau
+            ]
+            if cands:
+                dup_of[ids[bi]] = min(cands)
+    return dup_of
+
+
+def test_q120_matches_numpy_reference(spark, sf_dir):
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.queries.neardup import _KM_DUP_COS, _KM_MEMBER_CAP
+
+    ids, emb, nrm, is_hist, a_cid, a_cos = _np_inc_model(sf_dir)
+    touched = set(a_cid[~is_hist])
+    tmask = np.isin(a_cid, list(touched))
+    new_dup = _np_decisions(ids, emb, nrm, tmask, a_cid, _KM_DUP_COS, _KM_MEMBER_CAP)
+    old_dup = _np_decisions(
+        ids, emb, nrm, tmask & is_hist, a_cid, _KM_DUP_COS, _KM_MEMBER_CAP
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = catalog()["q120_incremental_semdedup"].fn(spark, sf_dir).collect()
+    assert len(rows) == int(tmask.sum())
+    saw_pruned = False
+    for r in rows:
+        i = idx[r.vec_id]
+        assert tmask[i]
+        assert r.cluster_id == a_cid[i]
+        assert r.is_batch == (not is_hist[i])
+        assert r.dup_of == new_dup.get(r.vec_id)
+        assert r.is_kept == (r.vec_id not in new_dup)
+        if r.is_batch:
+            assert r.was_kept is None
+            assert not r.newly_pruned
+        else:
+            assert r.was_kept == (r.vec_id not in old_dup)
+            assert r.newly_pruned == (
+                r.vec_id not in old_dup and r.vec_id in new_dup
+            )
+            saw_pruned = saw_pruned or r.newly_pruned
+    assert saw_pruned, "driver corpus exercises no newly_pruned row — fixture too weak"
+
+
+def _spark_stored_model_frames(spark, sf_dir):
+    """(assign, tmem) under the stored model — the q120 front half,
+    rebuilt here so the parity test composes the FULL pass itself."""
+    from cometbft_log_etl_spark.queries._det import dnrm12, finite_embeddings
+    from cometbft_log_etl_spark.queries.neardup import (
+        _inc_is_hist,
+        _km_assign_round,
+        _km_seed_centroids,
+        _km_update_centroids,
+    )
+    from cometbft_log_etl_spark.session import default_parallelism
+    from cometbft_log_etl_spark.tables import load
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
+    return _km_assign_round(emb, cent).withColumn(
+        "is_batch", ~_inc_is_hist(F.col("vec_id"))
+    )
+
+
+def test_incremental_equals_full_pass_under_stored_model(spark, sf_dir):
+    """The exactness claim, both halves: (a) q120 == a monolithic full
+    pass (decisions over ALL clusters under the stored model)
+    restricted to touched clusters; (b) for untouched clusters the
+    full pass equals the stored history-only decisions — together,
+    stored state + touched re-scan is bit-equal to a full rerun."""
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.queries.neardup import _semdedup_dups
+
+    assign = _spark_stored_model_frames(spark, sf_dir).cache()
+    try:
+        full = {r.vec_id: r.dup_of for r in _semdedup_dups(assign).collect()}
+        stored = {
+            r.vec_id: r.dup_of
+            for r in _semdedup_dups(assign.filter(~F.col("is_batch"))).collect()
+        }
+        arows = assign.select("vec_id", "cluster_id", "is_batch").collect()
+        touched = {r.cluster_id for r in arows if r.is_batch}
+        out = {
+            r.vec_id: r
+            for r in catalog()["q120_incremental_semdedup"].fn(spark, sf_dir).collect()
+        }
+        for a in arows:
+            if a.cluster_id in touched:
+                # (a) incremental row exists and matches the full pass
+                r = out[a.vec_id]
+                assert r.dup_of == full.get(a.vec_id)
+                assert r.is_kept == (a.vec_id not in full)
+            else:
+                # (b) untouched: no incremental row; stored == full
+                assert a.vec_id not in out
+                assert stored.get(a.vec_id) == full.get(a.vec_id)
+    finally:
+        assign.unpersist()
+
+
+def test_untouched_cluster_contributes_no_rows(spark, sf_dir, tmp_path_factory):
+    """Engineered two-direction corpus: direction A's members are all
+    history ids (untouched), direction B receives batch ids. q120 must
+    emit rows ONLY for cluster B — and the A-side semantic duplicates
+    (stored state) must stay out of the output entirely."""
+    import os
+
+    import pyarrow as pa
+
+    from cometbft_log_etl_spark.queries import catalog
+
+    # seeds need vec_id % 23 == 0 AND history (% 10 < 8): 0 and 23
+    id_to_vec = {
+        0: [1.0, 0.0],  # dir A seed (history)
+        1: [0.999, 0.01],  # dir A history dup of 0
+        11: [0.998, 0.02],  # dir A history dup
+        23: [0.0, 1.0],  # dir B seed (history)
+        24: [0.01, 0.999],  # dir B history
+        28: [0.02, 0.998],  # dir B BATCH (28 % 10 == 8)
+        29: [0.03, 0.997],  # dir B BATCH
+    }
+    out = tmp_path_factory.mktemp("inc-semdedup-sf")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ):
+        head = pq.read_table(os.path.join(sf_dir, f"{t}.parquet")).slice(0, 8)
+        pq.write_table(head, str(out / f"{t}.parquet"))
+    schema = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).schema
+    ids = sorted(id_to_vec)
+    emb = pa.Table.from_pydict(
+        {
+            "vec_id": ids,
+            "embedding": [id_to_vec[i] for i in ids],
+            "label": [0] * len(ids),
+        },
+        schema=pa.schema([schema.field(n) for n in ("vec_id", "embedding", "label")]),
+    )
+    pq.write_table(emb, str(out / "embeddings.parquet"))
+
+    rows = catalog()["q120_incremental_semdedup"].fn(spark, str(out)).collect()
+    got_ids = {r.vec_id for r in rows}
+    assert got_ids == {23, 24, 28, 29}, got_ids  # only dir B (touched)
+    assert all(r.cluster_id == 23 for r in rows)
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[28].is_batch and by_id[29].is_batch
+    # dir B members are near-parallel: later ids dedup onto 23
+    assert by_id[23].is_kept and by_id[23].dup_of is None
+    assert by_id[24].dup_of == 23 and by_id[28].dup_of == 23
+    # stored state: 24 was already a dup (not newly pruned); batch rows
+    # carry no stored decision
+    assert by_id[24].was_kept is False and not by_id[24].newly_pruned
+    assert by_id[28].was_kept is None

@@ -321,3 +321,92 @@ def test_selfrep_parity_with_duplicate_doc_id(spark, sf_dir, tmp_path_factory):
     pq.write_table(dup, str(out / "documents.parquet"))
     res = run_compare(spark, catalog()["q102_selfrep_runs"], str(out))
     assert res.ok, f"q102_selfrep_runs: {res}"
+
+
+def test_identical_corpus_duplicated_spans_stay_linear(spark):
+    """The UNCAPPED tier's degenerate bound (q119): N identical docs
+    share every gram, but the output is one full-length span PER DOC —
+    linear in the corpus — because duplication needs only the per-gram
+    COUNT, never the occurrence list or a pair expansion. This is the
+    boilerplate corpus that would go quadratic if anyone 'optimized'
+    the count into a pair tier."""
+    from cometbft_log_etl_spark.queries.datapipe import _SUB_K, duplicated_spans
+
+    spans = duplicated_spans(_identical_docs(spark)).cache()
+    try:
+        n_tokens = len(_TEXT.split(" "))
+        rows = spans.collect()
+        assert len(rows) == N_DOCS  # one maximal span per doc, not C(N,2)
+        assert all(
+            r.span_start == 0
+            and r.span_tokens == n_tokens
+            and r.n_dup_grams == n_tokens - _SUB_K + 1
+            for r in rows
+        )
+        assert sorted(r.doc_id for r in rows) == list(range(N_DOCS))
+    finally:
+        spans.unpersist()
+
+
+def test_duplicated_spans_python_recount(spark, sf_dir):
+    """q119 vs an independent pure-Python recount on the driver corpus:
+    md5 gram counting, gap>k islanding, maximal spans — the whole
+    semantics re-derived outside both engines."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from cometbft_log_etl_spark.queries import catalog
+    from cometbft_log_etl_spark.queries.datapipe import _SUB_K
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams: Counter = Counter()
+    pos: dict = {}
+    for d, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = [x for x in txt.split(" ") if x != ""]
+        pos[d] = []
+        for p in range(len(toks) - _SUB_K + 1):
+            g = hashlib.md5(" ".join(toks[p : p + _SUB_K]).encode()).hexdigest()
+            grams[g] += 1
+            pos[d].append((p, g))
+    want = []
+    for d, pl in pos.items():
+        dup = [p for p, g in pl if grams[g] >= 2]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        n = 1
+        for p in dup[1:]:
+            if p - prev > _SUB_K:
+                want.append((d, start, prev + _SUB_K - start, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        want.append((d, start, prev + _SUB_K - start, n))
+    got = [
+        (r.doc_id, r.span_start, r.span_tokens, r.n_dup_grams)
+        for r in catalog()["q119_duplicated_spans"].fn(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert want, "driver corpus has no duplicated span — fixture too weak"
+
+
+def test_duplicated_spans_cover_capped_runs(spark, sf_dir):
+    """Cross-tier consistency: every q45 pair run (defined over the
+    CAPPED occurrence set — a subset of all duplicated positions) must
+    lie inside one q119 span of each participating doc; run positions
+    are consecutive, so gap<=k islanding can never split them."""
+    from cometbft_log_etl_spark.queries import catalog
+
+    spans: dict = {}
+    for r in catalog()["q119_duplicated_spans"].fn(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_tokens))
+    runs = catalog()["q45_exact_substring_runs"].fn(spark, sf_dir).collect()
+    assert runs, "driver corpus has no cross-doc run — fixture too weak"
+    for r in runs:
+        for doc, start in ((r.doc_a, r.start_a), (r.doc_b, r.start_b)):
+            assert any(
+                s <= start and start + r.run_tokens <= s + ln
+                for s, ln in spans.get(doc, [])
+            ), f"run {r} not covered by q119 spans of doc {doc}"

@@ -107,6 +107,19 @@ EXPECTATIONS = {
     # "Exchange RoundRobinPartitioning(n), REPARTITION_BY_NUM" — the
     # round-9 gate shipped it lowercased, which counts 0 and caps
     # nothing; fixed round 10)
+    # uncapped duplicated-span cut list (Lee et al. ExactSubstr, the
+    # exact tier alongside q45's capped pair tier): duplicated grams
+    # come from a partial-aggregatable groupBy(g).count() — never an
+    # occurrence list — the join back is gram-keyed, and islands are
+    # per-document windows. 2 scans of the 2-col projection (the gram
+    # frame feeds both sides of the semi join; re-scanning the pruned
+    # scan beats a corpus-sized persist). WindowGroupLimit is FORBIDDEN
+    # here — this tier is exact by construction, a cap appearing means
+    # someone re-introduced the bounded-recall screen
+    "q119_duplicated_spans": {"max_scan_cols": 2, "max_scans": 2,
+                              "contains_not": ["CartesianProduct",
+                                               "BroadcastNestedLoopJoin",
+                                               "WindowGroupLimit"]},
     "q45_exact_substring_runs": {"max_scan_cols": 2, "max_scans": 1,
                                  "max_n": {"Exchange hashpartitioning": 2,
                                            "Exchange RoundRobinPartitioning": 1},
@@ -181,6 +194,20 @@ EXPECTATIONS = {
                            "contains": ["InMemoryTableScan"],
                            "contains_anywhere": ["WindowGroupLimit"],
                            "contains_not": ["CartesianProduct"]},
+    # incremental SemDeDup maintenance: history-fit k-means front
+    # (the BroadcastNestedLoopJoin is q17's deliberate fixed-k
+    # broadcast cross join), ONE persisted assignment shared by the
+    # touched set + both pair tiers (InMemoryTableScan), the touched
+    # semi-join runs BEFORE the capped member windows (WindowGroupLimit
+    # behind the cache barrier — the q116 bounding discipline, here
+    # bounding BOTH pair scans to batch-touched clusters), pair scoring
+    # in-array. 3 scans = seed + history-fit + full-assignment sides of
+    # the embeddings table; a 4th means the persist barrier broke
+    "q120_incremental_semdedup": {"max_scan_cols": 2, "max_scans": 3,
+                                  "contains": ["InMemoryTableScan",
+                                               "BroadcastNestedLoopJoin"],
+                                  "contains_anywhere": ["WindowGroupLimit"],
+                                  "contains_not": ["CartesianProduct"]},
     # learned quality classifier: fn() runs the fit (two bounded engine
     # jobs per steepest-descent step over the cached per-doc feature
     # frame — the tokenizer.py eager-fit precedent), so the audited

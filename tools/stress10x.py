@@ -37,7 +37,15 @@ _COPIES = 10
 
 # table -> the unique id column shifted per copy so the 10x union has
 # disjoint ids but identical value distributions
-_ID_COLS = {"documents": "doc_id", "orders": "o_orderkey", "events": "event_id"}
+_ID_COLS = {
+    "documents": "doc_id",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    # vec_id shifts by 10M per copy: % 10 is preserved (10M % 10 == 0)
+    # so the incremental tiers' history/batch split holds per copy,
+    # while % 23 seed candidacy rotates — harmless for a FIXED-k fit
+    "embeddings": "vec_id",
+}
 
 
 def build_corpus(sf_dir: str, out: str, table: str = "documents") -> str:
