@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import scalars  # noqa: F401
     from . import temporal  # noqa: F401
     from . import tokenizer  # noqa: F401
+    from . import unigram  # noqa: F401
     from . import winnow  # noqa: F401
 
 

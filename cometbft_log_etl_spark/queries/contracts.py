@@ -51,7 +51,7 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q55_minhash_lsh",
         "q57_ngram_jaccard",
         "q58_ann_lsh",
-        "q61_multimodal_features",
+        "q123_multimodal_features",
         "q103_selfrep_scrub",
         "q114_incremental_clusters",
         "q116_incremental_canonical",

@@ -2982,6 +2982,97 @@ def apply_span_scrub(docs: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "q132_duplicated_scrub",
+    tags=("datapipe", "dedup", "substring"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+),
+duppos AS (
+  SELECT doc_id, p FROM grams SEMI JOIN dupg USING (g)
+),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER w IS NULL
+                OR p - lag(p) OVER w > {_SUB_K} THEN 1 ELSE 0 END AS new_isl
+  FROM duppos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id,
+         CAST(min(p) AS BIGINT) AS start_b,
+         CAST(max(p) + {_SUB_K} - min(p) AS BIGINT) AS run_tokens
+  FROM isl GROUP BY doc_id, isl
+),
+toks1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 1),
+pos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS p
+  FROM toks1
+),
+kept AS (
+  SELECT doc_id, tok, p FROM pos o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = o.doc_id
+      AND o.p >= s.start_b AND o.p < s.start_b + s.run_tokens)
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - count(k.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS cleaned_text
+FROM toks1 t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, len(t.t)
+""",
+)
+def q132_duplicated_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the UNCAPPED tier: apply q119's exact cut
+    list — every maximal duplicated span is removed from EVERY document
+    that carries it (Lee et al.'s released ExactSubstr tool cuts all
+    occurrences of a duplicated substring; the keep-one-copy policy is
+    the capped pair tier's q46). Together q119+q132 are the detect and
+    apply halves of the published exact-dedup pass, with no occurrence
+    cap anywhere.
+
+    Plan shape: q119's span detection (counts + islands — linear,
+    gated) feeds a per-doc span list; the masking half is the SHARED
+    apply_span_scrub kernel (one doc-keyed left join, in-array
+    masking/reconstruction — no token explode, no per-position
+    shuffle), so the scrub semantics exist once across q46/q112/q132
+    and the streaming twin."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    spans = (
+        duplicated_spans(docs)
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("span_start").alias("start_b"),
+                F.col("span_tokens").alias("run_tokens"),
+            ).alias("sp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("sp").alias("spans"))
+    )
+    return apply_span_scrub(docs, spans)
+
+
 # --------------------------------------------------------------------------
 # q47 — incremental substring-containment screen: the q13 pattern
 # (new batch vs. already-ingested history) at the substring tier. A

@@ -247,7 +247,7 @@ def q24_step_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q65_rollup_overall",
+    "q127_rollup_overall",
     tags=("agg", "rollup"),
     oracle=f"""
 SELECT user_id,
@@ -259,7 +259,7 @@ FROM events
 GROUP BY GROUPING SETS ((user_id, event_type), (user_id))
 """,
 )
-def q65_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup with a synthetic 'overall' row per key — the network-latency
     per-pair × message-type rollup (P7c, /root/reference/ossplugins/
     network-latency/processor.go:559-643) as a native rollup."""

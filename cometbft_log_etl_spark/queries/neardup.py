@@ -173,21 +173,17 @@ FROM pairs
 """
 
 
-def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
-    """Band a (doc_id, sig) frame and expand capped bucket-local pairs.
-
-    One shuffle on (band, bucket); each bucket is truncated to its
-    ``cap`` lowest-doc_id members FIRST (rank-filter → map-side
-    WindowGroupLimit), then pairs are generated inside the bucket
-    array — so a bucket of a million identical docs costs C(cap, 2)
-    pairs, not C(1e6, 2). Returns one row per (doc_a, doc_b) with
-    n_shared_bands and both signatures.
-    """
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bucket): the banding PROJECTION of a
+    signature frame — map-side, no shuffle. Factored out of
+    lsh_band_pairs so the streaming incremental fold can band ONLY an
+    arriving batch against its materialized band index
+    (streaming/incremental.py) with the exact same bucket recipe."""
     # The bucket key is the band's raw sig pair, NOT a hash of it: two
     # docs collide iff the pair values are equal, which is exactly the
     # oracle's md5-of-pair equality — but 16 bytes of longs beats a
     # 32-char digest as a shuffle key and skips a per-row md5.
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
@@ -200,19 +196,31 @@ def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
             F.element_at("sig", F.col("band") * 2 + 2).alias("s2"),
         ).alias("bucket"),
     )
-    # Bucket-local pair expansion instead of a self-join: one shuffle on
-    # (band, bucket), signatures computed ONCE (a self-join would replay
-    # the whole minhash pipeline on both sides), pairs generated inside
-    # each bucket array, capped at `cap` members per bucket (see module
-    # docstring — the degenerate-bucket guard).
-    wrank = W.partitionBy("band", "bucket").orderBy("doc_id")
-    from ..session import default_parallelism
 
-    members = (
+
+def capped_bucket_rows(banded: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Truncate every (band, bucket) to its `cap` lowest-doc_id rows
+    (rank-filter → map-side WindowGroupLimit) — the degenerate-bucket
+    guard. min-k is idempotent under union (min-k(min-k(A) ∪ B) =
+    min-k(A ∪ B)), which is what lets the incremental fold store the
+    CAPPED index as state and still admit exactly the pairs a full
+    re-band would."""
+    wrank = W.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
         banded.withColumn("_rn", F.row_number().over(wrank))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
-        .groupBy("band", "bucket")
+    )
+
+
+def bucket_pair_expand(capped: DataFrame) -> DataFrame:
+    """In-bucket pair expansion over already-capped band rows: one
+    shuffle on (band, bucket), pairs generated inside each bucket
+    array, deduped across bands with the shared-band count."""
+    from ..session import default_parallelism
+
+    members = (
+        capped.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
         # Explicit-width round-robin before the compute-dense in-row pair
@@ -246,6 +254,24 @@ def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
             F.any_value(F.col("sig_b")).alias("sig_b"),
         )
     )
+
+
+def lsh_band_pairs(sigs: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
+    """Band a (doc_id, sig) frame and expand capped bucket-local pairs.
+
+    One shuffle on (band, bucket); each bucket is truncated to its
+    ``cap`` lowest-doc_id members FIRST (rank-filter → map-side
+    WindowGroupLimit), then pairs are generated inside the bucket
+    array — so a bucket of a million identical docs costs C(cap, 2)
+    pairs, not C(1e6, 2). Returns one row per (doc_a, doc_b) with
+    n_shared_bands and both signatures.
+
+    Composition of band_rows → capped_bucket_rows → bucket_pair_expand;
+    the stages are separate so the streaming incremental fold can reuse
+    each against its materialized band index without duplicating the
+    bucket recipe.
+    """
+    return bucket_pair_expand(capped_bucket_rows(band_rows(sigs), cap))
 
 
 @register(

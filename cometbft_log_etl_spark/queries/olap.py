@@ -77,7 +77,7 @@ def q71_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q60_cube_native",
+    "q125_cube_native",
     tags=("olap", "cube"),
     oracle=f"""
 SELECT
@@ -92,7 +92,7 @@ WHERE l_shipdate > TIMESTAMP '1997-01-01'
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
-def q60_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native CUBE over two dimensions — all 4 grouping sets, one shuffle."""
     tune_session(spark)
     li = load(spark, sf_dir, "lineitem").filter(
@@ -282,7 +282,7 @@ def q77_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q64_set_ops",
+    "q126_set_ops",
     tags=("olap", "setops"),
     oracle="""
 WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
@@ -296,7 +296,7 @@ SELECT 'except' AS op, count(*) AS n FROM (
 )
 """,
 )
-def q64_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT — the set operators the reference never grew
     (SURVEY.md §2.7 'No intersect/except'). Both compile to join-based
     plans (left-semi / left-anti over distinct keys)."""
@@ -468,7 +468,7 @@ def q79_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q67_ntile_deciles",
+    "q128_ntile_deciles",
     tags=("olap", "window", "ntile"),
     oracle="""
 WITH priced AS (
@@ -494,7 +494,7 @@ FROM tiled
 GROUP BY decile
 """,
 )
-def q67_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile analysis: exact ntile / percent_rank / cume_dist summary
     rows WITHOUT a global window (round-11 verdict's one `weak` plan,
     restated — the q26 distribution-table pattern).

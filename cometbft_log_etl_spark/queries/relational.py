@@ -281,7 +281,7 @@ def q69_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q59_distinct_agg",
+    "q124_distinct_agg",
     tags=("agg", "distinct"),
     oracle="""
 SELECT
@@ -293,7 +293,7 @@ FROM orders o
 GROUP BY o.o_orderpriority
 """,
 )
-def q59_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped distinct counts (exact), reference analog: distinct connected
     peers per node (P7d, collect_set cardinality)."""
     tune_session(spark)

@@ -1,0 +1,422 @@
+"""Unigram-LM (SentencePiece-style) tokenizer fit + encode.
+
+The tokenizer family so far is BPE (q16 fit / q18 encode / q113 regex
+budget). Modern pipelines predominantly tokenize with a unigram
+language model (Kudo 2018, "Subword Regularization"; the SentencePiece
+default): a piece vocabulary with per-piece log-probabilities, words
+segmented by the Viterbi-best decomposition. This module fits that
+model as hard-EM (Viterbi E-step → usage-count M-step), the
+deterministic variant of Kudo's EM, in the same driver-looped,
+oracle-unrolled shape as the BPE fit (round-12 verdict "next round"
+#2):
+
+  word-frequency table (ONE corpus-sized aggregation)
+    → candidate substrings (in-array build, lengths 1.._UNI_MAX_PIECE,
+      one explode) → vocab = ALL single chars (guaranteed coverage,
+      SentencePiece's required-character rule) + top _UNI_VOCAB_MULTI
+      multi-char candidates by (count DESC, piece ASC)
+    → per EM round: Viterbi-segment every DISTINCT word under the
+      current model (a JVM-side higher-order fold — no Python in the
+      hot path), piece-usage counts weighted by word freq (map-side
+      partial agg), add-one re-estimate of the log-probs.
+
+Scale shape: everything after the word count iterates over the
+VOCABULARY-BOUNDED word table; the model itself (<= ~single chars +
+_UNI_VOCAB_MULTI rows) is the only driver-side state, embedded back as
+a map literal per round — the broadcast-model pattern the DSIR/bigram
+tiers use. The per-word DP is linear in word length with a
+_UNI_MAX_PIECE lookback.
+
+Determinism: the DP objective is (sum of per-piece log-probs, then
+LONGER last piece) — path scores are exact DECIMAL sums of
+9-rounded log-probs, so ties are well-defined and broken identically
+in both engines by (score, piece_len) struct max. Transcendentals
+follow the q106/q15 rule: every ln is rounded at 9 and cast to
+DECIMAL(14,9) before any sum. Words longer than _UNI_LMAX bypass the
+DP and segment as single characters (the guaranteed-coverage
+fallback) — that rule exists so the DuckDB oracle can unroll the DP
+to a FIXED position count; the Spark fold handles any length, and the
+fallback is implemented identically on both sides (giant-word probe
+corpora exercise it; driver corpora sit far below the bound).
+
+No reference analog (the reference has no text-curation surface);
+public technique per Kudo 2018 / SentencePiece.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune_session
+from ..tables import load
+from . import register
+
+_UNI_MAX_PIECE = 4  # candidate/piece length bound (chars)
+_UNI_VOCAB_MULTI = 48  # multi-char vocab budget (all single chars ride free)
+_UNI_EM_ROUNDS = 2  # fixed hard-EM rounds (the q16 fixed-_N_MERGES shape)
+_UNI_LMAX = 16  # DP unroll bound; longer words fall back to single chars
+
+_MODEL_SCHEMA = "piece string, usage bigint, logp decimal(14,9)"
+
+
+def _word_freqs(docs: DataFrame) -> DataFrame:
+    """(w, freq): the one corpus-sized pass — whitespace split,
+    empty-filtered, counted."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _candidate_counts(words: DataFrame) -> DataFrame:
+    """(piece, cnt): every substring occurrence of length
+    1.._UNI_MAX_PIECE across the corpus, freq-weighted. Substrings are
+    built IN-ARRAY per word (nested transform over start × length —
+    both bounds are column refs of the outer row, the HOF-safe shape)
+    and exploded once."""
+    w = F.col("w")
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), F.length(w) - s + 1)),
+                lambda l: w.substr(s, l),
+            ),
+        )
+    )
+    return (
+        words.select("freq", F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _viterbi_dp(
+    wcol: Column, model: dict[str, Decimal], unk_logp: Decimal | None = None
+) -> Column:
+    """The Viterbi DP as one JVM-side fold: returns the full DP array;
+    element len(w)+1 holds the best segmentation's (score, path).
+
+    best[i] = max over j in 1..min(_UNI_MAX_PIECE, i) with
+    w[i-j+1 .. i] in the vocab of (best[i-j].score + logp(piece)),
+    ties to the larger j (longer piece). Scores are exact decimal sums
+    of the 9-rounded log-probs, so the (score, j) struct max is
+    deterministic and engine-portable; j=1 is always a candidate
+    (every corpus char is vocab), so the DP never strands.
+
+    ``unk_logp`` is the STREAMING twin's <unk> rule: a character the
+    fit never saw scores this floor as its own single piece, so the DP
+    completes on live-stream OOV text. The batch queries pass None
+    (strict — on the fit corpus every char is vocab by construction),
+    keeping the oracle-checked semantics unreachable by the fallback."""
+    mflat: list[Column] = []
+    for k in sorted(model):
+        mflat += [F.lit(k), F.lit(model[k]).cast("decimal(14,9)")]
+    mdl = F.create_map(*mflat) if mflat else F.create_map().cast("map<string,decimal(14,9)>")
+    zero = F.array(
+        F.struct(
+            F.lit(Decimal(0)).cast("decimal(28,9)").alias("score"),
+            F.lit(0).alias("j"),
+            F.array().cast("array<string>").alias("path"),
+        )
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        def cand(j: Column) -> Column:
+            piece = wcol.substr(i - j + 1, j)
+            lp = F.element_at(mdl, piece)
+            if unk_logp is not None:
+                lp = F.when(
+                    lp.isNull() & (j == 1),
+                    F.lit(unk_logp).cast("decimal(14,9)"),
+                ).otherwise(lp)
+            prev = F.element_at(acc, i - j + 1)
+            return F.struct(
+                (prev["score"] + lp).cast("decimal(28,9)").alias("score"),
+                j.alias("j"),
+                F.concat(prev["path"], F.array(piece)).alias("path"),
+            )
+
+        cands = F.filter(
+            F.transform(F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), i)), cand),
+            lambda x: x["score"].isNotNull(),
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(wcol)), zero, step)
+
+
+def _segment(words: DataFrame, model: dict[str, Decimal]) -> DataFrame:
+    """(w, freq, path) for DP-eligible words (len <= _UNI_LMAX) under
+    `model` — the E-step / encode kernel, ONE definition."""
+    dp_words = words.filter(F.length("w") <= _UNI_LMAX)
+    dp = _viterbi_dp(F.col("w"), model)
+    return dp_words.select(
+        "w", "freq", F.element_at(dp, F.length("w") + 1)["path"].alias("path")
+    )
+
+
+def _refit_logp(spark: SparkSession, usage_rows: list, denom: float) -> list:
+    """[(piece, usage, logp)] with logp = round(ln((usage+1)/denom), 9)
+    evaluated IN-ENGINE (one model-sized job) so every transcendental
+    in the chain is Spark's, rounded at 9 before the decimal cast —
+    the q106 portability rule."""
+    df = spark.createDataFrame(usage_rows, "piece string, usage bigint")
+    return df.select(
+        "piece",
+        "usage",
+        F.round(F.log((F.col("usage").cast("double") + F.lit(1.0)) / F.lit(denom)), 9)
+        .cast("decimal(14,9)")
+        .alias("logp"),
+    ).collect()
+
+
+def unigram_fit_with_state(
+    spark: SparkSession, docs: DataFrame, rounds: int = _UNI_EM_ROUNDS
+) -> tuple[list, DataFrame | None]:
+    """Fit the unigram model; returns the final model rows
+    [(piece, usage, logp)] and the per-word encode table
+    (w, n_pieces, fallback) under the FINAL model — or (empty, None)
+    on a wordless corpus."""
+    words = _word_freqs(docs).localCheckpoint(eager=True)
+    cand = _candidate_counts(words)
+    singles = cand.filter(F.length("piece") == 1)
+    from pyspark.sql import Window as W
+
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.orderBy(F.col("cnt").desc(), "piece")),
+        )
+        .filter(F.col("_rn") <= _UNI_VOCAB_MULTI)
+        .drop("_rn")
+    )
+    vocab = [(r.piece, int(r.cnt)) for r in singles.unionByName(multi).collect()]
+    if not vocab:
+        return [], None
+    total = float(sum(c for _, c in vocab))
+    seed = spark.createDataFrame(vocab, "piece string, cnt bigint")
+    model_rows = seed.select(
+        "piece",
+        F.col("cnt").alias("usage"),
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(total)), 9)
+        .cast("decimal(14,9)")
+        .alias("logp"),
+    ).collect()
+    n_vocab = len(vocab)
+
+    fallback_usage = (
+        words.filter(F.length("w") > _UNI_LMAX)
+        .select("freq", F.explode(F.expr("filter(split(w, ''), x -> x <> '')")).alias("piece"))
+    )
+    model = {r.piece: r.logp for r in model_rows}
+    for _ in range(rounds):
+        # Eager checkpoint per round (the q16 syms-checkpoint shape) —
+        # load-bearing, not hygiene: explode(path) on top of the live
+        # DP column lets CollapseProject inline the WHOLE Viterbi fold
+        # into the Generate, whose per-output-element re-evaluation is
+        # the q09 HOF class (the unicode probe corpus ran 280s for 40
+        # words; checkpointed, milliseconds). The frame is
+        # vocabulary-bounded (distinct words), never corpus-scale.
+        seg = _segment(words, model).localCheckpoint(eager=True)
+        usage = (
+            seg.select("freq", F.explode("path").alias("piece"))
+            .unionByName(fallback_usage)
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("usage"))
+        )
+        counts = {r.piece: int(r.usage) for r in usage.collect()}
+        tot = float(sum(counts.values()))
+        model_rows = _refit_logp(
+            spark,
+            [(p, counts.get(p, 0)) for p, _ in vocab],
+            tot + n_vocab,
+        )
+        model = {r.piece: r.logp for r in model_rows}
+
+    enc = _segment(words, model).localCheckpoint(eager=True).select(
+        "w", F.size("path").alias("n_pieces"), F.lit(False).alias("fallback")
+    ).unionByName(
+        words.filter(F.length("w") > _UNI_LMAX).select(
+            "w", F.length("w").alias("n_pieces"), F.lit(True).alias("fallback")
+        )
+    )
+    return model_rows, enc
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle: the fixed EM rounds + the encode pass unrolled as CTEs
+# (the q16 precedent) — DP positions unrolled to _UNI_LMAX per round,
+# the per-position 4-way max expressed as list_sort(list_transform(
+# list_filter(...)))[-1] over (score, j, path) structs, the model
+# carried as a MAP built from the previous round's CTE.
+
+
+def _uni_dp_ctes(tag: str, model_cte: str, lmax: int = _UNI_LMAX) -> list[str]:
+    parts = [
+        f"mdl_{tag} AS (SELECT map(list(piece), list(logp)) AS mdl FROM {model_cte})",
+        f"dp_{tag}_0 AS (SELECT w, freq, length(w) AS len, mdl,"
+        "  [{'score': CAST(0 AS DECIMAL(28,9)), 'j': 0,"
+        "    'path': CAST([] AS VARCHAR[])}] AS dp"
+        f"  FROM words, mdl_{tag} WHERE length(w) <= {lmax})",
+    ]
+    for i in range(1, lmax + 1):
+        parts.append(
+            f"dp_{tag}_{i} AS (SELECT w, freq, len, mdl,"
+            f" CASE WHEN len < {i} THEN dp ELSE list_append(dp,"
+            "  list_sort(list_transform("
+            f"   list_filter([1,2,3,4], j -> j <= {i}"
+            f"     AND len(map_extract(mdl, substr(w, {i}-j+1, j))) > 0),"
+            f"   j -> {{'score': CAST(dp[{i}-j+1].score"
+            f"            + map_extract(mdl, substr(w, {i}-j+1, j))[1] AS DECIMAL(28,9)),"
+            "          'j': j,"
+            f"          'path': list_append(dp[{i}-j+1].path, substr(w, {i}-j+1, j))}}"
+            f"  ))[-1]) END AS dp FROM dp_{tag}_{i-1})"
+        )
+    parts.append(
+        f"seg_{tag} AS (SELECT w, freq, dp[len + 1].path AS path FROM dp_{tag}_{_UNI_LMAX})"
+    )
+    return parts
+
+
+def _uni_oracle_ctes(rounds: int = _UNI_EM_ROUNDS) -> str:
+    parts = [
+        "words AS ("
+        "  SELECT w, count(*) AS freq FROM ("
+        "    SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        "  WHERE w <> '' GROUP BY w)",
+        "starts AS (SELECT w, freq, unnest(generate_series(1, length(w))) AS s FROM words)",
+        "cand AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+        "  SELECT substr(w, s, l) AS piece, freq FROM ("
+        f"    SELECT w, freq, s, unnest(generate_series(1, least({_UNI_MAX_PIECE},"
+        "           length(w) - s + 1))) AS l FROM starts)) GROUP BY piece)",
+        "vocab AS ("
+        "  SELECT piece, cnt FROM cand WHERE length(piece) = 1"
+        "  UNION ALL"
+        "  SELECT piece, cnt FROM ("
+        "    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn"
+        f"    FROM cand WHERE length(piece) >= 2) WHERE rn <= {_UNI_VOCAB_MULTI})",
+        "vstats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,"
+        "  CAST(count(*) AS BIGINT) AS v FROM vocab)",
+        "model_0 AS (SELECT piece, cnt AS usage,"
+        "  CAST(round(ln(cnt / total), 9) AS DECIMAL(14,9)) AS logp"
+        "  FROM vocab, vstats)",
+        "fallback_usage AS (SELECT freq, unnest(list_filter(string_split(w, ''),"
+        f"  x -> x <> '')) AS piece FROM words WHERE length(w) > {_UNI_LMAX})",
+    ]
+    for r in range(1, rounds + 1):
+        parts += _uni_dp_ctes(f"r{r}", f"model_{r-1}")
+        parts += [
+            f"upieces_r{r} AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM ("
+            f"  SELECT freq, unnest(path) AS piece FROM seg_r{r}"
+            "   UNION ALL SELECT freq, piece FROM fallback_usage) GROUP BY piece)",
+            f"ustats_r{r} AS (SELECT CAST(sum(coalesce(u.cnt, 0)) AS DOUBLE) AS tot"
+            f"  FROM vocab v LEFT JOIN upieces_r{r} u ON u.piece = v.piece)",
+            f"model_{r} AS (SELECT v.piece, coalesce(u.cnt, 0) AS usage,"
+            "  CAST(round(ln((coalesce(u.cnt, 0) + 1.0) / (tot + vs.v)), 9)"
+            "       AS DECIMAL(14,9)) AS logp"
+            f"  FROM vocab v LEFT JOIN upieces_r{r} u ON u.piece = v.piece,"
+            f"       ustats_r{r}, vstats vs)",
+        ]
+    return ",\n".join(parts)
+
+
+_UNI_FIT_ORACLE = (
+    "WITH\n"
+    + _uni_oracle_ctes()
+    + f"""
+SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, usage,
+       CAST(logp AS DOUBLE) AS logp
+FROM model_{_UNI_EM_ROUNDS}"""
+)
+
+_UNI_ENCODE_ORACLE = (
+    "WITH\n"
+    + _uni_oracle_ctes()
+    + ",\n"
+    + ",\n".join(_uni_dp_ctes("enc", f"model_{_UNI_EM_ROUNDS}"))
+    + f""",
+enc AS (
+  SELECT w, len(path) AS n_pieces, FALSE AS fallback FROM seg_enc
+  UNION ALL
+  SELECT w, length(w) AS n_pieces, TRUE AS fallback FROM words
+  WHERE length(w) > {_UNI_LMAX}),
+occ AS (SELECT doc_id, w FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '')
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN fallback THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback_words
+FROM occ JOIN enc USING (w) GROUP BY doc_id"""
+)
+
+
+@register(
+    "q121_unigram_fit",
+    tags=("datapipe", "text", "tokenizer", "iterative"),
+    oracle=_UNI_FIT_ORACLE,
+)
+def q121_unigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted unigram-LM piece table after the fixed hard-EM
+    rounds: (piece, piece_len, final usage, add-one log-prob). Oracle:
+    the same candidate selection + unrolled Viterbi-EM as DuckDB CTEs;
+    independent-Python ground truth additionally in
+    tests/test_unigram.py."""
+    tune_session(spark)
+    model_rows, _ = unigram_fit_with_state(spark, load(spark, sf_dir, "documents"))
+    out = spark.createDataFrame(
+        [(r.piece, int(r.usage), r.logp) for r in model_rows] or [],
+        _MODEL_SCHEMA,
+    )
+    return out.select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        "usage",
+        F.col("logp").cast("double").alias("logp"),
+    )
+
+
+@register(
+    "q122_unigram_encode",
+    tags=("datapipe", "text", "tokenizer"),
+    oracle=_UNI_ENCODE_ORACLE,
+)
+def q122_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus-fitted unigram model:
+    Viterbi piece count per word occurrence (single-char fallback for
+    words beyond _UNI_LMAX — n_fallback_words reports how often it
+    fired). Word -> n_pieces comes from ONE vocabulary-bounded encode
+    table joined back onto the token stream (the q18 join shape: the
+    corpus side only ever shuffles words)."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    _, enc = unigram_fit_with_state(spark, docs)
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    if enc is None:
+        return occ.join(
+            occ.select("w").limit(0).withColumn("n_pieces", F.lit(0).cast("bigint")),
+            "w",
+        ).select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_fallback_words"),
+        )
+    return (
+        occ.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("fallback").cast("int")).cast("bigint").alias("n_fallback_words"),
+        )
+    )

@@ -171,3 +171,14 @@ def test_fingerprint_v4_is_print_order_independent():
         "   +- FileScan parquet [a#1]\n"
     )
     assert _normalize_plan(push) != _normalize_plan(lost)
+
+
+def test_canary_band_classifier():
+    """The quiet-band rule splits the observed bimodal canary history
+    (quiet hosts 0.05-0.10s, noisy windows >= 0.14s) with margin."""
+    from bench import _canary_quiet
+
+    for quiet in (0.051, 0.088, 0.096, 0.119):
+        assert _canary_quiet({"min_sec": quiet})
+    for noisy in (0.141, 0.25, 1.4):
+        assert not _canary_quiet({"min_sec": noisy})

@@ -410,3 +410,31 @@ def test_duplicated_spans_cover_capped_runs(spark, sf_dir):
                 s <= start and start + r.run_tokens <= s + ln
                 for s, ln in spans.get(doc, [])
             ), f"run {r} not covered by q119 spans of doc {doc}"
+
+
+def test_duplicated_scrub_reconciles_with_spans(spark, sf_dir):
+    """q132 removes exactly q119's spans: per doc, n_removed equals the
+    summed span lengths (maximal spans are disjoint by construction),
+    the cleaned text is the kept tokens in order, and a doc whose
+    whole token range is one span scrubs to ''."""
+    from cometbft_log_etl_spark.queries import catalog
+
+    spans: dict = {}
+    for r in catalog()["q119_duplicated_spans"].fn(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_tokens))
+    out = {r.doc_id: r for r in catalog()["q132_duplicated_scrub"].fn(spark, sf_dir).collect()}
+    assert spans, "no duplicated spans on the driver corpus — fixture too weak"
+    saw_empty = False
+    for d, sl in spans.items():
+        r = out[d]
+        assert r.n_removed == sum(ln for _, ln in sl), (d, sl, r)
+        n_clean = len([t for t in r.cleaned_text.split(" ") if t]) if r.cleaned_text else 0
+        assert n_clean == r.n_tokens - r.n_removed
+        if r.n_removed == r.n_tokens:
+            assert r.cleaned_text == ""
+            saw_empty = True
+    # docs without spans are untouched
+    for d, r in out.items():
+        if d not in spans:
+            assert r.n_removed == 0
+    assert saw_empty or all(o.n_removed < o.n_tokens for o in out.values())

@@ -83,3 +83,71 @@ def test_fold_is_idempotent_under_epoch_redelivery(spark, sf_dir):
     s3 = get_state()
     assert s3 is not s1
     assert s3.sigs.count() > n_sigs1
+
+
+def test_second_query_attachment_raises(spark, sf_dir):
+    """A fold closure attached to a second writeStream restarts epochs
+    at 0; silently dropping those batches would corrupt state invisibly
+    (round-12 advice) — a LOWER epoch id must raise instead."""
+    import pytest
+
+    from cometbft_log_etl_spark.streaming.incremental import make_epoch_fold
+
+    docs = load(spark, sf_dir, "documents")
+    fold, _ = make_epoch_fold()
+    fold(docs.filter(F.col("doc_id") % 2 == 0), 5)
+    with pytest.raises(RuntimeError, match="second streaming query"):
+        fold(docs.filter(F.col("doc_id") % 2 == 1), 0)
+
+
+def test_reingested_doc_id_keeps_first_arrival(spark, sf_dir):
+    """A doc_id re-arriving in a LATER micro-batch must not produce
+    duplicate signature/label rows — first arrival wins (round-12
+    advice caveat, now implemented as the batch-side anti join)."""
+    from cometbft_log_etl_spark.streaming.incremental import make_epoch_fold
+
+    docs = load(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    fold, get_state = make_epoch_fold()
+    fold(b0, 0)
+    s1 = get_state()
+    labels1 = sorted((r.doc_id, r.cluster_id) for r in s1.labels.collect())
+    # batch 1 re-ships half of batch 0 alongside genuinely new docs
+    overlap = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 3 == 0))
+    fold(docs.filter(F.col("doc_id") % 2 == 1).unionByName(overlap), 1)
+    s2 = get_state()
+    sig_ids = [r.doc_id for r in s2.sigs.collect()]
+    assert len(sig_ids) == len(set(sig_ids)), "duplicate signature rows"
+    lab_ids = [r.doc_id for r in s2.labels.collect()]
+    assert len(lab_ids) == len(set(lab_ids)), "duplicate label rows"
+    # and the final labels still match the full run over the TRUE corpus
+    want = {r.doc_id: r.cluster_id for r in cluster_labels(docs).collect()}
+    for d, lab in ((r.doc_id, r.cluster_id) for r in s2.labels.collect()):
+        assert want[d] == lab
+    assert labels1  # fixture sanity
+
+
+def test_untouched_buckets_stay_out_of_the_pair_tier(spark):
+    """The materialized band index's payoff: a second batch with NO
+    shingle overlap must pull (almost) none of the stored index into
+    the pair tier — per-fold pair work is bounded by the batch's
+    bucket neighborhood, not the corpus (round-12 verdict item #5)."""
+    from cometbft_log_etl_spark.streaming.incremental import make_epoch_fold
+
+    docs0 = spark.createDataFrame(
+        [(i, " ".join(f"alpha{i}w{j}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(100 + i, " ".join(f"beta{i}w{j}" for j in range(12))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    fold, get_state = make_epoch_fold()
+    fold(docs0, 0)
+    fold(docs1, 1)
+    diag = get_state().diag
+    assert diag["stored_band_rows"] > 0
+    # disjoint vocab -> disjoint shingles -> (sig collisions aside) the
+    # batch touches a vanishing share of the stored buckets
+    assert diag["pair_tier_rows"] <= diag["batch_band_rows"] + 8, diag
+    assert diag["pair_tier_rows"] < diag["stored_band_rows"] / 2, diag

@@ -56,7 +56,7 @@ EXPECTATIONS = {
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
     "q71_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
-    "q60_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
+    "q125_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
     # rank-limit pushdown: only k rows per group survive the map side
     "q76_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
@@ -107,6 +107,14 @@ EXPECTATIONS = {
     # "Exchange RoundRobinPartitioning(n), REPARTITION_BY_NUM" — the
     # round-9 gate shipped it lowercased, which counts 0 and caps
     # nothing; fixed round 10)
+    # unigram-LM encode: the fit runs eagerly in fn() (driver-looped,
+    # vocabulary-bounded jobs — the q16/q104 precedent, ungated), so
+    # the audited plan is the ENCODE join: the word-keyed encode table
+    # reads the fit's localCheckpointed word state (no parquet), the
+    # token stream is the one corpus scan, and nothing pairs
+    "q122_unigram_encode": {"max_scan_cols": 2, "max_scans": 1,
+                            "contains_not": ["CartesianProduct",
+                                             "BroadcastNestedLoopJoin"]},
     # uncapped duplicated-span cut list (Lee et al. ExactSubstr, the
     # exact tier alongside q45's capped pair tier): duplicated grams
     # come from a partial-aggregatable groupBy(g).count() — never an
@@ -117,6 +125,14 @@ EXPECTATIONS = {
     # here — this tier is exact by construction, a cap appearing means
     # someone re-introduced the bounded-recall screen
     "q119_duplicated_spans": {"max_scan_cols": 2, "max_scans": 2,
+                              "contains_not": ["CartesianProduct",
+                                               "BroadcastNestedLoopJoin",
+                                               "WindowGroupLimit"]},
+    # the apply half of the uncapped tier: q119's span detection (2
+    # scans) + the token side of the shared apply_span_scrub kernel
+    # (1 scan, doc-keyed join, in-array masking — no token explode);
+    # the cap stays forbidden end to end
+    "q132_duplicated_scrub": {"max_scan_cols": 2, "max_scans": 3,
                               "contains_not": ["CartesianProduct",
                                                "BroadcastNestedLoopJoin",
                                                "WindowGroupLimit"]},
@@ -479,7 +495,7 @@ EXPECTATIONS = {
     # never reappear. The only executed BNLJ is the 1-row count
     # cross; the triangular bucket-prefix join is bucket-table-sized
     # (domain/65536 rows) behind broadcast stages.
-    "q67_ntile_deciles": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
+    "q128_ntile_deciles": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
                           "contains": ["InMemoryTableScan"],
                           "contains_not": ["ntile", "row_number",
                                            "percent_rank", "cume_dist",
@@ -594,9 +610,17 @@ CC_EXPECTATIONS = {
     # frontier-sized and corpus-scan-free by construction (the verdict's
     # "iteration scans bounded to the frontier" bar). Join strategy
     # ungated for the same reason as the loop itself.
+    # exchange cap raised 4 -> 6 and a JOIN cap added (round 13): at
+    # sf0.1 AQE executes the two label lookups as BroadcastHashJoins
+    # but leaves residual pre-broadcast shuffles in place and injects a
+    # runtime bloom filter on the edge side — 5 hash exchanges for the
+    # IDENTICAL logical plan that counts 3 at sf0.01 (reproduced on the
+    # unmodified r12 tree, so an AQE size-threshold artifact, not a
+    # regression). The join cap is the real invariant: a THIRD join in
+    # the contraction means a new lookup crept in.
     "cc:contract": {"contains_not": ["FileScan parquet", "CartesianProduct",
                                      "BroadcastNestedLoopJoin"],
-                    "max_n": {"Exchange hashpartitioning": 4}},
+                    "max_n": {"Join": 2, "Exchange hashpartitioning": 6}},
 }
 
 

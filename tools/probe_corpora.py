@@ -104,17 +104,23 @@ def main() -> int:
     from cometbft_log_etl_spark.testing.compare import run_compare
 
     args = sys.argv[1:]
-    if args and (os.sep in args[0] or args[0].startswith(".")):
-        # path-like first arg: it MUST be a directory — a typo must not
-        # silently fall back to the default corpus (or be read as a
-        # query name and die with an opaque KeyError)
-        if not os.path.isdir(args[0]):
-            print(f"error: corpus dir {args[0]!r} does not exist", file=sys.stderr)
-            return 2
+    # An EXISTING directory is the authoritative signal for a corpus
+    # dir (round-12 advice: a bare relative name like 'sf0.01' has no
+    # os.sep and was misread as a query name); the separator/dot
+    # heuristic remains only to reject path-LIKE typos loudly instead
+    # of silently falling back to the default corpus.
+    if args and os.path.isdir(args[0]):
         sf_dir, names = args[0], args[1:]
+    elif args and (os.sep in args[0] or args[0].startswith(".")):
+        print(f"error: corpus dir {args[0]!r} does not exist", file=sys.stderr)
+        return 2
     else:
         sf_dir, names = "/root/testdata/sf0.01", args
     cat = catalog()
+    unknown = [n for n in names if n not in cat]
+    if unknown:
+        print(f"error: unknown query names {unknown}", file=sys.stderr)
+        return 2
     if names:
         cat = {n: cat[n] for n in names}
     variants = _build_variants(sf_dir)
