@@ -33,7 +33,21 @@ multiplicity; cluster labels and canonical ids themselves are
 unaffected, ids are min-folded and the winner rule ties on doc_id). q45/q47/q102 provably
 do NOT diverge (strict doc_a < doc_b never pairs equal ids; the q47
 oracle builds per-row list_distinct precisely so duplicate batch ids
-can't collapse on one side only).
+can't collapse on one side only). q132_duplicated_scrub joined in
+round 13 — the q46/q103 class exactly: a per-document scrub whose
+Spark side keeps one row per duplicate input row while the oracle's
+final GROUP BY doc_id collapses them (and double-counts the kept
+positions). q119 does NOT diverge (its Spark plan and oracle run the
+identical per-position computation — duplicate rows double the gram
+counts on BOTH sides symmetrically), nor do
+q121/q122 (word-level; the only doc_id grouping is the same final
+aggregate on both sides). q120_incremental_semdedup joined in round 13
+with the q17/q25 rationale it inherits through the shared k-means
+front: the oracle's position-exploded `elems` CTE carries BOTH copies
+of a duplicated vec_id — per-(vec,pos) sums double, norms scale by
+sqrt(2), cosines and assignments shift — while Spark's per-row arrays
+see each row independently and its assignment groupBy collapses the
+copies (probed: CI asserts the divergence every run).
 """
 
 from __future__ import annotations
@@ -55,5 +69,7 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q103_selfrep_scrub",
         "q114_incremental_clusters",
         "q116_incremental_canonical",
+        "q120_incremental_semdedup",
+        "q132_duplicated_scrub",
     }
 )
