@@ -48,6 +48,8 @@ of a duplicated vec_id — per-(vec,pos) sums double, norms scale by
 sqrt(2), cosines and assignments shift — while Spark's per-row arrays
 see each row independently and its assignment groupBy collapses the
 copies (probed: CI asserts the divergence every run).
+q133_semantic_drift joined in round 13 for the identical reason (same
+assignment front; its report aggregates the shifted cosines).
 """
 
 from __future__ import annotations
@@ -70,6 +72,7 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q114_incremental_clusters",
         "q116_incremental_canonical",
         "q120_incremental_semdedup",
+        "q133_semantic_drift",
         "q132_duplicated_scrub",
     }
 )

@@ -2568,7 +2568,7 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns this query emits (newly_pruned, per-cluster batch share) are
 # exactly the refit trigger signal.
 
-_IKM_SQL_CTES = f"""elems AS (
+_IKM_ASSIGN_CTES = f"""elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
                unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
@@ -2630,7 +2630,11 @@ assign AS (
     FROM avc) WHERE rn = 1
 ),
 touched AS (SELECT DISTINCT cluster_id FROM assign WHERE is_batch),
-tmem AS (SELECT a.* FROM assign a SEMI JOIN touched USING (cluster_id)),
+tmem AS (SELECT a.* FROM assign a SEMI JOIN touched USING (cluster_id))"""
+
+# the decision (pair-scan) half appended for q120; q133's drift report
+# reuses the assignment half alone
+_IKM_SQL_CTES = f"""{_IKM_ASSIGN_CTES},
 capped_new AS (
   SELECT vec_id, cluster_id, cos FROM (
     SELECT vec_id, cluster_id, cos, row_number() OVER (
@@ -2824,4 +2828,89 @@ def _semdedup_dups(members: DataFrame) -> DataFrame:
         .filter(cosine >= _KM_DUP_COS)
         .groupBy(F.col("p.vec_b").alias("vec_id"))
         .agg(F.min("p.vec_a").alias("dup_of"))
+    )
+
+
+@register(
+    "q133_semantic_drift",
+    tags=("datapipe", "embedding", "clustering", "incremental", "quality"),
+    oracle=f"""
+WITH {_IKM_ASSIGN_CTES}
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch_members,
+       CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS batch_share,
+       CASE WHEN count(CASE WHEN NOT is_batch THEN 1 END) > 0 THEN
+         CAST(sum(CASE WHEN NOT is_batch
+                       THEN CAST(round(cos, 9) AS DECIMAL(28,12)) END) AS DOUBLE)
+           / count(CASE WHEN NOT is_batch THEN 1 END) END AS mean_cos_hist,
+       CAST(sum(CASE WHEN is_batch
+                     THEN CAST(round(cos, 9) AS DECIMAL(28,12)) END) AS DOUBLE)
+         / sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS mean_cos_batch,
+       CASE WHEN count(CASE WHEN NOT is_batch THEN 1 END) > 0 THEN
+         CAST(sum(CASE WHEN is_batch
+                       THEN CAST(round(cos, 9) AS DECIMAL(28,12)) END) AS DOUBLE)
+           / sum(CASE WHEN is_batch THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN NOT is_batch
+                         THEN CAST(round(cos, 9) AS DECIMAL(28,12)) END) AS DOUBLE)
+           / count(CASE WHEN NOT is_batch THEN 1 END) END AS cos_drift
+FROM tmem GROUP BY cluster_id
+""",
+)
+def q133_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFIT-TRIGGER report the incremental semantic tier's fixed
+    stored model needs (q120's documented operating rule: the model
+    refreshes by periodic refit, and THIS is the signal): per
+    batch-touched cluster, member/batch counts, the batch share, and
+    the drift between the batch's and history's mean centroid cosine —
+    a cluster whose arrivals sit systematically farther from (or off-
+    axis to) its stored centroid than its history did is the one a
+    refit re-seats. Assignment-level only: no pair scan, so the report
+    costs one assignment pass over the corpus regardless of duplicate
+    volume — cheap enough to run on every batch, unlike the decisions.
+
+    Determinism: means are exact-decimal sums of 9-rounded cosines
+    divided by counts (the q17 rule); batch_share and cos_drift are
+    single IEEE operations on those deterministic doubles. mean_cos_hist
+    and cos_drift are NULL for pure-batch clusters (no stored baseline).
+
+    Scale shape: the q120 front (broadcast fixed-k stored centroids,
+    map-side argmax), ONE persisted assignment feeding the touched set
+    and the report aggregation, everything downstream k-bounded."""
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
+    assign = persist_tracked(
+        _km_assign_round(emb, cent).withColumn(
+            "is_batch", ~_inc_is_hist(F.col("vec_id"))
+        )
+    )
+    touched = assign.filter("is_batch").select("cluster_id").distinct()
+    tmem = assign.join(F.broadcast(touched), "cluster_id", "semi")
+    rcos = dec12(F.round(F.col("cos"), 9))
+    batch_flag = F.col("is_batch").cast("int")
+    n_hist = F.count(F.when(~F.col("is_batch"), F.lit(1)))
+    n_batch = F.sum(batch_flag)
+    mean_hist = F.sum(F.when(~F.col("is_batch"), rcos)).cast("double") / n_hist
+    mean_batch = F.sum(F.when(F.col("is_batch"), rcos)).cast("double") / n_batch
+    return tmem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        n_batch.cast("bigint").alias("n_batch_members"),
+        (n_batch.cast("double") / F.count(F.lit(1))).alias("batch_share"),
+        F.when(n_hist > 0, mean_hist).alias("mean_cos_hist"),
+        mean_batch.alias("mean_cos_batch"),
+        F.when(n_hist > 0, mean_batch - mean_hist).alias("cos_drift"),
     )

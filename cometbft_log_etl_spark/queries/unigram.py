@@ -186,16 +186,18 @@ def unigram_fit_with_state(
     words = _word_freqs(docs).localCheckpoint(eager=True)
     cand = _candidate_counts(words)
     singles = cand.filter(F.length("piece") == 1)
-    from pyspark.sql import Window as W
-
+    # top-K multi-char candidates via orderBy+limit — plans as a
+    # distributed TakeOrderedAndProject (map-side partial top-k), NOT
+    # an unpartitioned row_number window: the candidate table is
+    # model-domain-bounded (distinct <=4-char substrings) but at web
+    # scale that can still be millions of rows, and a single-partition
+    # sort there is the q67 weak class. Same (cnt DESC, piece)
+    # determinism; the oracle expresses the identical selection as a
+    # row_number because SQL top-k with ties needs the explicit rank.
     multi = (
         cand.filter(F.length("piece") >= 2)
-        .withColumn(
-            "_rn",
-            F.row_number().over(W.orderBy(F.col("cnt").desc(), "piece")),
-        )
-        .filter(F.col("_rn") <= _UNI_VOCAB_MULTI)
-        .drop("_rn")
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_UNI_VOCAB_MULTI)
     )
     vocab = [(r.piece, int(r.cnt)) for r in singles.unionByName(multi).collect()]
     if not vocab:

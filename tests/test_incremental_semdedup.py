@@ -248,3 +248,41 @@ def test_untouched_cluster_contributes_no_rows(spark, sf_dir, tmp_path_factory):
     # carry no stored decision
     assert by_id[24].was_kept is False and not by_id[24].newly_pruned
     assert by_id[28].was_kept is None
+
+
+def test_q133_drift_matches_numpy_and_q120(spark, sf_dir):
+    """The refit-trigger report: counts/shares/means recomputed from
+    the NumPy stored-model reference, and cross-query consistency with
+    q120 (same touched clusters, same member counts)."""
+    import math
+
+    from cometbft_log_etl_spark.queries import catalog
+
+    ids, emb, nrm, is_hist, a_cid, a_cos = _np_inc_model(sf_dir)
+    touched = set(a_cid[~is_hist])
+    rows = catalog()["q133_semantic_drift"].fn(spark, sf_dir).collect()
+    assert {r.cluster_id for r in rows} == touched
+    q120_rows = catalog()["q120_incremental_semdedup"].fn(spark, sf_dir).collect()
+    q120_counts: dict = {}
+    for r in q120_rows:
+        q120_counts[r.cluster_id] = q120_counts.get(r.cluster_id, 0) + 1
+    saw_hist_baseline = False
+    for r in rows:
+        m = a_cid == r.cluster_id
+        assert r.n_members == int(m.sum()) == q120_counts[r.cluster_id]
+        assert r.n_batch_members == int((m & ~is_hist).sum())
+        assert math.isclose(r.batch_share, r.n_batch_members / r.n_members)
+        def ref_mean(mask):
+            cs = sorted(round(float(c), 9) for c in a_cos[mask])
+            return sum(cs) / len(cs) if cs else None
+        want_b = ref_mean(m & ~is_hist)
+        assert math.isclose(r.mean_cos_batch, want_b, rel_tol=1e-9)
+        if (m & is_hist).any():
+            saw_hist_baseline = True
+            want_h = ref_mean(m & is_hist)
+            assert math.isclose(r.mean_cos_hist, want_h, rel_tol=1e-9)
+            assert math.isclose(r.cos_drift, r.mean_cos_batch - r.mean_cos_hist,
+                                rel_tol=1e-9)
+        else:
+            assert r.mean_cos_hist is None and r.cos_drift is None
+    assert saw_hist_baseline, "no touched cluster has a history baseline"

@@ -219,6 +219,16 @@ EXPECTATIONS = {
     # bounding BOTH pair scans to batch-touched clusters), pair scoring
     # in-array. 3 scans = seed + history-fit + full-assignment sides of
     # the embeddings table; a 4th means the persist barrier broke
+    # semantic refit-trigger drift report: the q120 assignment front
+    # (broadcast fixed-k stored centroids = the deliberate BNLJ, ONE
+    # persisted assignment, touched semi-join) with NO pair tier at
+    # all — one aggregation, k-bounded output; a window or pairing
+    # operator here means someone re-attached the decision tier
+    "q133_semantic_drift": {"max_scan_cols": 2, "max_scans": 3,
+                            "contains": ["InMemoryTableScan",
+                                         "BroadcastNestedLoopJoin"],
+                            "contains_not": ["CartesianProduct", "Window",
+                                             "WindowGroupLimit"]},
     "q120_incremental_semdedup": {"max_scan_cols": 2, "max_scans": 3,
                                   "contains": ["InMemoryTableScan",
                                                "BroadcastNestedLoopJoin"],
