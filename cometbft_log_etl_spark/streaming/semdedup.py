@@ -209,3 +209,100 @@ def stream_semantic_dedup(embs: DataFrame, centroids: list[dict]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (q133's deployment shape): the stored model
+# is HISTORY-fitted (the q120/q133 incremental convention, NOT the
+# full-corpus fit above), its per-cluster history mean-cosine baseline
+# is computed offline (k rows), and the arrival stream aggregates its
+# own per-cluster mean cosine — drift = arrivals vs baseline, the
+# refit-trigger signal emitted continuously instead of per batch run.
+
+
+def history_fitted_centroids(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """The q120/q133 STORED model: seeds + round-1 assignment +
+    centroid update over the HISTORY slice only (vec_id % 10 < 8).
+    Reuses the batch helpers verbatim so the online monitor can never
+    de-sync from the batch queries it mirrors; k rows collected."""
+    from ..queries.neardup import (
+        _inc_is_hist,
+        _km_assign_round,
+        _km_seed_centroids,
+        _km_update_centroids,
+    )
+    from ..tables import load
+
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        dnrm12(F.col("embedding")).alias("nrm"),
+    )
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
+    return [r.asDict() for r in cent.collect()]
+
+
+def history_baselines(
+    spark: SparkSession, sf_dir: str, centroids: list[dict]
+) -> dict[int, float]:
+    """{cluster_id: mean cosine of HISTORY members to their stored
+    centroid} — q133's mean_cos_hist computed offline with the same
+    decimal path (exact sum of 9-rounded cosines / count), k rows."""
+    from ..queries._det import dec12
+    from ..queries.neardup import _inc_is_hist
+    from ..tables import load
+
+    hist = finite_embeddings(load(spark, sf_dir, "embeddings")).filter(
+        _inc_is_hist(F.col("vec_id"))
+    )
+    a = assign_to_centroids(hist, centroids)
+    rows = (
+        a.groupBy("cluster_id")
+        .agg(
+            (
+                F.sum(dec12(F.round("centroid_cos", 9))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("baseline")
+        )
+        .collect()
+    )
+    return {r.cluster_id: r.baseline for r in rows}
+
+
+def stream_semantic_drift(
+    embs: DataFrame, centroids: list[dict], baselines: dict[int, float]
+) -> DataFrame:
+    """q133 on a stream: map-side assignment against the stored
+    centroids, ONE per-cluster aggregation (update/complete mode), the
+    offline baseline attached as a k-sized literal map. Emits
+    (cluster_id, n_arrivals, mean_cos_arrivals, baseline_cos,
+    cos_drift); cos_drift is NULL for a cluster with no history
+    baseline — the same NULL semantics as batch q133, and bit-equal
+    values to its n_batch_members / mean_cos_batch / cos_drift when
+    the stream carries exactly the batch slice (parity-tested)."""
+    from ..queries._det import dec12
+
+    a = assign_to_centroids(embs, centroids)
+    agg = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arrivals"),
+        (
+            F.sum(dec12(F.round("centroid_cos", 9))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos_arrivals"),
+    )
+    if baselines:
+        bflat: list = []
+        for k in sorted(baselines):
+            bflat += [F.lit(int(k)), F.lit(float(baselines[k]))]
+        bmap = F.create_map(*bflat)
+    else:
+        bmap = F.create_map().cast("map<bigint,double>")
+    base = F.element_at(bmap, F.col("cluster_id").cast("bigint"))
+    return agg.select(
+        "cluster_id",
+        "n_arrivals",
+        "mean_cos_arrivals",
+        base.alias("baseline_cos"),
+        (F.col("mean_cos_arrivals") - base).alias("cos_drift"),
+    )
