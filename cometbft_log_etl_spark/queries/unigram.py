@@ -268,12 +268,13 @@ def _uni_dp_ctes(tag: str, model_cte: str, lmax: int = _UNI_LMAX) -> list[str]:
         "    'path': CAST([] AS VARCHAR[])}] AS dp"
         f"  FROM words, mdl_{tag} WHERE length(w) <= {lmax})",
     ]
+    j_candidates = "[" + ",".join(str(j) for j in range(1, _UNI_MAX_PIECE + 1)) + "]"
     for i in range(1, lmax + 1):
         parts.append(
             f"dp_{tag}_{i} AS (SELECT w, freq, len, mdl,"
             f" CASE WHEN len < {i} THEN dp ELSE list_append(dp,"
             "  list_sort(list_transform("
-            f"   list_filter([1,2,3,4], j -> j <= {i}"
+            f"   list_filter({j_candidates}, j -> j <= {i}"
             f"     AND len(map_extract(mdl, substr(w, {i}-j+1, j))) > 0),"
             f"   j -> {{'score': CAST(dp[{i}-j+1].score"
             f"            + map_extract(mdl, substr(w, {i}-j+1, j))[1] AS DECIMAL(28,9)),"
@@ -282,7 +283,7 @@ def _uni_dp_ctes(tag: str, model_cte: str, lmax: int = _UNI_LMAX) -> list[str]:
             f"  ))[-1]) END AS dp FROM dp_{tag}_{i-1})"
         )
     parts.append(
-        f"seg_{tag} AS (SELECT w, freq, dp[len + 1].path AS path FROM dp_{tag}_{_UNI_LMAX})"
+        f"seg_{tag} AS (SELECT w, freq, dp[len + 1].path AS path FROM dp_{tag}_{lmax})"
     )
     return parts
 

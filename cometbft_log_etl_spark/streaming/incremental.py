@@ -77,11 +77,18 @@ class ClusterState:
     diag: dict | None = None
 
 
-def fold_batch(state: Optional[ClusterState], batch_docs: DataFrame) -> ClusterState:
+def fold_batch(
+    state: Optional[ClusterState], batch_docs: DataFrame, diag: bool = False
+) -> ClusterState:
     """One maintenance round: fold an arriving document batch into the
     clustering. ``state=None`` means the first batch (empty history).
     Returns the NEW state; all frames are eagerly checkpointed so the
-    next fold's plans never replay this one's work."""
+    next fold's plans never replay this one's work.
+
+    ``diag=True`` additionally counts stored/touched/batch band rows
+    into ``ClusterState.diag`` — three extra count() actions per fold,
+    so it is opt-in for tests/audits, never the hot deployment path
+    (round-13 advice)."""
     sigs_b = _minhash_sigs(batch_docs).localCheckpoint(eager=True)
     if state is None:
         hist_sigs = sigs_b.limit(0)
@@ -103,7 +110,12 @@ def fold_batch(state: Optional[ClusterState], batch_docs: DataFrame) -> ClusterS
     keys_b = bands_b.select("band", "bucket").distinct()
     touched_hist = hist_bands.join(F.broadcast(keys_b), ["band", "bucket"], "semi")
     untouched_hist = hist_bands.join(F.broadcast(keys_b), ["band", "bucket"], "anti")
-    capped_touched = capped_bucket_rows(touched_hist.unionByName(bands_b))
+    # checkpointed ONCE before fanning out to its consumers (pair tier,
+    # new_bands checkpoint, optional diag) — the capped-rank window
+    # otherwise recomputes per consumer (round-13 advice)
+    capped_touched = capped_bucket_rows(
+        touched_hist.unionByName(bands_b)
+    ).localCheckpoint(eager=True)
     # candidate pairs over the touched buckets only; pairs with both
     # endpoints stored are already folded into hist_labels and must not
     # re-enter the loop (they can only arise under cap displacement)
@@ -132,16 +144,20 @@ def fold_batch(state: Optional[ClusterState], batch_docs: DataFrame) -> ClusterS
         .select("doc_id", F.coalesce("_m", "doc_id").alias("cluster_id"))
     )
     new_bands = untouched_hist.unionByName(capped_touched).localCheckpoint(eager=True)
-    diag = {
-        "stored_band_rows": hist_bands.count(),
-        "pair_tier_rows": capped_touched.count(),
-        "batch_band_rows": bands_b.count(),
-    }
+    diag_counts = (
+        {
+            "stored_band_rows": hist_bands.count(),
+            "pair_tier_rows": capped_touched.count(),
+            "batch_band_rows": bands_b.count(),
+        }
+        if diag
+        else None
+    )
     return ClusterState(
         sigs=hist_sigs.unionByName(sigs_b).localCheckpoint(eager=True),
         bands=new_bands,
         labels=prev.unionByName(newb).localCheckpoint(eager=True),
-        diag=diag,
+        diag=diag_counts,
     )
 
 
@@ -168,7 +184,7 @@ def stream_incremental_clusters(
     return q, get_state
 
 
-def make_epoch_fold():
+def make_epoch_fold(diag: bool = False):
     """(fold, get_state): a fold_batch wrapper that is idempotent under
     Structured Streaming's at-least-once batch redelivery. foreachBatch
     documents that a micro-batch whose side effects completed but whose
@@ -194,7 +210,7 @@ def make_epoch_fold():
                     "second streaming query — create a fresh fold per query "
                     "(make_epoch_fold)"
                 )
-        holder["state"] = fold_batch(holder["state"], batch_df)
+        holder["state"] = fold_batch(holder["state"], batch_df, diag=diag)
         holder["last_epoch"] = epoch
 
     return fold, lambda: holder["state"]

@@ -71,6 +71,15 @@ def stream_unigram_token_counts(
     occ = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
+    if enc is None:
+        # Wordless fit corpus (batch q122's enc-is-None branch): no
+        # fitted vocabulary, so every streamed word is OOV. An empty
+        # static frame with the encode schema keeps the one
+        # stream-static join shape; the OOV fold (model={} -> every
+        # char scores the <unk> floor) segments everything map-side.
+        enc = occ.sparkSession.createDataFrame(
+            [], "w string, n_pieces bigint, fallback boolean"
+        )
     joined = (
         occ.join(enc, "w", "left")
         .withColumn(

@@ -173,12 +173,22 @@ def test_fingerprint_v4_is_print_order_independent():
     assert _normalize_plan(push) != _normalize_plan(lost)
 
 
-def test_canary_band_classifier():
+def test_canary_band_classifier(monkeypatch):
     """The quiet-band rule splits the observed bimodal canary history
-    (quiet hosts 0.05-0.10s, noisy windows >= 0.14s) with margin."""
-    from bench import _canary_quiet
+    (quiet hosts 0.05-0.10s, noisy windows >= 0.14s) with margin.
 
+    The band is pinned to the DEFAULT 0.12 here (round-13 advice): the
+    module-level constant reads SPARK_GRAFT_CANARY_BAND at import, so
+    asserting fixed thresholds against it would fail spuriously under
+    an env override — the override path gets its own assertion below."""
+    import bench
+
+    monkeypatch.setattr(bench, "_CANARY_BAND_SEC", 0.12)
     for quiet in (0.051, 0.088, 0.096, 0.119):
-        assert _canary_quiet({"min_sec": quiet})
+        assert bench._canary_quiet({"min_sec": quiet})
     for noisy in (0.141, 0.25, 1.4):
-        assert not _canary_quiet({"min_sec": noisy})
+        assert not bench._canary_quiet({"min_sec": noisy})
+    # the env override is honored relative to whatever band is set
+    monkeypatch.setattr(bench, "_CANARY_BAND_SEC", 0.30)
+    assert bench._canary_quiet({"min_sec": 0.25})
+    assert not bench._canary_quiet({"min_sec": 0.31})

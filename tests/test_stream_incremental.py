@@ -142,7 +142,7 @@ def test_untouched_buckets_stay_out_of_the_pair_tier(spark):
         [(100 + i, " ".join(f"beta{i}w{j}" for j in range(12))) for i in range(4)],
         "doc_id long, text string",
     )
-    fold, get_state = make_epoch_fold()
+    fold, get_state = make_epoch_fold(diag=True)
     fold(docs0, 0)
     fold(docs1, 1)
     diag = get_state().diag
