@@ -50,6 +50,9 @@ see each row independently and its assignment groupBy collapses the
 copies (probed: CI asserts the divergence every run).
 q133_semantic_drift joined in round 13 for the identical reason (same
 assignment front; its report aggregates the shifted cosines).
+q134_semantic_refit joined in round 14 — it runs TWO copies of that
+same assignment front (stored model + full refit), so it inherits the
+q120/q133 divergence class on both sides of its diff.
 """
 
 from __future__ import annotations
@@ -73,6 +76,7 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q116_incremental_canonical",
         "q120_incremental_semdedup",
         "q133_semantic_drift",
+        "q134_semantic_refit",
         "q132_duplicated_scrub",
     }
 )

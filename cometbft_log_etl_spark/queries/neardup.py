@@ -2568,7 +2568,7 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns this query emits (newly_pruned, per-cluster batch share) are
 # exactly the refit trigger signal.
 
-_IKM_ASSIGN_CTES = f"""elems AS (
+_IKM_ELEMS_CTES = f"""elems AS (
   SELECT vec_id, i - 1 AS pos, CAST(emb[i] AS DOUBLE) AS x
   FROM (SELECT vec_id, embedding AS emb,
                unnest(generate_series(1, len(embedding))) AS i FROM {SQL_EMB_SRC})
@@ -2576,8 +2576,15 @@ _IKM_ASSIGN_CTES = f"""elems AS (
 norms AS (
   SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
   FROM elems GROUP BY vec_id
-),
-hseeds AS (SELECT vec_id FROM {SQL_EMB_SRC}
+)"""
+
+# The STORED model's assignment of the full corpus: history-fit
+# centroids (seed on the history slice, 1 assignment round, 1 exact
+# mean update) applied to every screened vector. Factored so q120/q133
+# (which only need it) and q134's refit diff (which pairs it against
+# the _KM_SQL_CTES full refit) share one definition. Expects
+# elems/norms in scope; emits `assign_old`.
+_IKM_OLD_MODEL_CTES = f"""hseeds AS (SELECT vec_id FROM {SQL_EMB_SRC}
            WHERE vec_id % {_KM_SEED_STEP} = 0
              AND vec_id % {_INC_HIST_MOD} < {_INC_HIST_CUT}
            ORDER BY vec_id LIMIT {_KM_K}),
@@ -2621,66 +2628,60 @@ avc AS (
   JOIN hcnorm2 nc ON nc.cluster_id = c.cluster_id
   GROUP BY e.vec_id, c.cluster_id, nv.nrm, nc.nrm
 ),
-assign AS (
+assign_old AS (
   SELECT vec_id, cluster_id, cos,
          vec_id % {_INC_HIST_MOD} >= {_INC_HIST_CUT} AS is_batch
   FROM (
     SELECT vec_id, cluster_id, cos, row_number() OVER (
              PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
     FROM avc) WHERE rn = 1
-),
+)"""
+
+_IKM_ASSIGN_CTES = f"""{_IKM_ELEMS_CTES},
+{_IKM_OLD_MODEL_CTES},
+assign AS (SELECT * FROM assign_old),
 touched AS (SELECT DISTINCT cluster_id FROM assign WHERE is_batch),
 tmem AS (SELECT a.* FROM assign a SEMI JOIN touched USING (cluster_id))"""
 
-# the decision (pair-scan) half appended for q120; q133's drift report
-# reuses the assignment half alone
-_IKM_SQL_CTES = f"""{_IKM_ASSIGN_CTES},
-capped_new AS (
+
+def _semdedup_sql(tag: str, src: str) -> str:
+    """The SemDeDup decision tier as oracle CTEs over an assignment
+    source (`src` is a CTE name or parenthesized subquery with columns
+    vec_id, cluster_id, cos): capped_{tag} rank-caps each cluster's
+    members, pairs_{tag} scores within-cluster pairs by exact decimal
+    dot products, dups_{tag} is the (vec_id, dup_of) drop list — the
+    SQL twin of _semdedup_dups, factored so q120's two tiers and
+    q134's two models share one definition."""
+    return f"""capped_{tag} AS (
   SELECT vec_id, cluster_id, cos FROM (
     SELECT vec_id, cluster_id, cos, row_number() OVER (
              PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn
-    FROM tmem) WHERE rn <= {_KM_MEMBER_CAP}
+    FROM {src}) WHERE rn <= {_KM_MEMBER_CAP}
 ),
-pairs_new AS (
+pairs_{tag} AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
-  FROM capped_new a
-  JOIN capped_new b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+  FROM capped_{tag} a
+  JOIN capped_{tag} b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
   JOIN elems ea ON ea.vec_id = a.vec_id
   JOIN elems eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
   GROUP BY a.vec_id, b.vec_id
 ),
-dups_new AS (
+dups_{tag} AS (
   SELECT p.vec_b AS vec_id, min(p.vec_a) AS dup_of
-  FROM pairs_new p
-  JOIN norms na ON na.vec_id = p.vec_a
-  JOIN norms nb ON nb.vec_id = p.vec_b
-  WHERE p.dot / (na.nrm * nb.nrm) >= {_KM_DUP_COS}
-  GROUP BY p.vec_b
-),
-capped_old AS (
-  SELECT vec_id, cluster_id, cos FROM (
-    SELECT vec_id, cluster_id, cos, row_number() OVER (
-             PARTITION BY cluster_id ORDER BY cos DESC, vec_id) AS rn
-    FROM tmem WHERE NOT is_batch) WHERE rn <= {_KM_MEMBER_CAP}
-),
-pairs_old AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(sum(CAST(ea.x * eb.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
-  FROM capped_old a
-  JOIN capped_old b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
-  JOIN elems ea ON ea.vec_id = a.vec_id
-  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
-  GROUP BY a.vec_id, b.vec_id
-),
-dups_old AS (
-  SELECT p.vec_b AS vec_id, min(p.vec_a) AS dup_of
-  FROM pairs_old p
+  FROM pairs_{tag} p
   JOIN norms na ON na.vec_id = p.vec_a
   JOIN norms nb ON nb.vec_id = p.vec_b
   WHERE p.dot / (na.nrm * nb.nrm) >= {_KM_DUP_COS}
   GROUP BY p.vec_b
 )"""
+
+
+# the decision (pair-scan) half appended for q120; q133's drift report
+# reuses the assignment half alone
+_IKM_SQL_CTES = f"""{_IKM_ASSIGN_CTES},
+{_semdedup_sql("new", "tmem")},
+{_semdedup_sql("old", "(SELECT * FROM tmem WHERE NOT is_batch)")}"""
 
 
 @register(
@@ -2913,4 +2914,162 @@ def q133_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_hist > 0, mean_hist).alias("mean_cos_hist"),
         mean_batch.alias("mean_cos_batch"),
         F.when(n_hist > 0, mean_batch - mean_hist).alias("cos_drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — the refit TRANSITION (round-13 verdict "next round" #1: q133 says
+# WHEN to refit; this query executes the switch). The q116 merge-replay
+# pattern at the MODEL level: fit the new model on history+batch (the
+# q17/q25 full-corpus plan), diff old-model vs new-model assignments and
+# SemDeDup decisions, and emit exactly the rows a downstream canonical
+# table must replay — reassignments and flipped keep/drop decisions.
+
+_REFIT_REPORT_SQL = f"""
+SELECT o.vec_id,
+       o.cluster_id AS cluster_old,
+       n.cluster_id AS cluster_new,
+       o.cluster_id <> n.cluster_id AS reassigned,
+       do_.dup_of IS NULL AS was_kept,
+       dn.dup_of IS NULL AS is_kept,
+       do_.dup_of AS dup_of_old,
+       dn.dup_of AS dup_of_new,
+       round(n.cos, 9) AS centroid_cos_new,
+       CASE WHEN do_.dup_of IS NULL AND dn.dup_of IS NOT NULL THEN 'prune'
+            WHEN do_.dup_of IS NOT NULL AND dn.dup_of IS NULL THEN 'reinstate'
+            ELSE 'move' END AS action
+FROM assign_old o
+JOIN assign n ON n.vec_id = o.vec_id
+LEFT JOIN dups_oldm do_ ON do_.vec_id = o.vec_id
+LEFT JOIN dups_newm dn ON dn.vec_id = o.vec_id
+WHERE o.cluster_id <> n.cluster_id
+   OR (do_.dup_of IS NULL) <> (dn.dup_of IS NULL)"""
+
+
+@register(
+    "q134_semantic_refit",
+    tags=("datapipe", "dedup", "embedding", "clustering", "incremental"),
+    # The oracle computes BOTH decision tiers over the FULL corpus with
+    # no scan-set restriction — it is the semantic spec. The Spark plan
+    # bounds pair work to the changed-or-over-cap cluster set; the
+    # driver's cell-exact compare against this unrestricted oracle is
+    # therefore a per-round proof that the bounding is lossless.
+    oracle=f"""
+WITH {_KM_SQL_CTES},
+{_IKM_OLD_MODEL_CTES},
+{_semdedup_sql("newm", "assign")},
+{_semdedup_sql("oldm", "(SELECT vec_id, cluster_id, cos FROM assign_old)")}
+{_REFIT_REPORT_SQL}
+""",
+)
+def q134_semantic_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-model REFIT transition report: the morning q133's
+    drift trigger trips, the pipeline refits k-means on history+batch
+    (the q17/q25 full-corpus plan) and must migrate every downstream
+    table from the OLD stored model (history-fit centroids, the q120
+    state) to the NEW one. This query diffs the two models end to end —
+    assignments AND SemDeDup keep/drop decisions — and emits the
+    replay rows: one row per vector that was reassigned
+    (cluster_old <> cluster_new) or whose decision flipped, with the
+    old/new cluster, old/new representative (dup_of), and the replay
+    action a canonical table applies ('prune': was kept, now a
+    duplicate; 'reinstate': was a duplicate, now kept; 'move':
+    decision stable but the vector changed clusters).
+
+    Exactness of the bounded pair scan (the q120 argument at the model
+    level): pairwise cosines are MODEL-FREE (they compare vectors, not
+    centroids), so a cluster id c whose member set is identical under
+    both models — no member moved out (else c is some mover's
+    cluster_old) and none moved in (else c is a mover's cluster_new) —
+    and whose size is within _KM_MEMBER_CAP has the identical capped
+    member set, hence identical pairs, hence identical decisions under
+    both models: no member of c can appear in the report. Both pair
+    tiers therefore run behind a broadcast semi-join on the CHANGED-OR-
+    OVER-CAP cluster set (movers' old+new cluster ids, plus any
+    over-cap cluster, where the cos-ranked capped subset may differ
+    between models even with stable membership). The set is k-bounded
+    (cluster ids), so the semi-join broadcasts. The DuckDB oracle
+    computes both tiers UNRESTRICTED — the driver's cell-exact match is
+    the standing proof the bound is lossless; the engineered-corpus
+    parity test (tests/test_semantic_refit.py) pins it per-case.
+
+    Scale shape: two assignment fronts (each a broadcast fixed-k cross
+    join + map-side argmax, the q17 budget), each persisted once (the
+    old feeds the diff + its pair tier; the new feeds the diff, its
+    pair tier, and the centroid update that produced it), one
+    vec_id-keyed diff join (linear, the only corpus-shaped shuffle),
+    pair tiers capped AND gated to changed clusters — a drift episode
+    that touches 3 of k clusters re-scores 3 clusters, not the corpus.
+    Output is churn-sized, not corpus-sized.
+    """
+    tune_session(spark)
+    from ..session import default_parallelism
+
+    emb = (
+        finite_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(default_parallelism())
+        .select(
+            "vec_id",
+            F.col("embedding").alias("emb"),
+            dnrm12(F.col("embedding")).alias("nrm"),
+        )
+    )
+    # OLD model: the stored history-fit centroids (q120's state),
+    # assigning the full corpus
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    stored_cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
+    old_assign = persist_tracked(_km_assign_round(emb, stored_cent))
+    # NEW model: the full refit (q25's kmeans_assignments plan, inlined
+    # over the shared screened frame)
+    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
+    new_assign = persist_tracked(
+        _km_assign_round(a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1))
+    )
+    # changed-or-over-cap cluster ids (k-bounded — see docstring)
+    o_slim = old_assign.select("vec_id", F.col("cluster_id").alias("c_old"))
+    n_slim = new_assign.select("vec_id", F.col("cluster_id").alias("c_new"))
+    moved = o_slim.join(n_slim, "vec_id").filter(F.col("c_old") != F.col("c_new"))
+    changed = moved.select(
+        F.explode(F.array("c_old", "c_new")).alias("cluster_id")
+    ).distinct()
+    overcap = (
+        old_assign.groupBy("cluster_id").count()
+        .unionByName(new_assign.groupBy("cluster_id").count())
+        .filter(F.col("count") > _KM_MEMBER_CAP)
+        .select("cluster_id")
+        .distinct()
+    )
+    scan_set = changed.unionByName(overcap).distinct()
+    dups_old = _semdedup_dups(old_assign.join(F.broadcast(scan_set), "cluster_id", "semi"))
+    dups_new = _semdedup_dups(new_assign.join(F.broadcast(scan_set), "cluster_id", "semi"))
+    was_kept = F.col("dup_of_old").isNull()
+    is_kept = F.col("dup_of_new").isNull()
+    return (
+        old_assign.select("vec_id", F.col("cluster_id").alias("cluster_old"))
+        .join(
+            new_assign.select(
+                "vec_id", F.col("cluster_id").alias("cluster_new"), "cos"
+            ),
+            "vec_id",
+        )
+        .join(dups_old.select("vec_id", F.col("dup_of").alias("dup_of_old")), "vec_id", "left")
+        .join(dups_new.select("vec_id", F.col("dup_of").alias("dup_of_new")), "vec_id", "left")
+        .filter(
+            (F.col("cluster_old") != F.col("cluster_new")) | (was_kept != is_kept)
+        )
+        .select(
+            "vec_id",
+            "cluster_old",
+            "cluster_new",
+            (F.col("cluster_old") != F.col("cluster_new")).alias("reassigned"),
+            was_kept.alias("was_kept"),
+            is_kept.alias("is_kept"),
+            "dup_of_old",
+            "dup_of_new",
+            F.round("cos", 9).alias("centroid_cos_new"),
+            F.when(was_kept & ~is_kept, F.lit("prune"))
+            .when(~was_kept & is_kept, F.lit("reinstate"))
+            .otherwise(F.lit("move"))
+            .alias("action"),
+        )
     )

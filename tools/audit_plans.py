@@ -234,6 +234,21 @@ EXPECTATIONS = {
                                                "BroadcastNestedLoopJoin"],
                                   "contains_anywhere": ["WindowGroupLimit"],
                                   "contains_not": ["CartesianProduct"]},
+    # refit transition diff: TWO persisted assignment fronts (stored
+    # model + full refit — the BNLJs are their deliberate fixed-k
+    # broadcast cross joins), both pair tiers behind the k-bounded
+    # changed-or-over-cap semi-join (broadcast — a shuffled semi here
+    # means the scan set stopped being collected as a broadcast) with
+    # the member cap as a rank limit (WindowGroupLimit, behind the
+    # cache barriers), the diff itself ONE vec_id-keyed join chain.
+    # 6 scans = seed + round-1 + assignment sides of each model's
+    # front; a 7th means a persist barrier broke and a subtree
+    # re-derives a whole k-means front per consumer
+    "q134_semantic_refit": {"max_scan_cols": 2, "max_scans": 6,
+                            "contains": ["InMemoryTableScan",
+                                         "BroadcastNestedLoopJoin"],
+                            "contains_anywhere": ["WindowGroupLimit"],
+                            "contains_not": ["CartesianProduct"]},
     # learned quality classifier: fn() runs the fit (two bounded engine
     # jobs per steepest-descent step over the cached per-doc feature
     # frame — the tokenizer.py eager-fit precedent), so the audited
