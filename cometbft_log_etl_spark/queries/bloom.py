@@ -101,7 +101,7 @@ def bloom_m_frame(hist: DataFrame) -> DataFrame:
 
 
 @register(
-    "q108_bloom_screen",
+    "q71_bloom_screen",
     tags=("datapipe", "dedup", "sketch", "incremental"),
     oracle=f"""
 WITH fp AS MATERIALIZED (
@@ -147,7 +147,7 @@ SELECT source,
 FROM cls GROUP BY source
 """,
 )
-def q108_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Screen the incoming batch against the history Bloom position
     set, exact-verify only the maybe residue, and report per-source
     new / maybe / true-duplicate / false-positive counts."""

@@ -72,7 +72,7 @@ from . import register
 
 
 @register(
-    "q107_source_token_budget",
+    "q70_source_token_budget",
     tags=("datapipe", "sampling", "mixing", "selection"),
     oracle="""
 WITH d AS MATERIALIZED (
@@ -99,7 +99,7 @@ FROM w
 GROUP BY source
 """,
 )
-def q107_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source document selection under a token budget
     (quality-ranked prefix), computed without ever windowing the
     corpus: distribution-table running sums + a boundary-group-only

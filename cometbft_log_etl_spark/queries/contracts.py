@@ -22,7 +22,7 @@ item #6).
 
 Membership history: 10 founding members adjudicated in round 8
 (COVERAGE.md "Round-8 duplicate-id probe"), q46_substring_scrub joined
-in round 9 and q103_selfrep_scrub in round 10 — both per-document
+in round 9 and q66_selfrep_scrub in round 10 — both per-document
 scrub outputs that keep one row per duplicate input row where the
 oracle's final GROUP BY doc_id collapses them —
 q114_incremental_clusters and q116_incremental_canonical in round 12
@@ -68,10 +68,10 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q39_ann_ivf",
         "q46_substring_scrub",
         "q55_minhash_lsh",
-        "q57_ngram_jaccard",
-        "q58_ann_lsh",
-        "q123_multimodal_features",
-        "q103_selfrep_scrub",
+        "q100_ngram_jaccard",
+        "q101_ann_lsh",
+        "q76_multimodal_features",
+        "q66_selfrep_scrub",
         "q114_incremental_clusters",
         "q116_incremental_canonical",
         "q120_incremental_semdedup",

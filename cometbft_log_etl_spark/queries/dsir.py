@@ -137,7 +137,7 @@ def dsir_scores(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "q105_dsir_selection",
+    "q69_dsir_selection",
     tags=("datapipe", "sampling", "quality", "ml"),
     oracle=f"""
 WITH toks AS MATERIALIZED (
@@ -184,7 +184,7 @@ SELECT doc_id, src, n_grams, score
 FROM scored ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
 """,
 )
-def q105_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document's importance weight for the target domain
     and select the global top-{K}: the deterministic rank-selection
     twin of DSIR's importance resampling, cross-checked cell-exact

@@ -247,7 +247,7 @@ def q24_step_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q127_rollup_overall",
+    "q80_rollup_overall",
     tags=("agg", "rollup"),
     oracle=f"""
 SELECT user_id,
@@ -259,7 +259,7 @@ FROM events
 GROUP BY GROUPING SETS ((user_id, event_type), (user_id))
 """,
 )
-def q127_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup with a synthetic 'overall' row per key — the network-latency
     per-pair × message-type rollup (P7c, /root/reference/ossplugins/
     network-latency/processor.go:559-643) as a native rollup."""
@@ -853,7 +853,7 @@ def q41_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q101 — event-rate anomaly detection: hourly z-scores per type
 
 @register(
-    "q101_rate_anomalies",
+    "q58_rate_anomalies",
     tags=("events", "anomaly", "monitoring"),
     oracle="""
 WITH hourly AS (
@@ -877,7 +877,7 @@ FROM hourly h JOIN stats s USING (event_type)
 WHERE s.sigma > 0 AND abs(round((h.n - s.mu) / s.sigma, 9)) >= 2
 """,
 )
-def q101_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-rate anomaly detection: hours whose per-type event count
     sits ≥2 population standard deviations from that type's mean — the
     alerting pass a monitoring pipeline runs over its own rollups

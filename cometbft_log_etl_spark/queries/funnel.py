@@ -58,7 +58,7 @@ _FUN_MIN_UNIQ = 0.35  # distinct-token ratio floor (q104's label rule)
 
 
 @register(
-    "q109_curation_funnel",
+    "q72_curation_funnel",
     tags=("datapipe", "quality", "dedup", "lm", "selection", "pipeline"),
     oracle=f"""
 WITH base AS MATERIALIZED (
@@ -169,7 +169,7 @@ LEFT JOIN sel ON sel.doc_id = c.doc_id
 GROUP BY c.source
 """,
 )
-def q109_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel report: per source, how many documents
     survive each stage and how many tokens the budget finally admits."""
     tune_session(spark)

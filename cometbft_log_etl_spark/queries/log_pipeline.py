@@ -19,7 +19,7 @@ from . import register
 
 
 @register(
-    "q129_collect_set_agg",
+    "q82_collect_set_agg",
     tags=("agg", "collect"),
     oracle="""
 SELECT user_id,
@@ -33,7 +33,7 @@ FROM events
 GROUP BY user_id
 """,
 )
-def q129_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set collection per key — connected-peers sets (P7d,
     /root/reference/ossplugins/network-latency/processor.go:399-447),
     canonicalized to a sorted CSV string."""
@@ -47,7 +47,7 @@ def q129_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q130_map_style_agg",
+    "q83_map_style_agg",
     tags=("agg", "map"),
     oracle="""
 WITH counts AS (
@@ -66,7 +66,7 @@ FROM counts
 GROUP BY user_id
 """,
 )
-def q130_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-key count map per key — TimeoutsByStep / StepDurations maps
     (P5/P8, /root/reference/ossplugins/consensus-timing/processor.go:14-15,
     /root/reference/ossplugins/timeout-analysis/processor.go:29-30). The
@@ -86,7 +86,7 @@ def q130_map_style_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q131_pivot_counts",
+    "q84_pivot_counts",
     tags=("agg", "pivot"),
     oracle="""
 SELECT user_id,
@@ -99,7 +99,7 @@ FROM events
 GROUP BY user_id
 """,
 )
-def q131_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot to fixed per-kind columns — the per-message-type stat
     fan-out in network-latency (P7b MessageTypes map keyed by a known
     vocabulary) as an explicit-values pivot."""

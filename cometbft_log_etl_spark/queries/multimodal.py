@@ -32,7 +32,7 @@ _H32 = "CAST(('0x' || substr(md5({e}), 1, 8)) AS BIGINT)"
 
 
 @register(
-    "q123_multimodal_features",
+    "q76_multimodal_features",
     tags=("datapipe", "multimodal"),
     oracle=f"""
 WITH f AS (
@@ -60,7 +60,7 @@ FROM f
 GROUP BY media_type
 """,
 )
-def q123_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q76_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media → decode kernel → per-type stats + frame budget.
 
     total_sampled_frames is what a stride-24 frame sampler would emit —

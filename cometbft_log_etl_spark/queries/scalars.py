@@ -21,7 +21,7 @@ from . import register
 
 
 @register(
-    "q80_json_extract",
+    "q127_json_extract",
     tags=("scalar", "json"),
     oracle="""
 SELECT event_id,
@@ -32,7 +32,7 @@ FROM events
 WHERE event_type = 'purchase'
 """,
 )
-def q80_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured field access — the `_msg` tag peek (S3,
     /root/reference/internal/parser/dispatcher.go:69-97) is exactly
     get_json_object before full parse."""
@@ -48,7 +48,7 @@ def q80_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q81_string_funcs",
+    "q128_string_funcs",
     tags=("scalar", "string"),
     oracle="""
 SELECT doc_id,
@@ -70,7 +70,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q81_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface — split (C1), regexp_extract (C4/C13/C14),
     substring_index peer-id split (C10, /root/reference/lib/format.go:57-62),
     case conversion (C11), contains (S4)."""
@@ -93,7 +93,7 @@ def q81_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q82_hash_codecs",
+    "q129_hash_codecs",
     tags=("scalar", "binary", "hash"),
     oracle="""
 SELECT event_id,
@@ -106,7 +106,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q82_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q129_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash/codec surface — sha2 composite keys (P7a uses sha256 of raw
     bytes, /root/reference/ossplugins/network-latency/processor.go:697-707),
     base64/hex codecs (C6/C8 msgBytes decode). The md5-prefix hash bucket
@@ -130,7 +130,7 @@ def q82_hash_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q83_datetime_funcs",
+    "q130_datetime_funcs",
     tags=("scalar", "datetime"),
     oracle="""
 SELECT event_id,
@@ -145,7 +145,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q83_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q130_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time surface — RFC3339 timestamp handling (C12,
     /root/reference/lib/time.go:5-13) and the ms-latency arithmetic used by
     every latency plugin (P1-P3, P7)."""
@@ -168,7 +168,7 @@ def q83_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q84_case_when_battery",
+    "q131_case_when_battery",
     tags=("scalar", "conditional"),
     oracle="""
 SELECT event_id,
@@ -185,7 +185,7 @@ FROM events
 WHERE event_id < 500
 """,
 )
-def q84_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q131_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/COALESCE/NULLIF surface — step-name formatting (C11,
     /root/reference/lib/format.go:49-55 is a finite-vocabulary CASE) and
     channel naming (D3, /root/reference/types/channels.go:17-47)."""

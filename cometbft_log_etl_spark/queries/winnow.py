@@ -98,7 +98,7 @@ def winnow_fps(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "q110_winnowing_fingerprints",
+    "q75_winnowing_fingerprints",
     tags=("datapipe", "dedup", "fingerprint"),
     oracle=f"""
 WITH base AS MATERIALIZED (
@@ -139,7 +139,7 @@ SELECT fps.doc_id, n_grams, n_windows,
 FROM fps LEFT JOIN per_doc_share ON per_doc_share.doc_id = fps.doc_id
 """,
 )
-def q110_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint stats plus the most-shared
     fingerprint's document count — the MOSS-style triage report."""
     tune_session(spark)

@@ -63,7 +63,7 @@ def _engine(spark, sf_dir):
 
     return {
         r.source: (r.n_batch, r.n_new, r.n_maybe, r.n_true_dup, r.n_false_pos)
-        for r in catalog()["q108_bloom_screen"].fn(spark, sf_dir).collect()
+        for r in catalog()["q71_bloom_screen"].fn(spark, sf_dir).collect()
     }
 
 

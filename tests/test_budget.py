@@ -57,7 +57,7 @@ def _engine_selection(spark, sf_dir):
 
     before = persistent_rdd_ids(spark)
     try:
-        rows = catalog()["q107_source_token_budget"].fn(spark, sf_dir).collect()
+        rows = catalog()["q70_source_token_budget"].fn(spark, sf_dir).collect()
     finally:
         release_new_persists(spark, before)
     return {

@@ -89,7 +89,7 @@ def test_selection_matches_independent_reference(spark, sf_dir, reference):
     try:
         got = [
             (r.doc_id, r.src, r.n_grams, r.score)
-            for r in catalog()["q105_dsir_selection"].fn(spark, sf_dir).collect()
+            for r in catalog()["q69_dsir_selection"].fn(spark, sf_dir).collect()
         ]
     finally:
         release_new_persists(spark, before)

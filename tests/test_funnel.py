@@ -134,7 +134,7 @@ def _engine_funnel(spark, sf_dir):
                 r.n_docs, r.n_quality, r.n_canonical,
                 r.n_banded, r.n_selected, r.toks_selected,
             )
-            for r in catalog()["q109_curation_funnel"].fn(spark, sf_dir).collect()
+            for r in catalog()["q72_curation_funnel"].fn(spark, sf_dir).collect()
         }
     finally:
         release_new_persists(spark, before)

@@ -280,8 +280,8 @@ def test_selfrep_scrub_invariants(spark, sf_dir):
     cleaned text is exactly the kept tokens."""
     from cometbft_log_etl_spark.queries import catalog
 
-    out = {r.doc_id: r for r in catalog()["q103_selfrep_scrub"].fn(spark, sf_dir).collect()}
-    runs = catalog()["q102_selfrep_runs"].fn(spark, sf_dir).collect()
+    out = {r.doc_id: r for r in catalog()["q66_selfrep_scrub"].fn(spark, sf_dir).collect()}
+    runs = catalog()["q63_selfrep_runs"].fn(spark, sf_dir).collect()
     rep_docs = {r.doc_id for r in runs}
     assert all(out[d].n_removed == 0 for d in set(out) - rep_docs)
     assert all(0 < out[d].n_removed <= out[d].n_tokens for d in rep_docs if d in out)
@@ -319,8 +319,8 @@ def test_selfrep_parity_with_duplicate_doc_id(spark, sf_dir, tmp_path_factory):
     d = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     dup = pa.concat_tables([d, d.slice(0, 1)])
     pq.write_table(dup, str(out / "documents.parquet"))
-    res = run_compare(spark, catalog()["q102_selfrep_runs"], str(out))
-    assert res.ok, f"q102_selfrep_runs: {res}"
+    res = run_compare(spark, catalog()["q63_selfrep_runs"], str(out))
+    assert res.ok, f"q63_selfrep_runs: {res}"
 
 
 def test_identical_corpus_duplicated_spans_stay_linear(spark):

@@ -31,8 +31,8 @@ _PRONE = [
     "q25_semantic_dedup",  # min-id representative picks + member cap rank
     "q45_exact_substring_runs",  # per-gram occurrence cap rank + islands
     "q46_substring_scrub",  # inherits the cap + collect_list span sets
-    "q107_source_token_budget",  # running-sum windows + boundary-group picks
-    "q109_curation_funnel",  # min-id dedup winner + budget boundary picks
+    "q70_source_token_budget",  # running-sum windows + boundary-group picks
+    "q72_curation_funnel",  # min-id dedup winner + budget boundary picks
 ]
 
 

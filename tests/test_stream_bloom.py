@@ -66,7 +66,7 @@ def test_stream_totals_match_q108_report(spark, sf_dir):
         rows = spark.table("t_stream_bloom2").collect()
         got = Counter((r.source, r.verdict) for r in rows)
         report = {}
-        for r in catalog()["q108_bloom_screen"].fn(spark, sf_dir).collect():
+        for r in catalog()["q71_bloom_screen"].fn(spark, sf_dir).collect():
             report[(r.source, "new")] = r.n_new
             report[(r.source, "dup")] = r.n_true_dup
             report[(r.source, "fp")] = r.n_false_pos

@@ -182,7 +182,7 @@ def test_stream_selfrep_scrub_matches_batch_q103(spark, sf_dir):
     }
     want = {
         r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
-        for r in catalog()["q103_selfrep_scrub"].fn(spark, sf_dir).collect()
+        for r in catalog()["q66_selfrep_scrub"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
     assert any(v[1] > 0 for v in got.values())  # real self-repeats scrubbed

@@ -29,7 +29,7 @@ def test_stream_report_matches_batch_q110(spark, sf_dir):
         }
         want = {
             r.doc_id: (r.n_grams, r.n_windows, r.n_fingerprints, r.max_fp_share)
-            for r in catalog()["q110_winnowing_fingerprints"].fn(spark, sf_dir).collect()
+            for r in catalog()["q75_winnowing_fingerprints"].fn(spark, sf_dir).collect()
         }
     finally:
         release_new_persists(spark, before)

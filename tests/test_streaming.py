@@ -278,7 +278,7 @@ def test_streaming_rate_anomalies_match_batch(spark, sf_dir, tmp_path):
     rollup_rows = spark.table("t_hourly_rates")
     rollup = spark.createDataFrame(rollup_rows.collect(), rollup_rows.schema)
     got = {tuple(r) for r in anomalies_from_hourly(rollup).collect()}
-    want = {tuple(r) for r in queries()["q101_rate_anomalies"](spark, sf_dir).collect()}
+    want = {tuple(r) for r in queries()["q58_rate_anomalies"](spark, sf_dir).collect()}
     assert want, "batch q101 found no anomalies at the test sf — parity test is vacuous"
     assert got == want
 

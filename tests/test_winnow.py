@@ -72,7 +72,7 @@ def _engine(spark, sf_dir):
     try:
         return {
             r.doc_id: (r.n_grams, r.n_windows, r.n_fingerprints, r.max_fp_share)
-            for r in catalog()["q110_winnowing_fingerprints"].fn(spark, sf_dir).collect()
+            for r in catalog()["q75_winnowing_fingerprints"].fn(spark, sf_dir).collect()
         }
     finally:
         release_new_persists(spark, before)

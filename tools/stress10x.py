@@ -13,9 +13,9 @@ this caught q39's corpus-growing centroid set in round 6 and q106's
 1-2-task single-file scan narrowness in round 11.
 
 Usage:
-    python tools/stress10x.py q106_perplexity_bands q108_bloom_screen
+    python tools/stress10x.py q106_perplexity_bands q71_bloom_screen
     python tools/stress10x.py --sf-dir /root/testdata/sf0.1 --runs 4 q55_minhash_lsh
-    python tools/stress10x.py --table orders q128_ntile_deciles
+    python tools/stress10x.py --table orders q81_ntile_deciles
 
 Only the chosen table is multiplied; queries over other tables time
 identical inputs at both labels and should print ~1.0x (a useful
