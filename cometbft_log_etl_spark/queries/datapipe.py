@@ -4,7 +4,7 @@ deduplication, text analysis, and embedding similarity search.
 These go beyond the reference's own surface (BASELINE.json north star):
 the operators a 100 TB LLM-data pipeline needs, built Spark-first.
 Determinism rules as in queries/_det.py; the portable cross-engine hash
-is the md5-hex-prefix integer (see q82_hash_codecs).
+is the md5-hex-prefix integer (see q129_hash_codecs).
 """
 
 from __future__ import annotations
@@ -400,7 +400,7 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product is an in-row zip_with + exact decimal fold
     (order-independent, bit-stable vs the oracle's exploded sum); the
     probe side is small by construction → broadcast, and the candidate
-    side streams. The LSH-bucketed scale path is q58_ann_lsh
+    side streams. The LSH-bucketed scale path is q101_ann_lsh
     (queries/neardup.py).
     """
     tune_session(spark)
@@ -2812,25 +2812,40 @@ def q119_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(load(spark, sf_dir, "documents"))
 
 
-def duplicated_spans(docs: DataFrame) -> DataFrame:
-    """The q119 kernel over any (doc_id, text) frame — separated so the
-    boilerplate-corpus bound test (tests/test_lsh_guard.py) can drive
-    it without parquet."""
+def corpus_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, g): every overlapping _SUB_K-gram position of every
+    document — the q119 occurrence frame, factored so the crawl-time
+    streaming twin fits its duplicated-gram state with the identical
+    gram definition."""
     toks = _sub_tokens(docs)
     gram_arr = F.transform(
         F.sequence(F.lit(0), F.size("t") - _SUB_K),
         lambda i: F.struct(i.alias("p"), _sub_gram_md5("t", i).alias("g")),
     )
-    grams = toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
+    return toks.select("doc_id", F.explode(gram_arr).alias("pg")).select(
         "doc_id", F.col("pg.p").alias("p"), F.col("pg.g").alias("g")
     )
-    dup_g = (
+
+
+def duplicated_gram_set(grams: DataFrame) -> DataFrame:
+    """(g): grams occurring >= 2 times in the frame — a
+    partial-aggregatable COUNT (viral grams collapse map-side), never
+    an occurrence list. This set IS the uncapped tier's fitted state:
+    q119 semi-joins it in-plan; the streaming twin stores it."""
+    return (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("g")
     )
-    dup_pos = grams.join(dup_g, "g", "semi")
+
+
+def duplicated_spans(docs: DataFrame) -> DataFrame:
+    """The q119 kernel over any (doc_id, text) frame — separated so the
+    boilerplate-corpus bound test (tests/test_lsh_guard.py) can drive
+    it without parquet."""
+    grams = corpus_grams(docs)
+    dup_pos = grams.join(duplicated_gram_set(grams), "g", "semi")
     wdoc = W.partitionBy("doc_id").orderBy("p")
     gap = F.col("p") - F.lag("p", 1).over(wdoc)
     flagged = dup_pos.withColumn(
@@ -2948,12 +2963,36 @@ def scrub_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def span_mask_cols(tcol, spans) -> list:
+    """[n_tokens, n_removed, cleaned_text] from a token-array column
+    and a (start_b, run_tokens) span-struct-array column — the
+    in-array masking core (filter/exists/transform, no token explode),
+    factored so apply_span_scrub (doc-keyed-join shape) and the
+    crawl-time streaming twin (post-aggregation shape) share ONE
+    masking semantics. Columns come pre-aliased to the q46/q132 names."""
+    idx = F.transform(
+        tcol, lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("p"))
+    )
+    kept = F.filter(
+        idx,
+        lambda pr: ~F.exists(
+            spans,
+            lambda s: (pr["p"] >= s["start_b"])
+            & (pr["p"] < s["start_b"] + s["run_tokens"]),
+        ),
+    )
+    return [
+        F.size(tcol).cast("bigint").alias("n_tokens"),
+        (F.size(tcol) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
+    ]
+
+
 def apply_span_scrub(docs: DataFrame, spans: DataFrame) -> DataFrame:
     """q46's masking half: one doc-keyed left join of the span lists,
-    then per-row IN-ARRAY masking/reconstruction (filter/exists/
-    transform — no token explode, no per-position shuffle). Works
-    unchanged when `docs` is a stream and `spans` is static (map-side
-    after the stream-static join, so append mode holds)."""
+    then per-row IN-ARRAY masking/reconstruction via span_mask_cols.
+    Works unchanged when `docs` is a stream and `spans` is static
+    (map-side after the stream-static join, so append mode holds)."""
     toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     ).filter(F.size("t") >= 1)
@@ -2963,23 +3002,7 @@ def apply_span_scrub(docs: DataFrame, spans: DataFrame) -> DataFrame:
             "spans", F.array().cast("array<struct<start_b:bigint,run_tokens:bigint>>")
         ),
     )
-    idx = F.transform(
-        F.col("t"), lambda x, i: F.struct(x.alias("tok"), i.cast("long").alias("p"))
-    )
-    kept = F.filter(
-        idx,
-        lambda pr: ~F.exists(
-            "spans",
-            lambda s: (pr["p"] >= s["start_b"])
-            & (pr["p"] < s["start_b"] + s["run_tokens"]),
-        ),
-    )
-    return j.select(
-        "doc_id",
-        F.size("t").cast("bigint").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", F.transform(kept, lambda p: p["tok"])).alias("cleaned_text"),
-    )
+    return j.select("doc_id", *span_mask_cols(F.col("t"), F.col("spans")))
 
 
 @register(
@@ -3323,21 +3346,21 @@ runs AS (
 
 
 @register(
-    "q102_selfrep_runs",
+    "q63_selfrep_runs",
     tags=("datapipe", "dedup", "substring", "selfrep"),
     oracle=f"""
 WITH {_SELF_ORACLE_RUNS}
 SELECT doc_id, start_a, start_b, run_tokens FROM runs
 """,
 )
-def q102_selfrep_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_selfrep_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition runs — see selfrep_runs."""
     tune_session(spark)
     return selfrep_runs(load(spark, sf_dir, "documents"))
 
 
 @register(
-    "q103_selfrep_scrub",
+    "q66_selfrep_scrub",
     tags=("datapipe", "dedup", "substring", "selfrep"),
     oracle=f"""
 WITH {_SELF_ORACLE_RUNS},
@@ -3363,7 +3386,7 @@ FROM toks1 t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, len(t.t)
 """,
 )
-def q103_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q66_selfrep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of the intra-doc tier: every selfrep_runs
     maximal run is cut on its LATER side (start_b > start_a — the
     first occurrence stays, repeats go; the q46 min-side convention

@@ -371,7 +371,7 @@ def q56_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q57_ngram_jaccard",
+    "q100_ngram_jaccard",
     tags=("datapipe", "dedup", "jaccard"),
     oracle=f"""
 WITH g_all AS (
@@ -403,7 +403,7 @@ WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
         / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) >= 0.2
 """,
 )
-def q57_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-2-gram Jaccard over blocked candidate pairs.
 
     Blocking on (lang, n_chars/100) bounds the self-join: only
@@ -525,7 +525,7 @@ def _bucket_sql(src_filter: str, id_alias: str, nplanes: int = _PLANES) -> str:
 
 
 @register(
-    "q58_ann_lsh",
+    "q101_ann_lsh",
     tags=("datapipe", "similarity", "lsh"),
     oracle=f"""
 WITH pb AS ({_bucket_sql("WHERE vec_id < 3", "probe_id")}),
@@ -571,7 +571,7 @@ SELECT probe_id, cand_id, bucket, round(cosine, 9) AS cosine, rank FROM (
 ) WHERE rank <= 5
 """,
 )
-def q58_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours.
 
     Random-hyperplane signs (±1 weights derived from md5(plane:dim) —
@@ -2106,7 +2106,7 @@ def q10_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q100 — contrastive pair mining: overlap positives + LSH hard negatives
 
 @register(
-    "q100_contrastive_pairs",
+    "q57_contrastive_pairs",
     tags=("datapipe", "contrastive", "pairs", "mining"),
     oracle=f"""
 WITH {_Q55_CTES},
@@ -2130,7 +2130,7 @@ SELECT (SELECT CAST(sum(n) AS BIGINT) FROM pos) AS n_positive_pairs,
          AS n_excluded_neardups
 """,
 )
-def q100_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training pair mining over the corpus:
 
     - POSITIVES: adjacent overlapping context-window chunks of the same
