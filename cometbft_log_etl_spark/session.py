@@ -13,13 +13,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _aqe() -> str:
+    """AQE toggle, default on. SPARK_GRAFT_AQE=false exists for the
+    plan-gate sweep (round-13 verdict #7): every gate must hold with
+    AQE on AND off — a gate that only passes under a runtime re-plan
+    (or only without one) pins AQE variance, not a plan property."""
+    return "false" if os.environ.get("SPARK_GRAFT_AQE", "true").lower() == "false" else "true"
+
+
 # Runtime-settable configs applied to any session we touch. These are both
 # correctness (timeZone) and 100TB-posture (AQE, skew join) settings.
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
     # Spark 4.x reads tz-naive parquet timestamps as TIMESTAMP_NTZ by
     # default, which unix_micros/unix_millis reject. Our semantics (matching
     # the reference's UTC timestamps, lib/time.go:5-13) are "naive == UTC
@@ -34,7 +39,11 @@ def default_parallelism() -> int:
 
 def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime-settable correctness/perf configs to an existing session."""
-    for k, v in _RUNTIME_CONF.items():
+    conf = dict(_RUNTIME_CONF)
+    conf["spark.sql.adaptive.enabled"] = _aqe()
+    conf["spark.sql.adaptive.coalescePartitions.enabled"] = _aqe()
+    conf["spark.sql.adaptive.skewJoin.enabled"] = _aqe()
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -174,9 +183,9 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.enabled", _aqe())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", _aqe())
+        .config("spark.sql.adaptive.skewJoin.enabled", _aqe())
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

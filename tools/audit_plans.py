@@ -55,10 +55,10 @@ EXPECTATIONS = {
                         "contains_not": ["CartesianProduct"]},
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
-    "q71_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
-    "q125_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
+    "q108_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
+    "q78_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
     # rank-limit pushdown: only k rows per group survive the map side
-    "q76_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
+    "q123_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
     # no codegen span at all — see _minhash_sigs docstring)
     # contains_n RoundRobin x2: the up-front input spread AND the
@@ -73,11 +73,11 @@ EXPECTATIONS = {
     # probe-bounded). A 3rd hint means a corpus-derived table (e.g. a
     # per-vector norms build) got broadcast again — norms are folded
     # into the dot-product agg (the q39 pattern).
-    "q58_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
+    "q101_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
     # blocked/tiered similarity: both must keep their degenerate-block
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
     # q86 inherits q55's bucket cap via lsh_band_pairs)
-    "q57_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
+    "q100_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
                           "contains_n": {"RoundRobinPartitioning": 2}},
     "q86_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
     # embedding near-dup scores pairs INSIDE capped buckets (zip_with
@@ -170,7 +170,7 @@ EXPECTATIONS = {
     # zero headroom, 2 hash exchanges + the explicit-width spread,
     # no join of any kind (a join here means the self-join CTE
     # formulation crept in)
-    "q102_selfrep_runs": {"max_scan_cols": 2, "max_scans": 1,
+    "q63_selfrep_runs": {"max_scan_cols": 2, "max_scans": 1,
                           "max_n": {"Exchange hashpartitioning": 2,
                                     "Exchange RoundRobinPartitioning": 1,
                                     "Generate": 2},
@@ -183,7 +183,7 @@ EXPECTATIONS = {
     # masking/reconstruction in-array (the q46 contract — a token or
     # position explode creeping into the masking trips the Generate
     # cap immediately)
-    "q103_selfrep_scrub": {"max_scan_cols": 2, "max_scans": 2,
+    "q66_selfrep_scrub": {"max_scan_cols": 2, "max_scans": 2,
                            "contains": ["WindowGroupLimit"],
                            "max_n": {"Generate": 2},
                            "contains_not": ["CartesianProduct",
@@ -286,7 +286,7 @@ EXPECTATIONS = {
     # the 64-row model joined as a big side), the two
     # BroadcastNestedLoopJoins are the 1-row totals crosses, and the
     # selection is a TakeOrderedAndProject — never a global sort
-    "q105_dsir_selection": {"max_scan_cols": 3,
+    "q69_dsir_selection": {"max_scan_cols": 3,
                             "contains": ["TakeOrderedAndProject",
                                          "InMemoryTableScan",
                                          "BroadcastHashJoin"],
@@ -390,7 +390,13 @@ EXPECTATIONS = {
     # — base scan + quality scan (2 corpus reads), touched semi-join
     # BEFORE the ranking windows (both cluster-partitioned, never
     # corpus-wide), no pairing
-    "q116_incremental_canonical": {"codegen": True, "max_scans": 2,
+    # distinct-signature cap (round-14 sweep): without AQE's stage
+    # reuse the [doc_id] projection executes twice (identical subtrees
+    # both print), and the cached [doc_id,text] build surfaces — raw
+    # count flaps 1↔3 for one logical plan. The durable invariant is
+    # <= 2 distinct projections of the corpus (ids + the text build);
+    # a third signature means a new/wider read crept in.
+    "q116_incremental_canonical": {"codegen": True, "max_distinct_scans": 2,
                                    "contains_not": ["CartesianProduct",
                                                     "BroadcastNestedLoopJoin"]},
     # canonical-corpus resolution: the LSH front half (bucket-capped,
@@ -441,7 +447,7 @@ EXPECTATIONS = {
     # residue, which the gate pins indirectly: no third Generate and
     # no SMJ means the fp join consumed the screened frame, not a
     # rebuilt corpus stream
-    "q108_bloom_screen": {"max_scan_cols": 3,
+    "q71_bloom_screen": {"max_scan_cols": 3,
                           "contains_not": ["CartesianProduct",
                                            "SortMergeJoin"],
                           "max_n": {"Generate": 2,
@@ -453,7 +459,7 @@ EXPECTATIONS = {
     # class); the fingerprint frame is cached (sharing tier + report
     # both read it), and the only joins are the fingerprint-count
     # share join and the report's doc-keyed left join
-    "q110_winnowing_fingerprints": {"contains": ["InMemoryTableScan"],
+    "q75_winnowing_fingerprints": {"contains": ["InMemoryTableScan"],
                                     "contains_not": ["row_number",
                                                      "CartesianProduct",
                                                      "SortMergeJoin"],
@@ -468,7 +474,7 @@ EXPECTATIONS = {
     # corpus-sized on BOTH sides, so a doc-keyed SMJ is the correct
     # strategy at scale; forbidding it would pin a broadcast that
     # breaks at 100 TB)
-    "q109_curation_funnel": {"max_scans": 1,
+    "q72_curation_funnel": {"max_scans": 1,
                              "contains": ["InMemoryTableScan"],
                              "contains_not": ["row_number",
                                               "CartesianProduct"],
@@ -480,7 +486,7 @@ EXPECTATIONS = {
     # corpus aggregation means the q26-class low-cardinality corpus
     # window crept back. The boundary join must broadcast (at most one
     # boundary group per source).
-    "q107_source_token_budget": {"max_scan_cols": 4,
+    "q70_source_token_budget": {"max_scan_cols": 4,
                                  "contains": ["InMemoryTableScan",
                                               "partial_sum"],
                                  "contains_not": ["row_number",
@@ -520,7 +526,7 @@ EXPECTATIONS = {
     # never reappear. The only executed BNLJ is the 1-row count
     # cross; the triangular bucket-prefix join is bucket-table-sized
     # (domain/65536 rows) behind broadcast stages.
-    "q128_ntile_deciles": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
+    "q81_ntile_deciles": {"codegen": True, "max_scan_cols": 1, "max_scans": 1,
                           "contains": ["InMemoryTableScan"],
                           "contains_not": ["ntile", "row_number",
                                            "percent_rank", "cume_dist",
@@ -562,7 +568,7 @@ EXPECTATIONS = {
     # stats aggregate whose crossJoin plans as a broadcast nested loop
     # over ONE row — a CartesianProduct or SMJ means a corpus-sized
     # side crossed instead.
-    "q100_contrastive_pairs": {"codegen": True, "max_scan_cols": 2, "no_smj": True,
+    "q57_contrastive_pairs": {"codegen": True, "max_scan_cols": 2, "no_smj": True,
                                "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 1,
                                "contains_not": ["CartesianProduct"]},
     # cross-modal screen: the docs↔media pairing is an id-keyed
@@ -591,8 +597,13 @@ PLUGIN_EXPECTATIONS = {
     "network_latency_duplicates_debug": {"codegen": True, "max_scans": 7, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
     "network_latency_global_stats": {"codegen": True, "max_scans": 5, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
     "network_latency_measurements": {"codegen": True, "max_scans": 5, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
-    "network_latency_node_stats": {"codegen": True, "max_scans": 7, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
-    "network_latency_nodepair_summary": {"codegen": True, "max_scans": 5, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    # distinct-signature caps, not raw counts (round-14): these two
+    # plans' raw scan counts flap 7->10 and 5->10 between AQE on/off
+    # with byte-identical logical plans (stage reuse dedups identical
+    # subtree reprints) — the durable invariant is the set of DISTINCT
+    # pruned projections read (4-5 and 3 across both settings)
+    "network_latency_node_stats": {"codegen": True, "max_distinct_scans": 5, "max_scan_cols": 6, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
+    "network_latency_nodepair_summary": {"codegen": True, "max_distinct_scans": 3, "max_scan_cols": 7, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
     "p2p_messages": {"codegen": True, "max_scans": 2, "max_scan_cols": 16, "pushed_filters": True, "contains_not": ["CartesianProduct"]},
     # the timeout family's clusters/events tables read only the family's
     # shared pre-filtered intermediate (no parquet scan of their own)
@@ -764,6 +775,29 @@ def audit(spark, sf_dir: str) -> list[str]:
     return failures
 
 
+def _strip_cached_regions(plan: str) -> str:
+    """Drop the indented subtrees under InMemoryRelation nodes — the
+    one-time cache-build plan that, WITHOUT AQE, reprints verbatim
+    under every InMemoryTableScan consumer (AQE prints a compact
+    TableCacheQueryStage reference instead). Numeric cost caps count
+    the result so they mean the same thing under both settings; the
+    InMemoryTableScan lines themselves survive (presence gates rely on
+    them). Same region logic as bench.py's _count_exchanges."""
+    out = []
+    cache_stack: list = []  # indents of enclosing InMemoryRelation nodes
+    for line in plan.splitlines():
+        indent = len(re.match(r"[\s:+\-*]*", line).group(0))
+        while cache_stack and indent <= cache_stack[-1]:
+            cache_stack.pop()
+        in_cached = bool(cache_stack)
+        if "InMemoryRelation" in line:
+            cache_stack.append(indent)
+            in_cached = True  # the relation header itself is build-side
+        if not in_cached:
+            out.append(line)
+    return "\n".join(out)
+
+
 def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
     """Evaluate one query's gate expectations against its plan strings.
 
@@ -794,12 +828,45 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
             )
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     widest = max((len(s.split(",")) for s in scans), default=0)
+    # Numeric COST caps count the executed section with cached-subtree
+    # REPRINTS removed (round-14, the AQE-on/off sweep lesson): with
+    # AQE off, every InMemoryTableScan consumer reprints the full
+    # InMemoryRelation child plan — q72's one-scan funnel printed 61
+    # FileScans and 125 exchanges for the identical cached plan that
+    # counts 1 and 8 under AQE's compact TableCacheQueryStage
+    # references. Stripping the cached regions makes the counts mean
+    # the same thing under both settings: per-run cost OUTSIDE the
+    # one-time cache build. Presence/forbidden gates (contains*,
+    # no_smj) still read the unstripped text — a CartesianProduct
+    # hiding inside a cache build must trip.
+    counted = _strip_cached_regions(final)
     scan_cap = exp.get("max_scans")
     if scan_cap is not None:
-        n_scans = len(re.findall(r"FileScan parquet \[", final))
+        n_scans = len(re.findall(r"FileScan parquet \[", counted))
         if n_scans > scan_cap:
             failures.append(
                 f"{name}: {n_scans} parquet scans (cap {scan_cap}) — a source is read repeatedly"
+            )
+    # Durable alternative to max_scans (round-14, the cc:contract
+    # lesson applied to scan counts): the RAW scan count depends on how
+    # aggressively exchange/stage reuse dedups identical subtrees —
+    # AQE on/off moves it with zero logical-plan change (the two
+    # network-latency plugins print 7/5 scans with AQE, 10/10 without,
+    # for identical plans). The invariant a 100 TB review cares about
+    # is how many DISTINCT projections of the source are read: a
+    # regression is a NEW or WIDER scan signature, not a reprint of an
+    # existing one. Signatures strip expression ids, so they are
+    # session-stable.
+    dscan_cap = exp.get("max_distinct_scans")
+    if dscan_cap is not None:
+        sigs = {
+            re.sub(r"#\d+[A-Za-z]*", "#", m)
+            for m in re.findall(r"FileScan parquet [^\[]*\[[^\]]*\]", counted)
+        }
+        if len(sigs) > dscan_cap:
+            failures.append(
+                f"{name}: {len(sigs)} distinct scan signatures (cap {dscan_cap}) "
+                "— a new projection of the source crept in"
             )
     # floors/presence read the EXECUTED section (like contains below):
     # stale Initial-Plan copies must not satisfy them
@@ -860,10 +927,11 @@ def check_plan(name: str, plan: str, analyzed: str, exp: dict) -> list[str]:
         if needle in plan:
             failures.append(f"{name}: forbidden physical operator {needle!r} present")
     for needle, cap_n in exp.get("max_n", {}).items():
-        # ceiling on the EXECUTED section: caps the per-run cost that
-        # actually executed (e.g. shuffles per CC iteration) — an added
-        # join/shuffle trips it even when AQE broadcasts the new side
-        got_n = final.count(needle)
+        # ceiling on the EXECUTED section minus cached reprints: caps
+        # the per-run cost that actually executed (e.g. shuffles per CC
+        # iteration) — an added join/shuffle trips it even when AQE
+        # broadcasts the new side
+        got_n = counted.count(needle)
         if got_n > cap_n:
             failures.append(
                 f"{name}: {needle!r} appears {got_n}x (cap {cap_n}) — "
