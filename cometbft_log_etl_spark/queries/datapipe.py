@@ -2840,12 +2840,13 @@ def duplicated_gram_set(grams: DataFrame) -> DataFrame:
     )
 
 
-def duplicated_spans(docs: DataFrame) -> DataFrame:
-    """The q119 kernel over any (doc_id, text) frame — separated so the
-    boilerplate-corpus bound test (tests/test_lsh_guard.py) can drive
-    it without parquet."""
-    grams = corpus_grams(docs)
-    dup_pos = grams.join(duplicated_gram_set(grams), "g", "semi")
+def spans_from_dup_positions(dup_pos: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_tokens, n_dup_grams): maximal islands
+    (gap > _SUB_K starts a new one) from a (doc_id, p) duplicated-
+    position frame — q119's island half, factored so the incremental
+    detect (q136) computes spans over its bounded target set with the
+    identical rule. Per-document windows; the final aggregation reuses
+    the window's hash(doc_id) exchange."""
     wdoc = W.partitionBy("doc_id").orderBy("p")
     gap = F.col("p") - F.lag("p", 1).over(wdoc)
     flagged = dup_pos.withColumn(
@@ -2864,6 +2865,15 @@ def duplicated_spans(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_tokens", "n_dup_grams")
     )
+
+
+def duplicated_spans(docs: DataFrame) -> DataFrame:
+    """The q119 kernel over any (doc_id, text) frame — separated so the
+    boilerplate-corpus bound test (tests/test_lsh_guard.py) can drive
+    it without parquet."""
+    grams = corpus_grams(docs)
+    dup_pos = grams.join(duplicated_gram_set(grams), "g", "semi")
+    return spans_from_dup_positions(dup_pos.select("doc_id", "p"))
 
 
 @register(
@@ -3094,6 +3104,129 @@ def q132_duplicated_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("sp").alias("spans"))
     )
     return apply_span_scrub(docs, spans)
+
+
+# --------------------------------------------------------------------------
+# q136 — incremental ExactSubstr DETECT (round 14): the nightly
+# maintenance job between crawls for the uncapped tier. q119 is the
+# full-corpus detect; q132 applies its cut list; the streaming twin
+# scrubs arrivals against the FITTED gram set. What a deployment runs
+# when a crawl lands is the DELTA detect: fold the batch's gram counts
+# into the stored history counts and emit only the span rows that must
+# change — every span of every batch document, plus the full
+# replacement span set of each history document that carries a
+# NEWLY-duplicated gram (history count < 2, history+batch count >= 2).
+# History documents with no newly-duplicated position are provably
+# unchanged: duplication counts only grow, so an old duplicated
+# position stays duplicated, and a doc whose positions' grams all kept
+# their old side of the >= 2 threshold has the identical flag vector,
+# hence identical islands — its stored spans remain valid and it emits
+# nothing.
+
+
+@register(
+    "q136_incremental_spans",
+    tags=("datapipe", "dedup", "substring", "incremental"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p, md5(array_to_string(t[p+1:p+{_SUB_K}], ' ')) AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS p
+        FROM toks WHERE len(t) >= {_SUB_K})
+),
+cnts AS (
+  SELECT g, count(CASE WHEN doc_id % 10 < 8 THEN 1 END) AS hn,
+         count(CASE WHEN doc_id % 10 >= 8 THEN 1 END) AS bn
+  FROM grams GROUP BY g
+),
+dup_new AS (SELECT g FROM cnts WHERE hn + bn >= 2),
+newly AS (SELECT g FROM cnts WHERE hn < 2 AND hn + bn >= 2),
+affected AS (
+  SELECT DISTINCT doc_id FROM grams SEMI JOIN newly USING (g)
+  WHERE doc_id % 10 < 8
+),
+targets AS (
+  SELECT doc_id, p, g FROM grams WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT g2.doc_id, p, g FROM grams g2 SEMI JOIN affected USING (doc_id)
+  WHERE g2.doc_id % 10 < 8
+),
+duppos AS (SELECT doc_id, p FROM targets SEMI JOIN dup_new USING (g)),
+flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER w IS NULL
+                OR p - lag(p) OVER w > {_SUB_K} THEN 1 ELSE 0 END AS new_isl
+  FROM duppos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {_SUB_K} - min(p) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_grams,
+       doc_id % 10 >= 8 AS is_batch
+FROM isl GROUP BY doc_id, isl
+""",
+)
+def q136_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr detect: the span-table DELTA a crawl
+    batch (doc_id % 10 >= 8, the q13 ingestion split) induces on the
+    stored q119 state. Emits every span of every batch document plus
+    the full replacement span set of each AFFECTED history document —
+    one that carries at least one newly-duplicated gram (history count
+    < 2, combined count >= 2). Unaffected history documents emit
+    nothing: their stored spans are provably still exact (counts only
+    grow — see the module comment's monotonicity argument, pinned by
+    tests/test_incremental_spans.py's composition check against a full
+    q119 rerun).
+
+    Scale shape: ONE partial-aggregatable per-gram count with both
+    slice counts as conditional sums (a viral gram collapses map-side
+    — the q119 property, kept); the newly-duplicated set is a
+    gram-keyed semi join that bounds everything downstream to the
+    batch's blast radius — island windows and the span aggregation run
+    only over batch + affected-history documents, never the corpus.
+    In production the history counts are read from the stored state
+    table; here they derive in-plan from the history slice (the
+    q114/q120 precedent for self-contained queries). 3 scans of the
+    2-col projection (counts, affected probe, target rebuild) — the
+    same re-scan-over-persist trade q119 documents. No cap operator
+    anywhere: this tier is exact, and the gate forbids
+    WindowGroupLimit re-entering."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    grams = corpus_grams(docs)
+    is_hist = F.col("doc_id") % 10 < 8
+    cnts = grams.groupBy("g").agg(
+        F.count(F.when(is_hist, F.lit(1))).alias("hn"),
+        F.count(F.when(~is_hist, F.lit(1))).alias("bn"),
+    )
+    dup_new = cnts.filter(F.col("hn") + F.col("bn") >= 2).select("g")
+    newly = cnts.filter((F.col("hn") < 2) & (F.col("hn") + F.col("bn") >= 2)).select("g")
+    affected = (
+        grams.filter(is_hist).join(newly, "g", "semi").select("doc_id").distinct()
+    )
+    # ONE gram derivation for the target set (a union of per-slice
+    # filters would re-derive the scan per side — 4 scans; the audit
+    # caps 3): affected is distinct doc_ids, so the left join never
+    # multiplies rows, and the filter keeps batch docs + marked
+    # history docs
+    targets = (
+        grams.join(affected.withColumn("_aff", F.lit(1)), "doc_id", "left")
+        .filter(~is_hist | F.col("_aff").isNotNull())
+    )
+    dup_pos = targets.join(dup_new, "g", "semi").select("doc_id", "p")
+    return spans_from_dup_positions(dup_pos).withColumn(
+        "is_batch", F.col("doc_id") % 10 >= 8
+    )
 
 
 # --------------------------------------------------------------------------

@@ -136,6 +136,17 @@ EXPECTATIONS = {
                               "contains_not": ["CartesianProduct",
                                                "BroadcastNestedLoopJoin",
                                                "WindowGroupLimit"]},
+    # incremental detect (delta maintenance for the uncapped tier):
+    # ONE per-gram count with both slice counts as conditional sums
+    # (partial-aggregatable — the q119 skew property, kept), the
+    # newly-duplicated semi join bounding islands/spans to batch +
+    # affected-history docs, 3 scans of the 2-col projection (counts,
+    # affected probe, target rebuild — the q119 re-scan trade). Still
+    # the exact tier: the cap operator stays forbidden
+    "q136_incremental_spans": {"max_scan_cols": 2, "max_scans": 3,
+                               "contains_not": ["CartesianProduct",
+                                                "BroadcastNestedLoopJoin",
+                                                "WindowGroupLimit"]},
     "q45_exact_substring_runs": {"max_scan_cols": 2, "max_scans": 1,
                                  "max_n": {"Exchange hashpartitioning": 2,
                                            "Exchange RoundRobinPartitioning": 1},
