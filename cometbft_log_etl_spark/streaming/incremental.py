@@ -184,19 +184,21 @@ def stream_incremental_clusters(
     return q, get_state
 
 
-def make_epoch_fold(diag: bool = False):
-    """(fold, get_state): a fold_batch wrapper that is idempotent under
-    Structured Streaming's at-least-once batch redelivery. foreachBatch
-    documents that a micro-batch whose side effects completed but whose
-    commit failed is RE-RUN with the same epoch id — an unguarded fold
-    would union the batch's signatures and labels into state twice
-    (duplicate rows, conflicting labels for the re-folded docs). The
-    guard skips a REDELIVERED epoch (same id); a LOWER epoch id cannot
-    occur within one query (batch ids are monotonic) — it means the
-    fold closure was attached to a SECOND writeStream.start(), whose
-    epochs restart at 0, and silently dropping its batches would corrupt
-    the state invisibly (round-12 advice), so that raises instead: a
-    fold is single-query by construction — make a fresh one per query."""
+def epoch_guarded(step):
+    """(fold, get_state): wrap a ``state, batch_df -> state`` step so it
+    is idempotent under Structured Streaming's at-least-once batch
+    redelivery — the guard the clustering fold shipped in round 12,
+    factored (round 14) so every stateful foreachBatch fold in the
+    engine shares one redelivery semantics. foreachBatch documents that
+    a micro-batch whose side effects completed but whose commit failed
+    is RE-RUN with the same epoch id — an unguarded fold would fold the
+    batch into state twice. The guard skips a REDELIVERED epoch (same
+    id); a LOWER epoch id cannot occur within one query (batch ids are
+    monotonic) — it means the fold closure was attached to a SECOND
+    writeStream.start(), whose epochs restart at 0, and silently
+    dropping its batches would corrupt the state invisibly (round-12
+    advice), so that raises instead: a fold is single-query by
+    construction — make a fresh one per query."""
     holder: dict = {"state": None, "last_epoch": None}
 
     def fold(batch_df: DataFrame, epoch: int) -> None:
@@ -207,10 +209,15 @@ def make_epoch_fold(diag: bool = False):
             if epoch < last:
                 raise RuntimeError(
                     f"epoch {epoch} after {last}: this fold was attached to a "
-                    "second streaming query — create a fresh fold per query "
-                    "(make_epoch_fold)"
+                    "second streaming query — create a fresh fold per query"
                 )
-        holder["state"] = fold_batch(holder["state"], batch_df, diag=diag)
+        holder["state"] = step(holder["state"], batch_df)
         holder["last_epoch"] = epoch
 
     return fold, lambda: holder["state"]
+
+
+def make_epoch_fold(diag: bool = False):
+    """The clustering fold behind the shared epoch guard — see
+    epoch_guarded for the redelivery semantics."""
+    return epoch_guarded(lambda state, batch: fold_batch(state, batch, diag=diag))
