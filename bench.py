@@ -441,6 +441,14 @@ def main() -> None:
                 "etl_at_scale_lines_per_sec": (etl_at_scale or {}).get(
                     "etl_lines_per_sec"
                 ),
+                # steal-immune twin of the wall-clock number above:
+                # lines per JVM-tree CPU second (jiffies don't advance
+                # under hypervisor steal) — the value that must
+                # reproduce run-to-run; adjudicate at-scale throughput
+                # drift with THIS, wall clock only describes the window
+                "etl_at_scale_lines_per_cpu_sec": (etl_at_scale or {}).get(
+                    "etl_lines_per_cpu_sec"
+                ),
                 "queries": timings,
                 "value": total,
                 "value_r1_comparable": r1_comparable,

@@ -173,6 +173,26 @@ def test_fingerprint_v4_is_print_order_independent():
     assert _normalize_plan(push) != _normalize_plan(lost)
 
 
+def test_cpu_tree_seconds_counts_own_work():
+    """The steal-immune CPU meter: deltas over a busy window are
+    positive and monotone, and an unknown pid reads zero (best-effort
+    contract — the bench must never crash on a vanished process)."""
+    import os
+
+    from tools.bench_etl import _cpu_tree_seconds
+
+    pid = os.getpid()
+    c0 = _cpu_tree_seconds(pid)
+    # ~100ms of real CPU work
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    c1 = _cpu_tree_seconds(pid)
+    assert c1 >= c0
+    assert c1 - c0 < 60  # sane scale (seconds, not jiffies)
+    assert _cpu_tree_seconds(2**31 - 7) == 0.0
+
+
 def test_canary_band_classifier(monkeypatch):
     """The quiet-band rule splits the observed bimodal canary history
     (quiet hosts 0.05-0.10s, noisy windows >= 0.14s) with margin.

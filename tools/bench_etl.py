@@ -26,6 +26,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cpu_tree_seconds(root_pid: int) -> float:
+    """Cumulative utime+stime (seconds) of a process AND its live
+    descendants, read from /proc — for the Spark JVM this covers the
+    executor threads and the reused Python (Arrow UDF) workers the JVM
+    daemon forked. CPU jiffies do not advance while the hypervisor
+    steals the vCPU, so deltas of this number are the steal-immune
+    complement to wall clock (round-13 verdict #5: two quiet-bracketed
+    wall-clock measurements of the at-scale block still disagreed ~2x;
+    CPU seconds of the same work reproduce). Workers that exit inside
+    the measured window lose their ticks — negligible here because
+    spark.python.worker.reuse keeps them alive across jobs."""
+    hz = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            pid = int(d)
+            procs[pid] = (int(parts[11]) + int(parts[12]))
+            children.setdefault(int(parts[1]), []).append(pid)
+        except (OSError, IndexError, ValueError):
+            continue
+    total, stack, seen = 0, [root_pid], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p]
+        stack.extend(children.get(p, []))
+    return total / hz
+
+
 def run_etl_bench(spark, heights: int, repeat: int, rounds: int = 2) -> dict:
     """Run the full pipeline on a generated scenario; return metrics.
 
@@ -67,13 +103,19 @@ def run_etl_bench(spark, heights: int, repeat: int, rounds: int = 2) -> dict:
             release_new_persists,
         )
 
+        try:
+            jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        except Exception:  # noqa: BLE001 — CPU metric is best-effort
+            jvm_pid = None
         runs = []
         for i in range(max(1, rounds)):
             before = persistent_rdd_ids(spark)
+            cpu0 = _cpu_tree_seconds(jvm_pid) if jvm_pid else None
             try:
-                runs.append(
-                    _one_etl_run(spark, logdir, os.path.join(work, f"lake{i}"), n_lines)
-                )
+                r = _one_etl_run(spark, logdir, os.path.join(work, f"lake{i}"), n_lines)
+                if cpu0 is not None:
+                    r["cpu_sec"] = round(_cpu_tree_seconds(jvm_pid) - cpu0, 2)
+                runs.append(r)
             finally:
                 release_new_persists(spark, before)
         # Report the single run with the best total, NOT per-field minima:
@@ -84,6 +126,17 @@ def run_etl_bench(spark, heights: int, repeat: int, rounds: int = 2) -> dict:
         best = dict(min(runs, key=lambda r: r["total_sec"]))
         best["staged"] = dict(min(runs, key=lambda r: r["staged"]["total_sec"])["staged"])
         best["timing"] = f"best-of-{len(runs)}-by-total"
+        # steal-immune throughput: CPU seconds of the JVM tree per full
+        # round (concurrent + staged passes over n_lines), min across
+        # rounds (round 1 carries codegen compile). Wall lines/sec says
+        # what THIS host window delivered; lines per CPU second says
+        # what the work costs — the number that must reproduce run to
+        # run (±20% bar, round-13 verdict #5).
+        cpu_runs = [r["cpu_sec"] for r in runs if "cpu_sec" in r]
+        if cpu_runs:
+            best["cpu_sec_min"] = min(cpu_runs)
+            best["cpu_sec_runs"] = cpu_runs
+            best["etl_lines_per_cpu_sec"] = round(n_lines / min(cpu_runs))
         return best
     finally:
         shutil.rmtree(work, ignore_errors=True)
