@@ -541,14 +541,15 @@ def _model_map(model: dict[str, Decimal]) -> Column:
     )
 
 
-def _soft_expected(spark: SparkSession, words: DataFrame, model: dict) -> list:
-    """E-step: [(piece, eu DECIMAL(38,9))] expected freq-weighted usage
-    under `model` — forward+backward folds per DP-eligible word
-    (checkpointed BEFORE the occurrence explode so the folds
-    materialize once, the q09/CollapseProject barrier), posterior
-    gamma = round9(exp(fwd[i-j] + logp + bwd_after_i - fwd[n])) per
-    in-vocab occurrence, plus integer single-char usage for beyond-
-    _UNI_LMAX fallback words. Output is vocabulary-bounded."""
+def _soft_occ_gammas(words: DataFrame, model: dict) -> DataFrame:
+    """(w, freq, piece, gamma): posterior occupation per in-vocab
+    occurrence of every DP-eligible word — forward+backward folds per
+    word (checkpointed BEFORE the occurrence explode so the folds
+    materialize once, the q09/CollapseProject barrier), then
+    gamma = round9(exp(fwd[i-j] + logp + bwd_after_i - fwd[n])).
+    One gamma definition for BOTH consumers: the piece-level expected
+    usage (E-step, freq-weighted) and the word-level expected piece
+    count (q137 soft encode)."""
     mdl = _model_map(model)
     w = F.col("w")
     dpw = (
@@ -574,9 +575,21 @@ def _soft_expected(spark: SparkSession, words: DataFrame, model: dict) -> list:
         - F.element_at(F.col("fwd"), F.length("w") + 1)
     )
     gamma = F.round(F.exp(u.cast("double")), 9).cast("decimal(10,9)")
-    weighted = occ.filter(lp.isNotNull()).select(
-        piece.alias("piece"),
-        (F.col("freq").cast("decimal(19,0)") * gamma).cast("decimal(38,9)").alias("wgt"),
+    return occ.filter(lp.isNotNull()).select(
+        "w", "freq", piece.alias("piece"), gamma.alias("gamma")
+    )
+
+
+def _soft_expected(spark: SparkSession, words: DataFrame, model: dict) -> list:
+    """E-step: [(piece, eu DECIMAL(38,9))] expected freq-weighted usage
+    under `model` — per-occurrence gammas aggregated by piece, plus
+    integer single-char usage for beyond-_UNI_LMAX fallback words.
+    Output is vocabulary-bounded."""
+    weighted = _soft_occ_gammas(words, model).select(
+        "piece",
+        (F.col("freq").cast("decimal(19,0)") * F.col("gamma"))
+        .cast("decimal(38,9)")
+        .alias("wgt"),
     )
     fallback = words.filter(F.length("w") > _UNI_LMAX).select(
         F.explode(F.expr("filter(split(w, ''), x -> x <> '')")).alias("piece"),
@@ -610,13 +623,15 @@ def _soft_mstep(spark: SparkSession, eu: dict) -> dict:
     return {r.piece: (r.eu, r.logp) for r in rows}
 
 
-def unigram_soft_fit(spark: SparkSession, docs: DataFrame) -> list:
-    """Soft-EM fit: [(piece, expected_usage Decimal, logp Decimal)]
-    after E/M under the seed model, the pruning round, and a final E/M
-    under the pruned model — [] on a wordless corpus."""
+def unigram_soft_fit_with_state(spark: SparkSession, docs: DataFrame):
+    """Soft-EM fit with reusable state: (model rows [(piece,
+    expected_usage Decimal, logp Decimal)], the checkpointed word
+    table, the FINAL model {piece: logp}) — ([], None, {}) on a
+    wordless corpus. The state lets the soft encode (q137) run its
+    per-word pass without refitting."""
     words, vocab, model_rows = _fit_front(spark, docs)
     if not vocab:
-        return []
+        return [], None, {}
     pieces = [p for p, _ in vocab]
     model0 = {r.piece: r.logp for r in model_rows}
 
@@ -636,7 +651,19 @@ def unigram_soft_fit(spark: SparkSession, docs: DataFrame) -> list:
     model1 = {p: m1[p][1] for p in pieces2}
     eu2 = estep_eu(model1, pieces2)
     m2 = _soft_mstep(spark, eu2)
-    return [(p, m2[p][0], m2[p][1]) for p in sorted(m2)]
+    return (
+        [(p, m2[p][0], m2[p][1]) for p in sorted(m2)],
+        words,
+        model1,
+    )
+
+
+def unigram_soft_fit(spark: SparkSession, docs: DataFrame) -> list:
+    """Soft-EM fit: [(piece, expected_usage Decimal, logp Decimal)]
+    after E/M under the seed model, the pruning round, and a final E/M
+    under the pruned model — [] on a wordless corpus."""
+    rows, _, _ = unigram_soft_fit_with_state(spark, docs)
+    return rows
 
 
 def _uni_soft_dp_ctes(tag: str, model_cte: str) -> list[str]:
@@ -710,17 +737,20 @@ def _uni_soft_round_ctes(tag: str, model_cte: str, vocab_cte: str) -> list[str]:
         f"  unnest(generate_series(1, least({_UNI_MAX_PIECE}, i))) AS j"
         "  FROM (SELECT w, freq, len, mdl, fwd, bwd,"
         f"        unnest(generate_series(1, len)) AS i FROM eb_{tag}))",
-        f"sg_{tag} AS (SELECT substr(w, i - j + 1, j) AS piece,"
-        "  CAST(CAST(freq AS DECIMAL(19,0)) *"
-        "       CAST(round(exp(CAST(fwd[i-j+1]"
-        "                           + map_extract(mdl, substr(w, i - j + 1, j))[1]"
-        "                           + bwd[len - i + 1] - fwd[len + 1] AS DOUBLE)), 9)"
-        "            AS DECIMAL(10,9))"
-        "       AS DECIMAL(38,9)) AS wgt"
+        # w/freq/gamma kept as separate columns (round 14): seu_{tag}
+        # folds freq in for the piece-level expected USAGE; the soft
+        # ENCODE (q137) reuses the same per-occurrence gammas grouped
+        # by w instead — one gamma definition for both consumers
+        f"sg_{tag} AS (SELECT w, freq, substr(w, i - j + 1, j) AS piece,"
+        "  CAST(round(exp(CAST(fwd[i-j+1]"
+        "                      + map_extract(mdl, substr(w, i - j + 1, j))[1]"
+        "                      + bwd[len - i + 1] - fwd[len + 1] AS DOUBLE)), 9)"
+        "       AS DECIMAL(10,9)) AS gamma"
         f" FROM soccs_{tag}"
         " WHERE len(map_extract(mdl, substr(w, i - j + 1, j))) > 0)",
         f"seu_{tag} AS (SELECT piece, CAST(sum(wgt) AS DECIMAL(38,9)) AS eu FROM ("
-        f"  SELECT piece, wgt FROM sg_{tag}"
+        f"  SELECT piece, CAST(CAST(freq AS DECIMAL(19,0)) * gamma"
+        f"       AS DECIMAL(38,9)) AS wgt FROM sg_{tag}"
         "   UNION ALL SELECT piece,"
         "     CAST(CAST(freq AS DECIMAL(19,0)) AS DECIMAL(38,9)) AS wgt"
         "   FROM fallback_usage) GROUP BY piece)",
@@ -794,4 +824,98 @@ def q135_unigram_soft_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("piece").cast("bigint").alias("piece_len"),
         F.col("eu").cast("double").alias("expected_usage"),
         F.col("logp").cast("double").alias("logp"),
+    )
+
+
+def _soft_word_npieces(words: DataFrame, model: dict) -> DataFrame:
+    """(w, e_pieces DECIMAL(38,9), fallback): the lattice-expected
+    piece count per distinct word under `model` — the sum of the
+    word's posterior occurrence gammas (every segmentation covers each
+    used occurrence once, so E[#pieces] = sum of occupation
+    probabilities). Beyond-_UNI_LMAX words take their exact single-char
+    count, flagged. Vocabulary-of-words-bounded, the q122 encode-table
+    shape."""
+    per_word = (
+        _soft_occ_gammas(words, model)
+        .groupBy("w")
+        .agg(F.sum("gamma").cast("decimal(38,9)").alias("e_pieces"))
+        .withColumn("fallback", F.lit(False))
+    )
+    fb = words.filter(F.length("w") > _UNI_LMAX).select(
+        "w",
+        F.length("w").cast("decimal(38,9)").alias("e_pieces"),
+        F.lit(True).alias("fallback"),
+    )
+    return per_word.unionByName(fb)
+
+
+_UNI_SOFT_ENCODE_ORACLE = (
+    # the full soft-fit chain (its sg_r2 gammas ARE the encode's
+    # posteriors — the final E-step's model, so fit and encode can
+    # never disagree), then per-word sums joined onto the token stream
+    _uni_soft_oracle().rsplit("\nSELECT", 1)[0]
+    + f""",
+wenc AS (
+  SELECT w, CAST(sum(gamma) AS DECIMAL(38,9)) AS e_pieces,
+         FALSE AS fallback
+  FROM sg_r2 GROUP BY w
+  UNION ALL
+  SELECT w, CAST(length(w) AS DECIMAL(38,9)) AS e_pieces, TRUE AS fallback
+  FROM words WHERE length(w) > {_UNI_LMAX}),
+occ2 AS (SELECT doc_id, w FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '')
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(CAST(sum(e_pieces) AS DECIMAL(38,9)) AS DOUBLE) AS exp_tokens,
+       CAST(sum(CASE WHEN fallback THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fallback_words
+FROM occ2 JOIN wenc USING (w) GROUP BY doc_id"""
+)
+
+
+@register(
+    "q137_unigram_soft_encode",
+    tags=("datapipe", "text", "tokenizer"),
+    oracle=_UNI_SOFT_ENCODE_ORACLE,
+)
+def q137_unigram_soft_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document EXPECTED token counts under the soft-fitted unigram
+    model (the q122/q135 pair completed): for each word the lattice
+    marginal E[#pieces] — the sum of its posterior occurrence gammas
+    under the model the fit's FINAL E-step ran (the pruned vocab's
+    logps; the oracle reuses that E-step's own gamma CTEs, so fit and
+    encode share one posterior definition). This is the number a
+    subword-budget planner wants from a sampling tokenizer (Kudo 2018's
+    subword regularization draws segmentations from exactly this
+    lattice): q122's Viterbi count is the mode, this is the mean.
+
+    Exactness: per-word E is an exact decimal sum of 9-rounded gammas;
+    per-doc exp_tokens an exact decimal sum of those, cast to DOUBLE
+    once at the end. Scale shape: the fit is vocabulary-bounded
+    (q135); the encode table is word-vocabulary-bounded and joins the
+    token stream exactly like q122 — the corpus side only ever
+    shuffles words."""
+    tune_session(spark)
+    docs = load(spark, sf_dir, "documents")
+    _, words, model = unigram_soft_fit_with_state(spark, docs)
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    if words is None:
+        return occ.limit(0).select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_words"),
+            F.lit(0.0).alias("exp_tokens"),
+            F.lit(0).cast("bigint").alias("n_fallback_words"),
+        )
+    enc = _soft_word_npieces(words, model).localCheckpoint(eager=True)
+    return (
+        occ.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("e_pieces").cast("decimal(38,9)").cast("double").alias("exp_tokens"),
+            F.sum(F.col("fallback").cast("int")).cast("bigint").alias("n_fallback_words"),
+        )
     )

@@ -59,44 +59,53 @@ def _lse(cands: list[Decimal]) -> Decimal:
     return m + _round9(math.log(float(s)))
 
 
+def _py_gammas(w: str, model: dict) -> list:
+    """[(piece, gamma)] posterior occupation per in-vocab occurrence of
+    a DP-eligible word — the one gamma definition the usage E-step and
+    the q137 encode reference both consume."""
+    n = len(w)
+    fwd = [Decimal(0)]
+    for i in range(1, n + 1):
+        fwd.append(
+            _lse(
+                [
+                    fwd[i - j] + model[w[i - j : i]]
+                    for j in range(1, min(_UNI_MAX_PIECE, i) + 1)
+                    if w[i - j : i] in model
+                ]
+            )
+        )
+    bwd = [None] * (n + 1)
+    bwd[n] = Decimal(0)
+    for i in range(n - 1, -1, -1):
+        bwd[i] = _lse(
+            [
+                model[w[i : i + j]] + bwd[i + j]
+                for j in range(1, min(_UNI_MAX_PIECE, n - i) + 1)
+                if w[i : i + j] in model
+            ]
+        )
+    out = []
+    for s in range(n):
+        for j in range(1, min(_UNI_MAX_PIECE, n - s) + 1):
+            p = w[s : s + j]
+            if p in model:
+                out.append(
+                    (p, _round9(math.exp(float(fwd[s] + model[p] + bwd[s + j] - fwd[n]))))
+                )
+    return out
+
+
 def _soft_eu(freqs: dict, model: dict, vocab_pieces) -> dict:
     """Expected freq-weighted usage per vocab piece (the E-step)."""
     eu = {p: Decimal(0) for p in vocab_pieces}
     for w, f in freqs.items():
-        n = len(w)
-        if n > _UNI_LMAX:
+        if len(w) > _UNI_LMAX:
             for ch in w:
                 eu[ch] += f
             continue
-        fwd = [Decimal(0)]
-        for i in range(1, n + 1):
-            fwd.append(
-                _lse(
-                    [
-                        fwd[i - j] + model[w[i - j : i]]
-                        for j in range(1, min(_UNI_MAX_PIECE, i) + 1)
-                        if w[i - j : i] in model
-                    ]
-                )
-            )
-        bwd = [None] * (n + 1)
-        bwd[n] = Decimal(0)
-        for i in range(n - 1, -1, -1):
-            bwd[i] = _lse(
-                [
-                    model[w[i : i + j]] + bwd[i + j]
-                    for j in range(1, min(_UNI_MAX_PIECE, n - i) + 1)
-                    if w[i : i + j] in model
-                ]
-            )
-        for s in range(n):
-            for j in range(1, min(_UNI_MAX_PIECE, n - s) + 1):
-                p = w[s : s + j]
-                if p in model:
-                    g = _round9(
-                        math.exp(float(fwd[s] + model[p] + bwd[s + j] - fwd[n]))
-                    )
-                    eu[p] += f * g
+        for p, g in _py_gammas(w, model):
+            eu[p] += f * g
     return eu
 
 
@@ -106,12 +115,12 @@ def _mstep(eu: dict) -> dict:
     return {p: _round9(math.log((float(e) + 1.0) / denom)) for p, e in eu.items()}
 
 
-def _py_soft_fit(texts: list[str]):
-    """{piece: (expected_usage Decimal, logp Decimal)} after E/M,
-    prune, E/M — the q135 spec."""
+def _py_soft_state(texts: list[str]):
+    """(freqs, final E-step model, {piece: (eu, logp)}) — the q135
+    spec with the state q137's encode reference needs."""
     freqs, vocab, model0 = _front(texts)
     if not vocab:
-        return {}
+        return {}, {}, {}
     eu1 = _soft_eu(freqs, model0, vocab)
     m1 = _mstep(eu1)
     multi2 = sorted(
@@ -121,7 +130,35 @@ def _py_soft_fit(texts: list[str]):
     model1 = {p: m1[p] for p in pieces2}
     eu2 = _soft_eu(freqs, model1, pieces2)
     m2 = _mstep(eu2)
-    return {p: (eu2[p], m2[p]) for p in pieces2}
+    return freqs, model1, {p: (eu2[p], m2[p]) for p in pieces2}
+
+
+def _py_soft_fit(texts: list[str]):
+    """{piece: (expected_usage Decimal, logp Decimal)} after E/M,
+    prune, E/M — the q135 spec."""
+    return _py_soft_state(texts)[2]
+
+
+def _py_soft_encode(texts_with_ids, freqs: dict, model: dict) -> dict:
+    """{doc_id: (n_words, exp_tokens Decimal, n_fallback)} — the q137
+    reference: per-word E[#pieces] = sum of posterior gammas under the
+    final E-step's model; beyond-_UNI_LMAX words take exact length."""
+    enc = {}
+    for w in freqs:
+        if len(w) > _UNI_LMAX:
+            enc[w] = (Decimal(len(w)), True)
+        else:
+            enc[w] = (sum((g for _, g in _py_gammas(w, model)), Decimal(0)), False)
+    out = {}
+    for d, t in texts_with_ids:
+        ws = [w for w in t.split(" ") if w]
+        if ws:
+            out[d] = (
+                len(ws),
+                sum((enc[w][0] for w in ws), Decimal(0)),
+                sum(1 for w in ws if enc[w][1]),
+            )
+    return out
 
 
 def _assert_matches(rows, want):
@@ -214,3 +251,46 @@ def test_soft_prune_keeps_singles_and_topk(spark, sf_dir, tmp_path_factory):
     assert sum(1 for p in want if len(p) >= 2) == _UNI_SOFT_KEEP
     rows = catalog()["q135_unigram_soft_fit"].fn(spark, vdir).collect()
     _assert_matches(rows, want)
+
+
+def test_q137_encode_matches_python_reference(spark, sf_dir):
+    from cometbft_log_etl_spark.queries import catalog
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    freqs, model1, _ = _py_soft_state([t for _, t in pairs])
+    want = _py_soft_encode(pairs, freqs, model1)
+    rows = catalog()["q137_unigram_soft_encode"].fn(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_words, r.exp_tokens, r.n_fallback_words) for r in rows}
+    assert set(got) == set(want)
+    for d, (nw, et, nf) in want.items():
+        assert got[d][0] == nw and got[d][2] == nf
+        assert got[d][1] == float(et), (d, got[d][1], et)
+    # the mean never beats the mode: expected tokens >= the Viterbi
+    # count is NOT guaranteed piecewise (different models), but the
+    # lattice marginal is at least one piece per word and at most the
+    # char count
+    chars = {d: sum(len(w) for w in t.split(" ") if w) for d, t in pairs}
+    for d, (nw, et, nf) in want.items():
+        assert nw <= float(et) <= chars[d] + 1e-6
+
+
+def test_q137_giant_word_and_wordless(spark, sf_dir, tmp_path_factory):
+    from cometbft_log_etl_spark.queries import catalog
+
+    giant = "ab" * _UNI_LMAX
+    texts = ["abab abab ba ba", f"{giant} abab"]
+    vdir = _write_docs(tmp_path_factory, sf_dir, texts)
+    freqs, model1, _ = _py_soft_state(texts)
+    want = _py_soft_encode(list(enumerate(texts)), freqs, model1)
+    rows = catalog()["q137_unigram_soft_encode"].fn(spark, vdir).collect()
+    got = {r.doc_id: (r.n_words, r.exp_tokens, r.n_fallback_words) for r in rows}
+    assert {d: (v[0], float(v[1]), v[2]) for d, v in want.items()} == got
+    assert got[1][2] == 1  # the giant word flagged
+    # wordless corpus: empty result with the right schema
+    wdir = _write_docs(tmp_path_factory, sf_dir, ["   ", ""])
+    out = catalog()["q137_unigram_soft_encode"].fn(spark, wdir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_words", "exp_tokens", "n_fallback_words",
+    ]

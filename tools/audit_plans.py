@@ -115,6 +115,13 @@ EXPECTATIONS = {
     "q122_unigram_encode": {"max_scan_cols": 2, "max_scans": 1,
                             "contains_not": ["CartesianProduct",
                                              "BroadcastNestedLoopJoin"]},
+    # soft encode (q137): same audited surface as q122 — the soft fit
+    # runs eagerly in fn() (vocab-bounded driver-looped jobs), the
+    # word-level expected-piece table is checkpointed, and the audited
+    # plan is the one-scan token-stream join
+    "q137_unigram_soft_encode": {"max_scan_cols": 2, "max_scans": 1,
+                                 "contains_not": ["CartesianProduct",
+                                                  "BroadcastNestedLoopJoin"]},
     # uncapped duplicated-span cut list (Lee et al. ExactSubstr, the
     # exact tier alongside q45's capped pair tier): duplicated grams
     # come from a partial-aggregatable groupBy(g).count() — never an
