@@ -33,6 +33,10 @@ _PRONE = [
     "q46_substring_scrub",  # inherits the cap + collect_list span sets
     "q70_source_token_budget",  # running-sum windows + boundary-group picks
     "q72_curation_funnel",  # min-id dedup winner + budget boundary picks
+    # TWO argmax assignment fronts + min-id dup_of picks + member-cap
+    # ranks, then a diff join — every prone pattern at once (round 14)
+    "q134_semantic_refit",
+    "q120_incremental_semdedup",  # the same class, single stored model
 ]
 
 
