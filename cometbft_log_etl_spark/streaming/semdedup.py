@@ -37,6 +37,7 @@ data; the operator contract is the threshold, not the ulp.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
@@ -306,3 +307,136 @@ def stream_semantic_drift(
         base.alias("baseline_cos"),
         (F.col("mean_cos_arrivals") - base).alias("cos_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-maintenance fold (round 14): q120's merge-replay contract
+# as foreachBatch STATE, completing the semantic tier's symmetry with
+# the clustering fold (streaming/incremental.py) and the gram-index
+# fold (streaming/dupgrams.py). The applyInPandasWithState kernel above
+# decides per ARRIVAL (bounded state, online trade on oversized
+# clusters); this fold is the EXACT maintenance job — each micro-batch
+# re-scores only the clusters it touched under the fixed stored model
+# and emits q120's row shape (new decision, stored decision,
+# newly_pruned), bit-equal to the batch query by the same argument
+# (per-vector assignment independent under a fixed model; untouched
+# clusters keep identical member sets hence identical decisions).
+#
+# State: the stored assignment (vec_id, cluster_id, cos, emb, nrm —
+# embeddings ride along because future pair scans need them; the lake
+# stores this table anyway) and the current drop list (vec_id, dup_of).
+# Both eagerly checkpointed per fold. Re-ingested vec_ids keep their
+# first arrival; the fold composes with the shared epoch guard.
+
+
+@dataclass
+class SemState:
+    """Driver-held handles to the checkpointed semantic state frames,
+    plus the last fold's q120-contract delta."""
+
+    assign: DataFrame  # (vec_id, cluster_id, cos, emb, nrm)
+    dups: DataFrame  # (vec_id, dup_of) — current drop list
+    delta: DataFrame | None = None
+
+
+def stored_model_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored model as a (cluster_id, cemb, cnrm) frame (the
+    history fit, derived by the batch helpers and checkpointed once) —
+    the in-engine twin of history_fitted_centroids for folds that want
+    the decimal-fold assignment path q120 itself runs."""
+    from ..queries.neardup import (
+        _inc_is_hist,
+        _km_assign_round,
+        _km_seed_centroids,
+        _km_update_centroids,
+    )
+    from ..tables import load
+
+    emb = finite_embeddings(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        dnrm12(F.col("embedding")).alias("nrm"),
+    )
+    hist = emb.filter(_inc_is_hist(F.col("vec_id")))
+    return _km_update_centroids(
+        _km_assign_round(hist, _km_seed_centroids(hist))
+    ).localCheckpoint(eager=True)
+
+
+def fold_semantic_batch(
+    state, batch_embs: DataFrame, cent: DataFrame
+):
+    """One maintenance round under the FIXED stored model `cent`:
+    screen + assign the arriving embeddings (the q120 broadcast
+    fixed-k map pass), re-run the capped pair tier over touched
+    clusters only, emit the q120 row shape as this fold's delta, and
+    advance the state. ``state=None`` is the first batch."""
+    from ..queries.neardup import _km_assign_round, _semdedup_dups
+
+    b = finite_embeddings(batch_embs).select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        dnrm12(F.col("embedding")).alias("nrm"),
+    )
+    if state is not None:
+        b = b.join(state.assign.select("vec_id"), "vec_id", "anti")
+    bassign = _km_assign_round(b, cent).localCheckpoint(eager=True)
+    touched = bassign.select("cluster_id").distinct()
+    if state is None:
+        stored_touched = bassign.limit(0)
+        stored_dups = bassign.select(
+            "vec_id", F.col("vec_id").alias("dup_of")
+        ).limit(0)
+        hist_assign = bassign.limit(0)
+    else:
+        stored_touched = state.assign.join(F.broadcast(touched), "cluster_id", "semi")
+        stored_dups = state.dups
+        hist_assign = state.assign
+    members = stored_touched.withColumn("is_batch", F.lit(False)).unionByName(
+        bassign.withColumn("is_batch", F.lit(True))
+    ).localCheckpoint(eager=True)
+    dups_new = _semdedup_dups(members).localCheckpoint(eager=True)
+    old = stored_dups.select("vec_id", F.col("dup_of").alias("_old_dup"))
+    was_kept = F.when(F.col("is_batch"), F.lit(None).cast("boolean")).otherwise(
+        F.col("_old_dup").isNull()
+    )
+    delta = (
+        members.join(dups_new, "vec_id", "left")
+        .join(old, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round("cos", 9).alias("centroid_cos"),
+            "is_batch",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            was_kept.alias("was_kept"),
+            (
+                ~F.col("is_batch")
+                & F.col("_old_dup").isNull()
+                & F.col("dup_of").isNotNull()
+            ).alias("newly_pruned"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # decisions for untouched clusters carry over; touched clusters are
+    # replaced wholesale by the re-scan (the q120 replacement contract)
+    touched_vec = members.select("vec_id")
+    new_dups = (
+        stored_dups.join(touched_vec, "vec_id", "anti")
+        .unionByName(dups_new)
+        .localCheckpoint(eager=True)
+    )
+    return SemState(
+        assign=hist_assign.unionByName(bassign).localCheckpoint(eager=True),
+        dups=new_dups,
+        delta=delta,
+    )
+
+
+def make_semantic_epoch_fold(cent: DataFrame):
+    """(fold, get_state) for writeStream.foreachBatch — the shared
+    epoch guard around fold_semantic_batch under a fixed model."""
+    from .incremental import epoch_guarded
+
+    return epoch_guarded(lambda state, batch: fold_semantic_batch(state, batch, cent))
