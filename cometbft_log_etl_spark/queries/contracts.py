@@ -46,8 +46,10 @@ with the q17/q25 rationale it inherits through the shared k-means
 front: the oracle's position-exploded `elems` CTE carries BOTH copies
 of a duplicated vec_id — per-(vec,pos) sums double, norms scale by
 sqrt(2), cosines and assignments shift — while Spark's per-row arrays
-see each row independently and its assignment groupBy collapses the
-copies (probed: CI asserts the divergence every run).
+see each row independently (since the round-14 in-row argmax
+optimization the assignment keeps one row per input COPY rather than
+merging copies with a groupBy; either way the family divergence the
+contract asserts remains — probed: CI asserts it every run).
 q133_semantic_drift joined in round 13 for the identical reason (same
 assignment front; its report aggregates the shifted cosines).
 q134_semantic_refit joined in round 14 — it runs TWO copies of that

@@ -1755,33 +1755,83 @@ def q15_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n_cls").cast("double") / F.col("n_total")), 9).alias("prior"),
         )
     )
-    # The fitted model BROADCASTS: dense is (vocab x classes) — model-
-    # sized by construction (a usable classifier must fit in executor
-    # memory; fasttext-style models do by design), never corpus-sized.
-    # Without the hint the token stream shuffles onto Zipf-skewed token
-    # keys to meet a kilobyte-scale table — the classic skew join this
-    # broadcast sidesteps entirely: scoring becomes one map-side pass
-    # with partial aggregation, and the only corpus shuffle left is the
-    # (doc, cls)-keyed score reduction.
-    scores = (
-        occ.join(F.broadcast(dense), "tok")
-        .join(F.broadcast(priors), "cls")
-        .groupBy("doc_id", "cls")
+    # The CLASS AXIS round-trips through the driver (round-14
+    # optimization): priors are class-count-sized — the number of
+    # languages, bounded by the model design exactly like q104's 67-row
+    # weight table — so collecting them is model-state, never
+    # corpus-sized. Knowing the class list at plan time removes the two
+    # scale problems the old shape had (measured 7.3s noop at sf0.1,
+    # now ~2.5s — see OPTIMIZATION_r14.md):
+    # - the scoring join occ ⋈ dense multiplied EVERY token row by
+    #   n_classes before aggregating (guide §3.3: explode-then-join
+    #   multiplies the shuffle) — regrouping dense to ONE class-vector
+    #   row per token keeps the broadcast model-sized and the token
+    #   stream at 1× while the per-class sums ride the same partial
+    #   aggregation;
+    # - the (doc_id, cls) score reduction + the doc_id row_number
+    #   window (a second corpus-sized exchange + sort) collapse to ONE
+    #   doc_id-keyed aggregation with an in-array argmax (5-element
+    #   array per doc, no window at all).
+    # Values are bit-identical: the same multiset of 9-rounded logps
+    # enters the same DECIMAL(28,12) sum per (doc, class) — exact
+    # decimal addition is order-free — and the argmax tie-break (max
+    # score, then FIRST class in sorted order) is the window's
+    # (score DESC, cls) rule. NULL lang classes never reach dense in
+    # either engine (the tl join drops them), so the class axis is the
+    # non-null priors rows.
+    prior_rows = priors.collect()
+    cls_sorted = sorted(r.cls for r in prior_rows if r.cls is not None)
+    prior_map = {r.cls: r.prior for r in prior_rows if r.cls is not None}
+    if not cls_sorted:  # empty corpus / all-NULL langs: scores are empty
+        return (
+            docs.select(
+                "lang",
+                F.col("lang").alias("predicted"),
+                F.lit(0).cast("bigint").alias("n_docs"),
+            ).limit(0)
+        )
+    k = len(cls_sorted)
+    # one class-vector row per vocab token — the same broadcast posture
+    # (model-sized), 1/n_classes the rows of `dense`
+    dense_vec = (
+        dense.groupBy("tok")
         .agg(
-            F.any_value("lang").alias("lang"),
-            (
-                F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
-                + F.any_value("prior")
-            ).alias("score"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct("cls", F.col("logp").cast("decimal(28,12)").alias("lp"))
+                )
+            ).alias("m")
+        )
+        .select(
+            "tok",
+            F.array(*[F.element_at("m", F.lit(c)) for c in cls_sorted]).alias("lp"),
         )
     )
-    pred = scores.withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")),
-    ).filter(F.col("rn") == 1)
-    return pred.groupBy("lang", F.col("cls").alias("predicted")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    per_doc = (
+        occ.join(F.broadcast(dense_vec), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            *[F.sum(F.element_at("lp", i + 1)).alias(f"_s{i}") for i in range(k)],
+        )
     )
+    # in-array argmax, ties to the FIRST class in sorted order (the inv
+    # field makes the earlier class win a struct-ordering tie — the
+    # row_number (score DESC, cls) rule)
+    cand = F.array(
+        *[
+            F.struct(
+                (F.col(f"_s{i}").cast("double") + F.lit(float(prior_map[c]))).alias(
+                    "score"
+                ),
+                F.lit(k - 1 - i).alias("inv"),
+                F.lit(c).alias("cls"),
+            )
+            for i, c in enumerate(cls_sorted)
+        ]
+    )
+    pred = per_doc.select("lang", F.array_max(cand)["cls"].alias("predicted"))
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 # --------------------------------------------------------------------------

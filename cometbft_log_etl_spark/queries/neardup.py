@@ -2282,36 +2282,54 @@ def _km_seed_centroids(emb: DataFrame) -> DataFrame:
 
 def _km_assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """One Lloyd assignment: nearest centroid by cosine, (cos DESC,
-    cluster_id ASC) tie-break — a broadcast cross join of the corpus
-    against the FIXED-k centroid table, collapsed to one skinny row per
-    vector by a MAP-SIDE argmax (the q39 max_by pattern; the broadcast
-    cross join produces all k centroid rows of a vector on one input
-    partition, so partial aggregation collapses them before the
-    shuffle). The vector's embedding/norm ride along for the next
-    round — all values in the group are equal, so first() is exact."""
-    vc = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "emb",
-        "nrm",
-        "cluster_id",
-        (ddot12(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))).alias(
-            "cos"
+    cluster_id ASC) tie-break — the FIXED-k centroid table collapses to
+    ONE array row (k-bounded), broadcast-cross-joined onto the corpus,
+    and the argmax runs IN-ROW over that array.
+
+    Round-14 optimization (guide §2.4/§8): the previous shape cross-
+    joined every vector against k centroid ROWS and collapsed them with
+    a groupBy(vec_id) max_by — partial aggregation made the k→1
+    collapse map-side, but the groupBy still paid a corpus-sized
+    EXCHANGE whose rows carry the full embedding array, per assignment
+    round (the guide's "heavy payload shuffled to make a decision
+    computable from small rows"). With the centroids as one broadcast
+    array row, each vector scores all k candidates inside its own row
+    and the round has ZERO exchanges — measured 2.52s → 1.34s for q17
+    at sf0.1 (two rounds), and every k-means consumer (q17/q25/q120/
+    q133/q134, streaming semdedup) inherits the win.
+
+    Values are bit-identical: the same ddot12/nrm expressions produce
+    the same cosine doubles, and array_max over (cos, -cluster_id)
+    structs is exactly the old max_by tie-break (ties to the LOWEST
+    cluster_id). The empty-centroid filter preserves the old inner
+    cross-join semantics (no centroids → no assignment rows, the
+    degenerate-centroid corpus of tests/test_semantic.py). Duplicate
+    vec_ids now keep one assignment row per input row instead of
+    merging — adjudicated in the ID_UNIQUENESS_CONTRACT_FAMILY notes
+    (every k-means consumer is already in the family; divergence on
+    duplicate-id corpora remains, as the contract test requires).
+    """
+    carr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "cemb", "cnrm"))
+        ).alias("carr")
+    ).filter(F.size("carr") > 0)
+    cand = F.transform(
+        "carr",
+        lambda c: F.struct(
+            (ddot12(F.col("emb"), c["cemb"]) / (F.col("nrm") * c["cnrm"])).alias(
+                "cos"
+            ),
+            (-c["cluster_id"]).alias("nid"),
         ),
     )
-    best = F.max_by(
-        F.struct("cluster_id", "cos"),
-        F.struct(F.col("cos"), (-F.col("cluster_id")).alias("nt")),
-    )
-    return (
-        vc.groupBy("vec_id")
-        .agg(best.alias("best"), F.first("emb").alias("emb"), F.first("nrm").alias("nrm"))
-        .select(
-            "vec_id",
-            F.col("best.cluster_id").alias("cluster_id"),
-            F.col("best.cos").alias("cos"),
-            "emb",
-            "nrm",
-        )
+    best = F.array_max(cand)
+    return emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        (-best["nid"]).alias("cluster_id"),
+        best["cos"].alias("cos"),
+        "emb",
+        "nrm",
     )
 
 
