@@ -2183,7 +2183,17 @@ def q09_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         n >= _BP_N,
         F.array_distinct(F.slice(g123, 1, n - (_BP_N - 1))),
     ).otherwise(F.array().cast("array<string>"))
-    doc_grams = docs.select("doc_id", "source", grams.alias("grams"))
+    # persist_tracked: the gram frame feeds THREE consumers (gram_df,
+    # the boilerplate join probe side, and the final per-doc report) —
+    # uncached, each re-scans the corpus and re-runs the split +
+    # double-zip_with gram build, the single most expensive expression
+    # in the query (3 scans -> 1; guide §2.1/§6 — the gate's
+    # max_scans 3 is a cap, one scan passes it)
+    from ..session import persist_tracked
+
+    doc_grams = persist_tracked(
+        docs.select("doc_id", "source", grams.alias("grams"))
+    )
     exploded = doc_grams.select("doc_id", "source", F.explode("grams").alias("gram"))
     gram_df = exploded.groupBy("source", "gram").agg(
         F.count(F.lit(1)).alias("df_docs")

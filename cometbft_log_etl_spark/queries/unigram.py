@@ -212,12 +212,26 @@ def _fit_front(spark: SparkSession, docs: DataFrame):
 
 
 def unigram_fit_with_state(
-    spark: SparkSession, docs: DataFrame, rounds: int = _UNI_EM_ROUNDS
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int = _UNI_EM_ROUNDS,
+    with_encode: bool = True,
 ) -> tuple[list, DataFrame | None]:
     """Fit the unigram model; returns the final model rows
     [(piece, usage, logp)] and the per-word encode table
     (w, n_pieces, fallback) under the FINAL model — or (empty, None)
-    on a wordless corpus."""
+    on a wordless corpus. ``with_encode=False`` skips building (and
+    eagerly checkpointing) the encode table for fit-only consumers
+    (q121) — a full Viterbi segmentation pass they never read
+    (round-14 optimization; the second element is then None).
+
+    The per-round M-step deliberately stays two jobs (collect the
+    usage counts, then one LOCAL-relation job evaluating ln() over the
+    ~vocab rows): the round-14 attempt to fuse them into one
+    distributed job (vocab left-join + window total) measured SLOWER
+    in an interleaved A/B (hard fit min 2.211s old vs 2.558s fused at
+    sf0.1 — the local-relation job costs far less than the fused
+    plan's extra join+window), so the collect shape is the keeper."""
     words, vocab, model_rows = _fit_front(spark, docs)
     if not vocab:
         return [], None
@@ -252,6 +266,8 @@ def unigram_fit_with_state(
         )
         model = {r.piece: r.logp for r in model_rows}
 
+    if not with_encode:
+        return model_rows, None
     enc = _segment(words, model).localCheckpoint(eager=True).select(
         "w", F.size("path").alias("n_pieces"), F.lit(False).alias("fallback")
     ).unionByName(
@@ -391,7 +407,9 @@ def q121_unigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent-Python ground truth additionally in
     tests/test_unigram.py."""
     tune_session(spark)
-    model_rows, _ = unigram_fit_with_state(spark, load(spark, sf_dir, "documents"))
+    model_rows, _ = unigram_fit_with_state(
+        spark, load(spark, sf_dir, "documents"), with_encode=False
+    )
     out = spark.createDataFrame(
         [(r.piece, int(r.usage), r.logp) for r in model_rows] or [],
         _MODEL_SCHEMA,
