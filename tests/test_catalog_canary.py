@@ -24,10 +24,34 @@ _HOSTILE = {
     "spark.sql.session.timeZone": "America/New_York",
 }
 
-# Queries whose *construction* executes jobs (eager localCheckpoint in
-# the iterative connected-components loop). Analysis is still covered —
-# building the loop body analyzes every iteration's plan.
-_EAGER = {"q37_neardup_clusters", "q10_canonical_corpus", "q16_bpe_merges", "q18_bpe_token_counts"}
+# Queries whose *construction* executes jobs (eager localCheckpoints in
+# iterative loops, driver-round-tripped model fits). Analysis is still
+# covered — test_all_catalog_queries_resolve_under_hostile_session runs
+# the FULL catalog; this set only exempts them from the plan-only time
+# budget below, which would otherwise measure fit-job execution, not
+# analysis. Membership criterion is mechanical: >= 3 Spark jobs during
+# fn() construction at sf0.001 (a bare load() costs 1 parquet-footer
+# job per table; the eager fits run 15-38). Audited round 14: the four
+# r3-era names had never been extended as the catalog grew its eager
+# tiers (q104 fit r11; q114/q116 CC maintenance loops; q115
+# calibration fit; q121/q122 unigram fit r13; q135/q137 soft-EM fit
+# r14) — ~51 s of fit execution was being charged against the 60 s
+# plan-only budget, which finally tipped it over when the r14 build
+# added the soft-EM pair.
+_EAGER = {
+    "q37_neardup_clusters",
+    "q10_canonical_corpus",
+    "q16_bpe_merges",
+    "q18_bpe_token_counts",
+    "q104_quality_classifier",
+    "q114_incremental_clusters",
+    "q115_classifier_calibration",
+    "q116_incremental_canonical",
+    "q121_unigram_fit",
+    "q122_unigram_encode",
+    "q135_unigram_soft_fit",
+    "q137_unigram_soft_encode",
+}
 
 
 def test_all_catalog_queries_resolve_under_hostile_session(spark, sf_dir):
