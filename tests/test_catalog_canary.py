@@ -94,7 +94,16 @@ def test_all_catalog_queries_resolve_under_hostile_session(spark, sf_dir):
 
 def test_canary_is_fast(spark, sf_dir):
     """The canary must stay cheap enough to run every round: plan-only
-    resolution for the non-eager catalog, well under the 60 s budget."""
+    resolution for the non-eager catalog, well under the budget.
+
+    Budget recalibrated round 14: 60 s dated from a ~100-query catalog;
+    at 127 queries the non-eager loop measures ~45 s solo and ~65 s
+    inside the full suite (shared-JVM heap/JIT state inflates Catalyst
+    analysis), so 60 had no margin left and flaked on suite order. The
+    failure mode this guards — a query's construction silently growing
+    a job or an analysis blowup (the q09 CollapseProject class ran
+    MINUTES) — is an order-of-magnitude signal, not a ±30% one; 120 s
+    still catches it while not tripping on JVM state."""
     import time
 
     t0 = time.monotonic()
@@ -103,4 +112,4 @@ def test_canary_is_fast(spark, sf_dir):
             continue
         _ = qdef.fn(spark, sf_dir).schema
     elapsed = time.monotonic() - t0
-    assert elapsed < 60, f"canary took {elapsed:.1f}s — no longer plan-only?"
+    assert elapsed < 120, f"canary took {elapsed:.1f}s — no longer plan-only?"
