@@ -2398,14 +2398,21 @@ def _km_update_centroids(assigned: DataFrame) -> DataFrame:
     ).filter(F.col("cnrm") > 0)
 
 
-def km_first_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Screened embedding prep + the round-1 seed assignment — shared
-    by kmeans_assignments and streaming.semdedup.fitted_centroids so
-    the offline-fitted model can never de-sync from the batch query it
-    mirrors (same screen, same partitioning, same seed round)."""
+def _km_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The screened, normalized embedding frame every k-means consumer
+    starts from — persist_tracked ONCE per query (guide §5). Without
+    the barrier, the seed top-k, each assignment round's main side,
+    and every broadcast centroid build re-derive this exact subtree
+    independently: scan + finite screen + a corpus-sized repartition
+    EXCHANGE each time (q134 executed it 8 times, q120 5 times at
+    round-14 measurement). Values are unchanged — a cache barrier is
+    plan-shape only. MEMORY_AND_DISK via persist_tracked, so a
+    corpus-sized frame spills rather than OOMs; at production scale
+    the staged-parquet pattern (see kmeans_assignments) replaces the
+    in-query cache for MULTI-query reuse."""
     from ..session import default_parallelism
 
-    emb = (
+    return persist_tracked(
         finite_embeddings(load(spark, sf_dir, "embeddings"))
         .repartition(default_parallelism())
         .select(
@@ -2414,7 +2421,21 @@ def km_first_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             dnrm12(F.col("embedding")).alias("nrm"),
         )
     )
-    return _km_assign_round(emb, _km_seed_centroids(emb))
+
+
+def km_first_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screened embedding prep + the round-1 seed assignment — shared
+    by kmeans_assignments and streaming.semdedup.fitted_centroids so
+    the offline-fitted model can never de-sync from the batch query it
+    mirrors (same screen, same partitioning, same seed round)."""
+    return _km_assign_round(*_km_first_round_parts(spark, sf_dir))
+
+
+def _km_first_round_parts(spark: SparkSession, sf_dir: str):
+    """(emb, seed) — split out so kmeans_assignments can hold the
+    cached emb handle itself."""
+    emb = _km_emb(spark, sf_dir)
+    return emb, _km_seed_centroids(emb)
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,8 +2451,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged table (the pipeline.py staged-sink pattern); alternatively
     streaming/semdedup.py's fitted_centroids collects the k centroids
     and re-applies them as a pure map, which is the shape an online
-    system uses anyway."""
-    a1 = km_first_round(spark, sf_dir)
+    system uses anyway.
+
+    Round-14: the round-1 assignment a1 is ALSO persisted — it has two
+    consumers (the centroid mean update's broadcast build and the
+    round-2 main side), each of which otherwise re-executes the whole
+    seed + assign front (guide §5; the emb cache in _km_emb removes
+    the per-consumer scans, this barrier removes the duplicated
+    round-1 argmax)."""
+    a1 = persist_tracked(km_first_round(spark, sf_dir))
     return _km_assign_round(
         a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1)
     )
@@ -2784,17 +2812,8 @@ def q120_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch's neighborhood.
     """
     tune_session(spark)
-    from ..session import default_parallelism
 
-    emb = (
-        finite_embeddings(load(spark, sf_dir, "embeddings"))
-        .repartition(default_parallelism())
-        .select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            dnrm12(F.col("embedding")).alias("nrm"),
-        )
-    )
+    emb = _km_emb(spark, sf_dir)
     hist = emb.filter(_inc_is_hist(F.col("vec_id")))
     a1h = _km_assign_round(hist, _km_seed_centroids(hist))
     stored_cent = _km_update_centroids(a1h)
@@ -2925,17 +2944,8 @@ def q133_semantic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side argmax), ONE persisted assignment feeding the touched set
     and the report aggregation, everything downstream k-bounded."""
     tune_session(spark)
-    from ..session import default_parallelism
 
-    emb = (
-        finite_embeddings(load(spark, sf_dir, "embeddings"))
-        .repartition(default_parallelism())
-        .select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            dnrm12(F.col("embedding")).alias("nrm"),
-        )
-    )
+    emb = _km_emb(spark, sf_dir)
     hist = emb.filter(_inc_is_hist(F.col("vec_id")))
     cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
     assign = persist_tracked(
@@ -3047,25 +3057,24 @@ def q134_semantic_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is churn-sized, not corpus-sized.
     """
     tune_session(spark)
-    from ..session import default_parallelism
 
-    emb = (
-        finite_embeddings(load(spark, sf_dir, "embeddings"))
-        .repartition(default_parallelism())
-        .select(
-            "vec_id",
-            F.col("embedding").alias("emb"),
-            dnrm12(F.col("embedding")).alias("nrm"),
-        )
-    )
+    # The screened frame is persisted ONCE (guide §5): before the
+    # round-14 barrier, the two seed top-ks, the two model fronts'
+    # main sides, and every broadcast centroid build re-derived the
+    # scan + screen + corpus repartition independently — 8 executions
+    # of the same subtree inside one query.
+    emb = _km_emb(spark, sf_dir)
     # OLD model: the stored history-fit centroids (q120's state),
     # assigning the full corpus
     hist = emb.filter(_inc_is_hist(F.col("vec_id")))
     stored_cent = _km_update_centroids(_km_assign_round(hist, _km_seed_centroids(hist)))
     old_assign = persist_tracked(_km_assign_round(emb, stored_cent))
     # NEW model: the full refit (q25's kmeans_assignments plan, inlined
-    # over the shared screened frame)
-    a1 = _km_assign_round(emb, _km_seed_centroids(emb))
+    # over the shared screened frame). a1 is persisted for the same
+    # reason as in kmeans_assignments: the centroid update's broadcast
+    # build and the round-2 main side would each re-run the round-1
+    # argmax otherwise.
+    a1 = persist_tracked(_km_assign_round(emb, _km_seed_centroids(emb)))
     new_assign = persist_tracked(
         _km_assign_round(a1.select("vec_id", "emb", "nrm"), _km_update_centroids(a1))
     )
@@ -3083,7 +3092,10 @@ def q134_semantic_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id")
         .distinct()
     )
-    scan_set = changed.unionByName(overcap).distinct()
+    # k-bounded rows, but the LINEAGE includes the corpus-sized
+    # old⋈new diff join — persist so the two pair tiers' broadcast
+    # builds don't each re-run it (guide §5).
+    scan_set = persist_tracked(changed.unionByName(overcap).distinct())
     dups_old = _semdedup_dups(old_assign.join(F.broadcast(scan_set), "cluster_id", "semi"))
     dups_new = _semdedup_dups(new_assign.join(F.broadcast(scan_set), "cluster_id", "semi"))
     was_kept = F.col("dup_of_old").isNull()
