@@ -34,7 +34,15 @@ from pyspark.sql import functions as F
 from ..session import persist_tracked, tune_session
 from ..tables import load
 from . import register
-from ._det import DEC12, SQL_EMB_SRC, dec12, ddot12, dnrm12, finite_embeddings
+from ._det import (
+    DEC12,
+    SQL_EMB_SRC,
+    dec12,
+    ddot12,
+    dfold12,
+    dnrm12,
+    finite_embeddings,
+)
 from .datapipe import _h32
 
 _MINHASH_K = 8  # hash functions
@@ -585,70 +593,89 @@ def q101_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from ..session import default_parallelism
 
-    # Same staging rationale as datapipe._exploded_embeddings: spread the
-    # compact vectors before exploding so bucket signs + dot products run
-    # cluster-wide instead of inside a one-task scan stage.
+    # Round-14 restatement (guide §2.3/§2.4, the q06/q25 in-array
+    # idiom): buckets and dot products run IN-ROW over the embedding
+    # array instead of position-exploding the corpus. The old plan
+    # exploded `elems` FOUR times (probe buckets, candidate buckets,
+    # and both sides of a position-equality scoring join) and paid a
+    # corpus-sized groupBy(vec_id) exchange of dim-exploded rows just
+    # to re-assemble what each row already held. Same md5 count (8
+    # planes × dim per vector, map-side either way); per-term decimal
+    # expressions are unchanged (dec12 terms = the oracle's
+    # CAST(.. AS DECIMAL(28,12)) addends; decimal sums are exact and
+    # order-free), so every cosine bit matches the exploded oracle.
     emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
         default_parallelism()
     )
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
 
-    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
-        w = lambda j: (  # noqa: E731
-            _h32_expr(F.concat_ws("", F.lit(f"{j}:"), F.col("pos"))) % 2 * 2 - 1
+    def row_bucket() -> F.Column:
+        # (x, pos) pairs as the HOF input — evaluated once per row;
+        # every expression inside the lambdas binds lambda variables
+        # only (the round-11 HOF rule).
+        pairs = F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda x, p: F.struct(x.cast("double").alias("x"), p.alias("pos")),
         )
-        bits = [
-            (
-                F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)")).cast("double") > 0
-            ).alias(f"b{j}")
-            for j in range(_PLANES)
-        ]
-        agg = df.groupBy(F.col("vec_id").alias(id_alias)).agg(*bits)
-        code = sum(
-            [F.when(F.col(f"b{j}"), F.lit(1 << j)).otherwise(F.lit(0)) for j in range(_PLANES)],
-            F.lit(0),
-        )
-        return agg.select(id_alias, code.alias("bucket"))
 
-    pb = buckets(elems.filter(F.col("vec_id") < 3), "probe_id")
+        def term_fn(j: int):
+            # MUST be a one-arg lambda from a closure factory: a
+            # `lambda e, _j=j` default-arg binding makes pyspark treat
+            # the function as transform's (element, index) binary form
+            # and hands `_j` the INDEX lambda variable — the f-string
+            # then serializes a Column repr into the hash input.
+            return lambda e: dec12(
+                F.round(e["x"], 9)
+                * (
+                    _h32_expr(F.concat_ws("", F.lit(f"{j}:"), e["pos"]))
+                    % 2
+                    * 2
+                    - 1
+                )
+            )
+
+        code = F.lit(0)
+        for j in range(_PLANES):
+            bit = dfold12(F.transform(pairs, term_fn(j))) > 0
+            code = code + F.when(bit, F.lit(1 << j)).otherwise(F.lit(0))
+        return code
+
+    bucketed = emb.select("vec_id", "embedding", row_bucket().alias("bucket"))
+    pb = bucketed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pemb"),
+        "bucket",
+    )
     # Degenerate-bucket guard: cap candidates per cell (lowest-id keep,
     # rank filter → map-side WindowGroupLimit) so one boilerplate-heavy
-    # cell can't make every probe score millions of candidates.
+    # cell can't make every probe score millions of candidates. This
+    # bucket-keyed exchange is the plan's ONE corpus-sized shuffle; it
+    # carries compact (vec_id, embedding, bucket) rows, not the old
+    # dim-exploded (vec_id, pos, x) stream.
     wcap = W.partitionBy("bucket").orderBy("cand_id")
     cb = (
-        buckets(elems, "cand_id")
+        bucketed.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cemb"),
+            "bucket",
+        )
         .withColumn("_rn", F.row_number().over(wcap))
         .filter(F.col("_rn") <= _BUCKET_CAP)
         .drop("_rn")
     )
-    cand_pairs = F.broadcast(pb).join(cb, "bucket").filter(F.col("probe_id") != F.col("cand_id"))
-
-    p, c = elems.alias("p"), elems.alias("c")
-    # Norms are FOLDED into the per-(probe, cand) aggregation — the q39
-    # pattern (see q39_ann_ivf below): within a group every position of
-    # both vectors appears exactly once, so sum(p.x²) / sum(c.x²) ARE the
-    # squared norms, via the same decimal expression as the oracle's
-    # `norms` CTE (exact, order-insensitive). No corpus-sized norms table
-    # to build, shuffle, or — the 100 TB driver-killer — broadcast.
-    # PRECONDITION: fixed-dimension embeddings (q49's dimension check is
-    # the screen), same as q39.
+    # PRECONDITION: fixed-dimension embeddings (q27's dimension check
+    # is the screen) — same as every ddot12 consumer (q04/q06/q25/q39).
     scored = (
-        F.broadcast(cand_pairs)
-        .join(p, F.col("p.vec_id") == F.col("probe_id"))
-        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
-        .groupBy("probe_id", "cand_id", "bucket")
-        .agg(
-            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
-            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
-            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
-        )
+        cb.join(F.broadcast(pb), "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
         .select(
             "probe_id",
             "cand_id",
             "bucket",
-            (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"),
+            (
+                ddot12(F.col("pemb"), F.col("cemb"))
+                / (dnrm12(F.col("pemb")) * dnrm12(F.col("cemb")))
+            ).alias("cosine"),
         )
     )
     ranked = scored.withColumn(
