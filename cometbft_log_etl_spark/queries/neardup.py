@@ -1983,25 +1983,47 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     from ..session import default_parallelism
 
+    # Round-14 restatement (guide §2.3/§2.4, the q101 shape): plane
+    # sums, buckets and pair cosines all run IN-ROW over the embedding
+    # array. The old plan position-exploded the corpus four times and
+    # paid a corpus-sized groupBy(vec_id) of dim-exploded rows per
+    # bucket side plus a pos-equality scoring join; per-term decimal
+    # expressions are unchanged, so every sum/margin/cosine bit
+    # matches the exploded oracle.
     emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
         default_parallelism()
     )
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
-
-    w = lambda j: (  # noqa: E731 — same ±1 weights as q58's buckets()
-        _h32_expr(F.concat_ws("", F.lit(f"{j}:"), F.col("pos"))) % 2 * 2 - 1
+    pairs = F.zip_with(
+        F.col("embedding"),
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda x, p: F.struct(x.cast("double").alias("x"), p.alias("pos")),
     )
-    sums = elems.filter(F.col("vec_id") < 3).groupBy(
-        F.col("vec_id").alias("probe_id")
-    ).agg(
+
+    def term_fn(j: int):
+        # one-arg lambda from a closure factory — see q101's pinned
+        # pyspark (element, index) binary-form gotcha
+        return lambda e: dec12(
+            F.round(e["x"], 9)
+            * (
+                _h32_expr(F.concat_ws("", F.lit(f"{j}:"), e["pos"]))
+                % 2
+                * 2
+                - 1
+            )
+        )
+
+    sums_row = emb.select(
+        "vec_id",
+        "embedding",
         *[
-            F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)"))
-            .cast("double")
-            .alias(f"s{j}")
+            dfold12(F.transform(pairs, term_fn(j))).alias(f"s{j}")
             for j in range(_MP_PLANES)
-        ]
+        ],
+    )
+    sums = sums_row.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pemb"),
+        *[F.col(f"s{j}") for j in range(_MP_PLANES)],
     )
     base_code = sum(
         [
@@ -2031,51 +2053,44 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    pb = sums.select("probe_id", F.explode(cells.cast("array<bigint>")).alias("bucket"))
+    pb = sums.select(
+        "probe_id", "pemb", F.explode(cells.cast("array<bigint>")).alias("bucket")
+    )
 
-    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
-        bits = [
-            (
-                F.sum((F.round("x", 9) * w(j)).cast("decimal(28,12)")).cast("double") > 0
-            ).alias(f"b{j}")
+    cand_code = sum(
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
             for j in range(_MP_PLANES)
-        ]
-        agg = df.groupBy(F.col("vec_id").alias(id_alias)).agg(*bits)
-        code = sum(
-            [
-                F.when(F.col(f"b{j}"), F.lit(1 << j)).otherwise(F.lit(0))
-                for j in range(_MP_PLANES)
-            ],
-            F.lit(0),
-        )
-        return agg.select(id_alias, code.cast("bigint").alias("bucket"))
-
+        ],
+        F.lit(0),
+    ).cast("bigint")
     wcap = W.partitionBy("bucket").orderBy("cand_id")
     cb = (
-        buckets(elems, "cand_id")
+        sums_row.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cemb"),
+            cand_code.alias("bucket"),
+        )
         .withColumn("_rn", F.row_number().over(wcap))
         .filter(F.col("_rn") <= _BUCKET_CAP)
         .drop("_rn")
     )
-    cand = (
-        F.broadcast(pb)
-        .join(cb, "bucket")
-        .filter(F.col("probe_id") != F.col("cand_id"))
-        .select("probe_id", "cand_id")
-        .distinct()
-    )
-    p, c = elems.alias("p"), elems.alias("c")
+    # (probe_id, cand_id) is unique without a dedup pass: a candidate
+    # carries exactly ONE bucket (one cb row per vec_id) and the
+    # probe's cell array is array_union'd distinct, so each pair can
+    # match on at most one cell — the old plan's defensive .distinct()
+    # over the pair table was a no-op by construction.
     scored = (
-        F.broadcast(cand)
-        .join(p, F.col("p.vec_id") == F.col("probe_id"))
-        .join(c, (F.col("c.vec_id") == F.col("cand_id")) & (F.col("c.pos") == F.col("p.pos")))
-        .groupBy("probe_id", "cand_id")
-        .agg(
-            F.sum((F.col("p.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double").alias("dot"),
-            F.sqrt(F.sum((F.col("p.x") * F.col("p.x")).cast("decimal(28,12)")).cast("double")).alias("pnrm"),
-            F.sqrt(F.sum((F.col("c.x") * F.col("c.x")).cast("decimal(28,12)")).cast("double")).alias("cnrm"),
+        cb.join(F.broadcast(pb), "bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                ddot12(F.col("pemb"), F.col("cemb"))
+                / (dnrm12(F.col("pemb")) * dnrm12(F.col("cemb")))
+            ).alias("cosine"),
         )
-        .select("probe_id", "cand_id", (F.col("dot") / (F.col("pnrm") * F.col("cnrm"))).alias("cosine"))
     )
     ranked = scored.withColumn(
         "rank",
