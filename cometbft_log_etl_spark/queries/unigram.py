@@ -559,22 +559,35 @@ def _model_map(model: dict[str, Decimal]) -> Column:
     )
 
 
-def _soft_occ_gammas(words: DataFrame, model: dict) -> DataFrame:
-    """(w, freq, piece, gamma): posterior occupation per in-vocab
-    occurrence of every DP-eligible word — forward+backward folds per
-    word (checkpointed BEFORE the occurrence explode so the folds
-    materialize once, the q09/CollapseProject barrier), then
-    gamma = round9(exp(fwd[i-j] + logp + bwd_after_i - fwd[n])).
-    One gamma definition for BOTH consumers: the piece-level expected
-    usage (E-step, freq-weighted) and the word-level expected piece
-    count (q137 soft encode)."""
+def _soft_dp_frame(words: DataFrame, model: dict) -> DataFrame:
+    """(w, freq, fwd, bwd): the forward+backward log-sum-exp folds per
+    DP-eligible word, eagerly checkpointed BEFORE the occurrence
+    explode so the folds materialize once (the q09/CollapseProject
+    barrier). Factored out so a fit round and the q137 encode can run
+    their two gamma aggregations off ONE fold pass (round-14: the
+    encode re-ran this — the soft tier's heaviest job — under the
+    identical model the fit's final E-step had just folded)."""
     mdl = _model_map(model)
     w = F.col("w")
-    dpw = (
+    return (
         words.filter(F.length("w") <= _UNI_LMAX)
         .select("w", "freq", _soft_fwd(w, mdl).alias("fwd"), _soft_bwd(w, mdl).alias("bwd"))
         .localCheckpoint(eager=True)
     )
+
+
+def _soft_occ_gammas(
+    words: DataFrame, model: dict, dp: DataFrame | None = None
+) -> DataFrame:
+    """(w, freq, piece, gamma): posterior occupation per in-vocab
+    occurrence of every DP-eligible word —
+    gamma = round9(exp(fwd[i-j] + logp + bwd_after_i - fwd[n])).
+    One gamma definition for BOTH consumers: the piece-level expected
+    usage (E-step, freq-weighted) and the word-level expected piece
+    count (q137 soft encode). Pass `dp` to reuse an already-folded
+    _soft_dp_frame for the same model."""
+    mdl = _model_map(model)
+    dpw = _soft_dp_frame(words, model) if dp is None else dp
     occ = dpw.select(
         "w", "freq", "fwd", "bwd",
         F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
@@ -598,12 +611,14 @@ def _soft_occ_gammas(words: DataFrame, model: dict) -> DataFrame:
     )
 
 
-def _soft_expected(spark: SparkSession, words: DataFrame, model: dict) -> list:
+def _soft_expected(
+    spark: SparkSession, words: DataFrame, model: dict, dp: DataFrame | None = None
+) -> list:
     """E-step: [(piece, eu DECIMAL(38,9))] expected freq-weighted usage
     under `model` — per-occurrence gammas aggregated by piece, plus
     integer single-char usage for beyond-_UNI_LMAX fallback words.
     Output is vocabulary-bounded."""
-    weighted = _soft_occ_gammas(words, model).select(
+    weighted = _soft_occ_gammas(words, model, dp=dp).select(
         "piece",
         (F.col("freq").cast("decimal(19,0)") * F.col("gamma"))
         .cast("decimal(38,9)")
@@ -644,17 +659,19 @@ def _soft_mstep(spark: SparkSession, eu: dict) -> dict:
 def unigram_soft_fit_with_state(spark: SparkSession, docs: DataFrame):
     """Soft-EM fit with reusable state: (model rows [(piece,
     expected_usage Decimal, logp Decimal)], the checkpointed word
-    table, the FINAL model {piece: logp}) — ([], None, {}) on a
-    wordless corpus. The state lets the soft encode (q137) run its
-    per-word pass without refitting."""
+    table, the FINAL model {piece: logp}, the final E-step's
+    checkpointed DP frame) — ([], None, {}, None) on a wordless
+    corpus. The state lets the soft encode (q137) run its per-word
+    pass without refitting AND without re-running the final model's
+    forward/backward folds (the DP frame is the E-step's own)."""
     words, vocab, model_rows = _fit_front(spark, docs)
     if not vocab:
-        return [], None, {}
+        return [], None, {}, None
     pieces = [p for p, _ in vocab]
     model0 = {r.piece: r.logp for r in model_rows}
 
-    def estep_eu(model: dict, vocab_pieces: list) -> dict:
-        got = {r.piece: r.eu for r in _soft_expected(spark, words, model)}
+    def estep_eu(model: dict, vocab_pieces: list, dp=None) -> dict:
+        got = {r.piece: r.eu for r in _soft_expected(spark, words, model, dp=dp)}
         return {p: got.get(p, Decimal(0)) for p in vocab_pieces}
 
     eu1 = estep_eu(model0, pieces)
@@ -667,12 +684,14 @@ def unigram_soft_fit_with_state(spark: SparkSession, docs: DataFrame):
     )[:_UNI_SOFT_KEEP]
     pieces2 = sorted([p for p in pieces if len(p) == 1] + multi_ranked)
     model1 = {p: m1[p][1] for p in pieces2}
-    eu2 = estep_eu(model1, pieces2)
+    dp2 = _soft_dp_frame(words, model1)
+    eu2 = estep_eu(model1, pieces2, dp=dp2)
     m2 = _soft_mstep(spark, eu2)
     return (
         [(p, m2[p][0], m2[p][1]) for p in sorted(m2)],
         words,
         model1,
+        dp2,
     )
 
 
@@ -680,7 +699,7 @@ def unigram_soft_fit(spark: SparkSession, docs: DataFrame) -> list:
     """Soft-EM fit: [(piece, expected_usage Decimal, logp Decimal)]
     after E/M under the seed model, the pruning round, and a final E/M
     under the pruned model — [] on a wordless corpus."""
-    rows, _, _ = unigram_soft_fit_with_state(spark, docs)
+    rows, _, _, _ = unigram_soft_fit_with_state(spark, docs)
     return rows
 
 
@@ -845,7 +864,9 @@ def q135_unigram_soft_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _soft_word_npieces(words: DataFrame, model: dict) -> DataFrame:
+def _soft_word_npieces(
+    words: DataFrame, model: dict, dp: DataFrame | None = None
+) -> DataFrame:
     """(w, e_pieces DECIMAL(38,9), fallback): the lattice-expected
     piece count per distinct word under `model` — the sum of the
     word's posterior occurrence gammas (every segmentation covers each
@@ -854,7 +875,7 @@ def _soft_word_npieces(words: DataFrame, model: dict) -> DataFrame:
     count, flagged. Vocabulary-of-words-bounded, the q122 encode-table
     shape."""
     per_word = (
-        _soft_occ_gammas(words, model)
+        _soft_occ_gammas(words, model, dp=dp)
         .groupBy("w")
         .agg(F.sum("gamma").cast("decimal(38,9)").alias("e_pieces"))
         .withColumn("fallback", F.lit(False))
@@ -916,7 +937,7 @@ def q137_unigram_soft_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles words."""
     tune_session(spark)
     docs = load(spark, sf_dir, "documents")
-    _, words, model = unigram_soft_fit_with_state(spark, docs)
+    _, words, model, dp2 = unigram_soft_fit_with_state(spark, docs)
     occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )
@@ -927,7 +948,7 @@ def q137_unigram_soft_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("exp_tokens"),
             F.lit(0).cast("bigint").alias("n_fallback_words"),
         )
-    enc = _soft_word_npieces(words, model).localCheckpoint(eager=True)
+    enc = _soft_word_npieces(words, model, dp=dp2).localCheckpoint(eager=True)
     return (
         occ.join(enc, "w")
         .groupBy("doc_id")
