@@ -55,6 +55,13 @@ assignment front; its report aggregates the shifted cosines).
 q134_semantic_refit joined in round 14 — it runs TWO copies of that
 same assignment front (stored model + full refit), so it inherits the
 q120/q133 divergence class on both sides of its diff.
+q07_ann_multiprobe joined in round 14 with the q101/q17/q25 rationale:
+since the in-row bucket restatement, probes and candidates keep one
+bucket row per duplicate input COPY while the oracle's GROUP BY
+vec_id merges the copies' exploded positions into one doubled sum
+(shifting bucket codes and the capped candidate ranking). Duplicate
+ids remain an upstream data-contract violation caught by q12's audit,
+not repaired here.
 """
 
 from __future__ import annotations
@@ -63,6 +70,7 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
     {
         "q04_cosine_topk",
         "q06_embedding_neardup",
+        "q07_ann_multiprobe",
         "q10_canonical_corpus",
         "q17_semantic_kmeans",
         "q25_semantic_dedup",
