@@ -294,3 +294,30 @@ def test_q137_giant_word_and_wordless(spark, sf_dir, tmp_path_factory):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_words", "exp_tokens", "n_fallback_words",
     ]
+
+
+def test_encode_dp_reuse_matches_fresh_fold(spark, sf_dir):
+    """Round-14 internals pin: q137 aggregates its per-word expected
+    piece counts off the DP frame the fit's FINAL E-step folded
+    (unigram_soft_fit_with_state's 4th return) instead of re-folding.
+    The reused-frame encode table must be row-identical to one built
+    from a fresh fold under the same model — if the fit ever returns a
+    stale frame (wrong model, wrong round), this catches it."""
+    from cometbft_log_etl_spark.queries.unigram import (
+        _soft_word_npieces,
+        unigram_soft_fit_with_state,
+    )
+    from cometbft_log_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    _, words, model, dp2 = unigram_soft_fit_with_state(spark, docs)
+    assert dp2 is not None
+    reused = {
+        r.w: (str(r.e_pieces), r.fallback)
+        for r in _soft_word_npieces(words, model, dp=dp2).collect()
+    }
+    fresh = {
+        r.w: (str(r.e_pieces), r.fallback)
+        for r in _soft_word_npieces(words, model).collect()
+    }
+    assert reused == fresh and reused
