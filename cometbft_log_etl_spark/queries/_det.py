@@ -86,6 +86,23 @@ def dnrm12(a) -> Column:
     )
 
 
+def ddbl(a, b) -> Column:
+    """Plain IEEE-double dot product of two double arrays — the cheap
+    PRE-GATE companion of ddot12, never a result value.
+
+    Each per-element product fl(x*y) is the IDENTICAL double ddot12
+    rounds into its decimal terms; only the summation differs (native
+    double adds instead of the exact decimal fold). Used exclusively
+    inside conservative threshold pre-gates (see neardup._pair_pregate)
+    where the exact decimal filter still adjudicates every surviving
+    pair, so the fold's rounding can never reach a result."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 # SQL-side (DuckDB) mirrors — keep these textually in sync with the above.
 SQL_DEC = "DECIMAL(28,6)"
 

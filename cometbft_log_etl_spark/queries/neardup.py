@@ -37,6 +37,7 @@ from . import register
 from ._det import (
     DEC12,
     SQL_EMB_SRC,
+    ddbl,
     dec12,
     ddot12,
     dfold12,
@@ -1735,6 +1736,52 @@ _ND_PLANES = 4  # coarser cells than q58's 8: near-dup wants recall over speed
 _ND_COSINE = 0.35  # dedup-edge threshold (tuned to the synthetic corpus)
 
 
+def _pair_pregate(a: F.Column, b: F.Column, thr: float) -> F.Column:
+    """Conservative IEEE-double pre-gate for the exact-decimal pair
+    filter ``ddot12(a.emb, b.emb) / (a.nrm * b.nrm) >= thr``.
+
+    The pair tiers' hot kernel is the DECIMAL(28,12) dot fold — a
+    BigDecimal multiply+add per element per pair — yet at every scale
+    factor (and on any sane corpus) only a fraction of a percent of
+    in-bucket pairs clear the duplicate threshold (sf0.1 probe: 549 /
+    249,792 = 0.22% in q134's stored tier). This predicate runs INSIDE
+    the pair-array build (``F.filter`` between the slice and the
+    struct-building transform), so non-candidate pairs never allocate
+    a pair struct and never pay the decimal fold; the EXACT filter
+    after the explode still adjudicates every surviving pair, so
+    results are bit-identical (guide §1.2 "per-task work": same
+    distributed shape, cheaper per-pair kernel).
+
+    Conservativeness proof (pre-gate is TRUE whenever the exact filter
+    is TRUE — the only direction that matters; extra survivors just
+    re-meet the exact filter):
+
+    - exact TRUE ⇒ ``dot_ex`` (the decimal fold cast to double) is
+      non-null ⇒ every per-element product fl(x_i·y_i) is a finite
+      double inside DECIMAL(28,12) range, and nrm_a/nrm_b are non-null
+      finite ≥ 0 (sqrt outputs).
+    - ``ddbl`` sums the IDENTICAL fl(x_i·y_i) terms in doubles:
+      |dot_dbl − dot_ex| ≤ d·5e-13 (per-term half-up rounding to 12
+      decimals) + d·eps·Σ|x_i·y_i| (double summation, eps = 2^-52)
+      + eps·|dot_ex| (the fold's final double cast), with
+      Σ|x_i·y_i| ≤ ñ_a·ñ_b ≤ (nrm_a + 3e-5)·(nrm_b + 3e-5) for any
+      dimension d ≤ 1024 (Cauchy–Schwarz; the decimal norm understates
+      the true norm by at most sqrt(d·5e-13) ≤ 2.3e-5).
+    - exact TRUE means fl(dot_ex / fl(nrm_a·nrm_b)) ≥ thr, i.e.
+      dot_ex ≥ thr·nrm_a·nrm_b·(1 − 3·eps); the degenerate
+      nrm_a·nrm_b = 0 branch (+Inf ≥ thr) forces dot_ex ≥ ~1e-12 > 0.
+    - Every error term above is ≤ 1e-9·(1 + nrm_a)·(1 + nrm_b) for
+      d ≤ 1024, so the margin 1e-6·(1+nrm_a)·(1+nrm_b) — three orders
+      of magnitude wider — makes
+      ``dot_dbl ≥ thr·nrm_a·nrm_b − margin`` implied by exact TRUE in
+      every branch. NULL/NaN/±Inf products make BOTH predicates
+      non-TRUE (null decimal terms null the exact fold; NaN compares
+      false), so no pair is dropped that the exact filter would keep.
+    """
+    margin = F.lit(1e-6) * (F.lit(1.0) + a["nrm"]) * (F.lit(1.0) + b["nrm"])
+    return ddbl(a["emb"], b["emb"]) >= F.lit(thr) * a["nrm"] * b["nrm"] - margin
+
+
 @register(
     "q06_embedding_neardup",
     headline=True,
@@ -1859,8 +1906,16 @@ def q06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_arr = F.flatten(
         F.transform(
             F.col("ms"),
+            # the double pre-gate runs between the slice and the struct
+            # build: non-candidate pairs (99%+ at every probed SF) never
+            # allocate a pair struct and never pay the decimal fold; the
+            # exact filter below still adjudicates every survivor, so
+            # the output is bit-identical (_pair_pregate's proof)
             lambda a, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                F.filter(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda b: _pair_pregate(a, b, _ND_COSINE),
+                ),
                 lambda b: F.struct(
                     a["vec_id"].alias("vec_a"),
                     b["vec_id"].alias("vec_b"),
@@ -2636,8 +2691,13 @@ def q25_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_arr = F.flatten(
         F.transform(
             F.col("ms"),
+            # double pre-gate before the struct build — bit-identical,
+            # see _pair_pregate (sf0.1: 562 of 249,880 pairs survive)
             lambda a, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                F.filter(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda b: _pair_pregate(a, b, _KM_DUP_COS),
+                ),
                 lambda b: F.struct(
                     a["vec_id"].alias("vec_a"),
                     b["vec_id"].alias("vec_b"),
@@ -2916,8 +2976,18 @@ def _semdedup_dups(members: DataFrame) -> DataFrame:
     pair_arr = F.flatten(
         F.transform(
             F.col("ms"),
+            # double pre-gate before the struct build — bit-identical,
+            # see _pair_pregate (sf0.1, q134 tiers: 0.22% survive). This
+            # also shrinks q134's duplicated-dot residual to the
+            # survivor set: the two tiers' shared (model-free) pair
+            # cosines are only ever folded exactly for actual
+            # near-duplicates, so cross-tier dot sharing has nothing
+            # left to save (measured in OPTIMIZATION_r15.md #1).
             lambda a, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                F.filter(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda b: _pair_pregate(a, b, _KM_DUP_COS),
+                ),
                 lambda b: F.struct(
                     a["vec_id"].alias("vec_a"),
                     b["vec_id"].alias("vec_b"),
