@@ -176,15 +176,42 @@ def q72_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import default_parallelism, persist_tracked
 
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "text",
-        F.split("text", " ").alias("t"),
-        F.size(F.split("text", " ")).cast("bigint").alias("tc"),
-    ).repartition(default_parallelism())
+    # ONE corpus exchange where round 14 had two (guide §2.4 "two
+    # operations keyed the same way can often share one exchange"):
+    # the old shape round-robin-repartitioned the corpus to spread the
+    # split/md5/ratio compute off the scan tasks, then paid a SECOND
+    # full-text exchange for the dedup window's hashpartitioning(fp).
+    # Repartitioning BY fp directly does both jobs at once — only the
+    # per-row md5 stays on the scan tasks (far cheaper than the
+    # split + array_distinct work, which now runs spread AFTER the
+    # exchange), the window's ENSURE_REQUIREMENTS exchange is elided
+    # because the input already satisfies ClusteredDistribution(fp),
+    # and the token array `t` (which roughly doubles the text bytes
+    # and rode the old round-robin exchange) is derived post-exchange
+    # so it never crosses a shuffle at all (§2.3). Duplicate-text skew
+    # lands on the same fp keys the old window exchange hashed by, so
+    # the skew posture is unchanged.
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        )
+        .repartition(default_parallelism(), "fp")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+            F.split("text", " ").alias("t"),
+            F.size(F.split("text", " ")).cast("bigint").alias("tc"),
+            "fp",
+        )
+    )
     # the quality gate uses q104's FILTERED-token convention (empty
     # tokens from doubled spaces don't count — _qc_rows filters them
     # before tc and the distinct ratio; round-11 review caught this
@@ -199,7 +226,7 @@ def q72_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             qn >= F.lit(_FUN_MIN_TOKENS), quniq >= F.lit(_FUN_MIN_UNIQ)
         ).otherwise(F.lit(False)),
-    ).withColumn("fp", F.md5(F.col("text").cast("binary")))
+    )
     wfp = W.partitionBy("fp")
     # persist_tracked at every reuse cut (q25/dsir/q107 discipline —
     # the first formulation re-derived these subtrees per consumer: 46
@@ -267,7 +294,14 @@ def q72_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.sum("tc").alias("gtok")
     )
     wsrc = W.partitionBy("source")
-    gcum = (
+    # distribution-sized cache barrier (the round-14 #5 pattern): BOTH
+    # budget branches (wholesale-kept + boundary) broadcast-build from
+    # gcum, and without the barrier each build replays the
+    # groupBy(source, n_chars) exchange + the source windows over the
+    # surv2 cache (r15-start plan: exchanges 129/131 and 145/147 are
+    # the same chain twice). gcum is one row per (source, n_chars)
+    # length-group — never corpus-sized.
+    gcum = persist_tracked(
         g.withColumn(
             "gcum",
             F.sum("gtok").over(
