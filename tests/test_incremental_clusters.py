@@ -201,3 +201,32 @@ def test_iterated_maintenance_matches_full_clustering(spark, seed):
     labels = _round(labels, b_ids, h_ids + a_ids)
     want = _union_find(ids, edges)
     assert labels == want, f"seed {seed}"
+
+
+def test_local_union_find_matches_distributed_loop(spark, sf_dir, monkeypatch):
+    """The size-adaptive driver-local branch (round-14 verdict #3) must
+    be bit-identical to the distributed Hash-Min loop on the same
+    graph: run the real dup graph both ways by forcing the threshold
+    (0 = always distributed, huge = always local) and compare label
+    maps. Also pins the empty-graph shape both ways."""
+    import cometbft_log_etl_spark.queries.neardup as nd
+    from cometbft_log_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sym = nd.dup_edges(docs)
+    monkeypatch.setattr(nd, "_CC_LOCAL_MAX_EDGES", 0)
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in nd.hash_min_components(nd.cc_seed(sym), sym).collect()
+    }
+    monkeypatch.setattr(nd, "_CC_LOCAL_MAX_EDGES", 10**9)
+    loc = {
+        r.doc_id: r.cluster_id
+        for r in nd.hash_min_components(nd.cc_seed(sym), sym).collect()
+    }
+    assert loc == dist and dist  # identical, and the graph is non-trivial
+    # empty graph: both branches return an empty frame with the schema
+    empty = sym.filter(F.lit(False)).localCheckpoint(eager=True)
+    assert nd.hash_min_components(nd.cc_seed(empty), empty).count() == 0
+    monkeypatch.setattr(nd, "_CC_LOCAL_MAX_EDGES", 0)
+    assert nd.hash_min_components(nd.cc_seed(empty), empty).count() == 0
