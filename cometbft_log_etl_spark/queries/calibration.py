@@ -133,13 +133,22 @@ def q115_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid via a grid-join, cross-checking both the fit and the sweep.
     """
     tune_session(spark)
-    from ..session import default_parallelism
+    from ..session import default_parallelism, persist_tracked
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
     hist = (F.col("doc_id") % _CAL_HIST_MOD) < _CAL_HIST_CUT
-    _, w = fit_quality_classifier(docs.filter(hist))
+    # ONE screened-feature build for both slices (round-14 verdict #4,
+    # the #5 cache-barrier pattern): features are per-document, so
+    # slicing the corpus feature frame is bit-identical to building
+    # per-slice frames — the old shape derived _qc_doc_feats twice
+    # (train inside the fit, held for scoring), i.e. two corpus scans
+    # and two doc-keyed feature exchanges where one suffices. The fit's
+    # six jobs read the train slice and the scoring pass the held
+    # slice off the same cache.
+    feats = persist_tracked(_qc_doc_feats(docs))
+    _, w = fit_quality_classifier(docs, doc_feats=feats.filter(hist))
     wmap = _map_lit(list(w.items()), _W_DEC)
-    scored = _qc_doc_feats(docs.filter(~hist)).select(
+    scored = feats.filter(~hist).select(
         "y", F.round(_qc_pred_col(wmap), 9).cast("double").alias("score")
     )
     # ONE confusion aggregate: per grid threshold, flagged-positive and

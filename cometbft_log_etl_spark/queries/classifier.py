@@ -375,7 +375,9 @@ def _duck_round9(x: float):
     return Decimal(k) * Decimal("1e-9")
 
 
-def fit_quality_classifier(docs: DataFrame, steps: int = _QC_STEPS):
+def fit_quality_classifier(
+    docs: DataFrame, steps: int = _QC_STEPS, doc_feats: DataFrame | None = None
+):
     """The fit: driver-held {bucket: exact-decimal weight} after
     ``steps`` steepest-descent rounds. Each round is exactly TWO engine
     jobs over the cached per-doc feature frame (gradient sums,
@@ -399,10 +401,18 @@ def fit_quality_classifier(docs: DataFrame, steps: int = _QC_STEPS):
     in alpha, so no sum decomposition can pre-compute the next
     gradient before alpha is known. (Dropping the round, or moving to
     a w-independent X'X co-moment denominator, would fuse — and
-    change the model bits, which the oracle contract forbids.)"""
+    change the model bits, which the oracle contract forbids.)
+
+    ``doc_feats``: a prebuilt (and caller-cached) feature frame — the
+    q115 train/held sharing path (round-14 verdict #4): features are
+    per-document (filter commutes with _qc_doc_feats bit-exactly), so
+    the calibration query builds ONE corpus feature frame and passes
+    its train slice here instead of re-deriving the screened-feature
+    subtree per slice. When provided, the caller owns the persist."""
     from decimal import Decimal
 
-    doc_feats = persist_tracked(_qc_doc_feats(docs))
+    if doc_feats is None:
+        doc_feats = persist_tracked(_qc_doc_feats(docs))
     m = 1
     w: dict[int, Decimal] = {}
     for step in range(steps):
