@@ -166,6 +166,60 @@ def _normalize_plan(plan: str) -> str:
     return "\n".join(sorted(out))
 
 
+def _bench_artifact_path() -> str:
+    """In-repo destination for this run's JSON line: bench_r<N>.json,
+    N = 1 + the highest driver BENCH_r<NN>.json present (round-14
+    verdict #5 — BENCH_r09..r13 all lost their per-query numbers to
+    the driver's stdout tail cap; committing the builder's own final
+    artifact guarantees the NEXT round's PERF comparison a parseable
+    prev column even if stdout truncation ever regresses). The file is
+    overwritten by every bench invocation in the checkout — the copy
+    committed at round end is the round-end run."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    n = max(rounds) + 1 if rounds else 0
+    name = f"bench_r{n:02d}.json" if n else "bench_latest.json"
+    return os.path.join(root, name)
+
+
+def _write_artifact(line: str) -> str | None:
+    """Write the emitted JSON line to _bench_artifact_path(); returns
+    the path, or None on any failure (the stdout contract must never
+    depend on the artifact write)."""
+    try:
+        path = _bench_artifact_path()
+        with open(path, "w") as f:
+            f.write(line + "\n")
+        return path
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _cpu_probe(spark):
+    """() -> cumulative JVM-process-tree CPU seconds, or None if /proc
+    is unavailable. Deltas of this number around each timed sample are
+    the steal- and job-launch-latency-immune per-query signal (round-14
+    verdict #6: every 8-vs-32-core wall ratio sat at ~1 because sf0.1
+    wall times are job-latency floors — CPU seconds distinguish a
+    parallel data pass from serialized latency, the same adjudicator
+    the ETL block added in round 14)."""
+    try:
+        from tools.bench_etl import _cpu_tree_seconds
+
+        pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        _cpu_tree_seconds(pid)  # probe /proc once
+        return lambda: _cpu_tree_seconds(pid)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def _noise_canary(spark, runs: int = 3) -> dict:
     """Time a fixed, data-independent reference computation (round-9
     verdict item: BENCH_r09 recorded a uniform 2-3x apparent regression
@@ -248,8 +302,11 @@ def main() -> None:
     # still-noisy artifact declares itself instead of waiting for a
     # quiet-host re-run to disprove it.
     attempts_max = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    cpu_now = _cpu_probe(spark)
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    all_cpu: dict[str, list[float]] = {}
     fingerprints: dict[str, str] = {}
     n_exchanges: dict[str, int] = {}
     canary_attempts: list[dict] = []
@@ -260,12 +317,16 @@ def main() -> None:
         print(f"# attempt {attempt} canary before: {canary_before}", file=sys.stderr)
         for name, qdef in qs.items():
             samples = []
+            cpu_samples = []
             for _ in range(runs):
                 _before = persistent_rdd_ids(spark)
+                cpu0 = cpu_now() if cpu_now else None
                 t0 = time.time()
                 df = qdef.fn(spark, sf_dir)
                 n = df.count()
                 samples.append(round(time.time() - t0, 3))
+                if cpu0 is not None:
+                    cpu_samples.append(round(cpu_now() - cpu0, 3))
                 release_new_persists(spark, _before)
             fp, nx = plan_fingerprint(df)
             if name in fingerprints and fingerprints[name] != fp:
@@ -280,9 +341,13 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 all_runs[name] = list(samples)
+                all_cpu[name] = list(cpu_samples)
             else:
                 all_runs.setdefault(name, []).extend(samples)
+                all_cpu.setdefault(name, []).extend(cpu_samples)
             timings[name] = min(all_runs[name])
+            if all_cpu[name]:
+                cpu_timings[name] = min(all_cpu[name])
             fingerprints[name], n_exchanges[name] = fp, nx
             print(
                 f"# {name}: {timings[name]}s min of {samples} ({n} rows)",
@@ -405,8 +470,7 @@ def main() -> None:
     # FIRST; the compact numbers the next judge needs — per-query mins,
     # subtotals, fingerprints, canary verdict — are the LAST keys, so
     # any tail window that survives truncation carries them.
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "unit": "sec",
@@ -449,6 +513,15 @@ def main() -> None:
                 "etl_at_scale_lines_per_cpu_sec": (etl_at_scale or {}).get(
                     "etl_lines_per_cpu_sec"
                 ),
+                # per-query twin of the same idea (round-14 verdict
+                # #6): min-of-K process-tree CPU seconds around each
+                # timed sample. Wall ratios at sf0.1 sit at ~1 across
+                # core counts because every query is at its job-launch
+                # floor; cpu_sec >> wall means a genuinely parallel
+                # data pass, cpu_sec ~= wall means serialized or
+                # latency-bound — the scaling signal the 8-core sweep
+                # could not carry. {} when /proc is unavailable.
+                "queries_cpu_sec": cpu_timings,
                 "queries": timings,
                 "value": total,
                 "value_r1_comparable": r1_comparable,
@@ -462,7 +535,10 @@ def main() -> None:
                 "canary_verdict": canary_verdict,
             }
         )
-    )
+    print(line)
+    artifact = _write_artifact(line)
+    if artifact:
+        print(f"# bench artifact written: {artifact}", file=sys.stderr)
 
 
 if __name__ == "__main__":

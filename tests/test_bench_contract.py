@@ -212,3 +212,39 @@ def test_canary_band_classifier(monkeypatch):
     monkeypatch.setattr(bench, "_CANARY_BAND_SEC", 0.30)
     assert bench._canary_quiet({"min_sec": 0.25})
     assert not bench._canary_quiet({"min_sec": 0.31})
+
+
+def test_bench_artifact_round_trips(tmp_path, monkeypatch):
+    """Round-14 verdict #5: bench.py writes its emitted JSON line to an
+    in-repo bench_r<N>.json so PERF always has a parseable prev column
+    even if the driver's stdout tail cap ever truncates BENCH again.
+    The path derives from the committed driver artifacts (N = highest
+    BENCH_r<NN>.json + 1), and the writer must round-trip the exact
+    line (one line, same contract) and never raise."""
+    import json
+
+    import bench
+
+    # path inference off a synthetic repo root
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r14.json").write_text("{}")
+    (tmp_path / "BENCH_r14_c8.json").write_text("{}")
+    assert bench._bench_artifact_path() == str(tmp_path / "bench_r15.json")
+    line = json.dumps({"metric": "headline_query_wall_time", "queries": {"q01": 0.2},
+                       "queries_cpu_sec": {"q01": 1.7}, "value": 0.2, "sf": 0.1})
+    path = bench._write_artifact(line)
+    assert path == str(tmp_path / "bench_r15.json")
+    with open(path) as f:
+        content = f.read()
+    assert content == line + "\n"
+    assert json.loads(content.splitlines()[0])["queries"] == {"q01": 0.2}
+    # no BENCH artifacts at all -> a stable fallback name, still writable
+    for p in tmp_path.glob("BENCH_r*.json"):
+        p.unlink()
+    assert bench._bench_artifact_path() == str(tmp_path / "bench_latest.json")
+    # the real repo root resolves to the next round after the committed set
+    monkeypatch.undo()
+    assert bench._bench_artifact_path().endswith("bench_r15.json")
