@@ -612,9 +612,19 @@ def q101_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def row_bucket() -> F.Column:
-        # (x, pos) pairs as the HOF input — evaluated once per row;
-        # every expression inside the lambdas binds lambda variables
-        # only (the round-11 HOF rule).
+        # (x, pos) pairs as the HOF input — one zip_with subtree PER
+        # PLANE (each of the 8 dfold12 expressions below instantiates
+        # its own copy of `pairs`, so the struct-array build runs once
+        # per plane per row — constant work, measured fine); every
+        # expression inside the lambdas binds lambda variables only
+        # (the round-11 HOF rule).
+        # EMPTY-ARRAY DEPENDENCE (round-14 advice): sequence(0, -1)
+        # DESCENDS for an empty embedding (the round-11 q110 lesson),
+        # which would fabricate a [0,-1] pair row where the old
+        # posexplode emitted none. Unreachable ONLY because
+        # finite_embeddings' nonzero-component exists() screens empty
+        # arrays upstream — if that screen is ever relaxed, guard this
+        # sequence with F.size > 0.
         pairs = F.zip_with(
             F.col("embedding"),
             F.sequence(F.lit(0), F.size("embedding") - 1),
@@ -2128,6 +2138,13 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = finite_embeddings(load(spark, sf_dir, "embeddings")).repartition(
         default_parallelism()
     )
+    # EMPTY-ARRAY DEPENDENCE (round-14 advice): sequence(0, -1)
+    # DESCENDS for an empty embedding and would fabricate a [0,-1]
+    # pair where the old posexplode emitted none — unreachable only
+    # because finite_embeddings screens empty arrays upstream; guard
+    # with F.size > 0 if that screen is ever relaxed. Like q101, each
+    # per-plane fold instantiates its own copy of this zip_with
+    # subtree (once per plane per row — constant work).
     pairs = F.zip_with(
         F.col("embedding"),
         F.sequence(F.lit(0), F.size("embedding") - 1),

@@ -78,8 +78,23 @@ def fitted_centroids(spark: SparkSession, sf_dir: str) -> list[dict]:
     batch front half verbatim (neardup.km_first_round), so the fitted
     model cannot de-sync from the batch query it mirrors."""
     from ..queries.neardup import _km_update_centroids, km_first_round
+    from ..session import persistent_rdd_ids, release_new_persists
 
-    return [r.asDict() for r in _km_update_centroids(km_first_round(spark, sf_dir)).collect()]
+    # the batch front persists corpus-sized frames (_km_emb's screened
+    # frame, the round-1 assignment) per call; a long-lived streaming
+    # driver has no bench-style snapshot/release harness around this,
+    # so without the release every (re)fit would pin one corpus-sized
+    # MEMORY_AND_DISK cache for the session lifetime (round-14 advice).
+    # The k centroids are collected before the release, so nothing the
+    # stream uses afterwards depends on the dropped blocks.
+    snap = persistent_rdd_ids(spark)
+    try:
+        return [
+            r.asDict()
+            for r in _km_update_centroids(km_first_round(spark, sf_dir)).collect()
+        ]
+    finally:
+        release_new_persists(spark, snap)
 
 
 def assign_to_centroids(embs: DataFrame, centroids: list[dict]) -> DataFrame:
