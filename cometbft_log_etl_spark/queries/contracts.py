@@ -78,8 +78,8 @@ ID_UNIQUENESS_CONTRACT_FAMILY: frozenset[str] = frozenset(
         "q39_ann_ivf",
         "q46_substring_scrub",
         "q55_minhash_lsh",
-        "q100_ngram_jaccard",
-        "q101_ann_lsh",
+        "q85_ngram_jaccard",
+        "q86_ann_lsh",
         "q76_multimodal_features",
         "q66_selfrep_scrub",
         "q114_incremental_clusters",

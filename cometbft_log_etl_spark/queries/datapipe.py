@@ -314,7 +314,7 @@ def q113_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q85_rolling_fingerprint",
+    "q100_rolling_fingerprint",
     tags=("datapipe", "dedup", "fingerprint"),
     oracle=f"""
 WITH tok AS (
@@ -338,7 +338,7 @@ FROM fp
 GROUP BY fingerprint
 """,
 )
-def q85_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q100_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     the word-hash sequence (seed 7, base 31, mod 2^31−1) — unlike the
     set-based MinHash/SimHash signatures, word ORDER changes the
@@ -400,7 +400,7 @@ def q04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dot product is an in-row zip_with + exact decimal fold
     (order-independent, bit-stable vs the oracle's exploded sum); the
     probe side is small by construction → broadcast, and the candidate
-    side streams. The LSH-bucketed scale path is q101_ann_lsh
+    side streams. The LSH-bucketed scale path is q86_ann_lsh
     (queries/neardup.py).
     """
     tune_session(spark)
@@ -504,7 +504,7 @@ _PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
 
 
 @register(
-    "q87_pii_scrub",
+    "q102_pii_scrub",
     tags=("datapipe", "text", "pii"),
     oracle=f"""
 WITH aug AS (
@@ -526,7 +526,7 @@ SELECT doc_id,
 FROM aug
 """,
 )
-def q87_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q102_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (email/phone → typed placeholders).
 
     The corpus is synthetic word-soup, so deterministic PII is injected
@@ -571,7 +571,7 @@ def q87_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q88_repetition_ratio",
+    "q103_repetition_ratio",
     tags=("datapipe", "text", "quality"),
     oracle="""
 WITH tk AS MATERIALIZED (
@@ -595,7 +595,7 @@ SELECT doc_id, n_grams, n_distinct,
 FROM stats
 """,
 )
-def q88_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q103_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: duplicate word-2-gram fraction.
 
     Boilerplate and generation loops show up as a high duplicate-n-gram
@@ -635,7 +635,7 @@ def q88_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q89_stratified_sample",
+    "q105_stratified_sample",
     tags=("datapipe", "sampling"),
     oracle=f"""
 WITH rated AS (
@@ -647,7 +647,7 @@ WITH rated AS (
 SELECT doc_id, lang, bucket FROM rated WHERE bucket < rate_pct
 """,
 )
-def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q105_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep rates via a
     salted portable hash, not RNG.
 
@@ -674,7 +674,7 @@ _PACK_CAPACITY = 2048  # tokens per packed training sequence
 
 
 @register(
-    "q90_sequence_packing",
+    "q107_sequence_packing",
     tags=("datapipe", "packing", "window"),
     oracle=f"""
 WITH toks AS (
@@ -695,7 +695,7 @@ FROM placed
 GROUP BY lang, bin_id
 """,
 )
-def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to fixed token-capacity bins by
     cumulative offset, per language stream.
 
@@ -798,7 +798,7 @@ _CHUNK_STRIDE = 48  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE
 
 
 @register(
-    "q91_doc_chunking",
+    "q108_doc_chunking",
     tags=("datapipe", "chunking"),
     oracle=f"""
 WITH toks AS (
@@ -816,7 +816,7 @@ SELECT doc_id,
 FROM starts
 """,
 )
-def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q108_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking: 64-token chunks at a
     48-token stride (16-token overlap).
 
@@ -845,7 +845,7 @@ def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q92_mixture_weights",
+    "q109_mixture_weights",
     tags=("datapipe", "sampling", "mixing"),
     oracle="""
 WITH counts AS (
@@ -864,7 +864,7 @@ SELECT source, n_docs, n_tokens,
 FROM weighted
 """,
 )
-def q92_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain mixing: per-source sampling weights
     w ∝ tokens^0.7 and a 10k-doc sample budget.
 
@@ -903,7 +903,7 @@ def q92_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q93_tfidf_terms",
+    "q110_tfidf_terms",
     tags=("datapipe", "text", "retrieval"),
     oracle="""
 WITH tok AS (
@@ -930,7 +930,7 @@ SELECT doc_id, term, tf, df, tfidf, term_rank FROM (
 ) WHERE term_rank <= 3
 """,
 )
-def q93_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 most distinctive terms per document (scored docs
     bounded to doc_id < 50; statistics from the whole corpus).
 
@@ -981,7 +981,7 @@ _BM25_B = 0.75
 
 
 @register(
-    "q94_bm25_search",
+    "q123_bm25_search",
     tags=("datapipe", "text", "retrieval"),
     oracle=f"""
 WITH tok AS (
@@ -1025,7 +1025,7 @@ SELECT doc_id, bm25, n_query_terms_hit, doc_rank FROM (
 ) WHERE doc_rank <= 10
 """,
 )
-def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q123_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance search: top-10 documents for a fixed query term
     set (k1=1.2, b=0.75) — the retrieval scorer behind contamination
     screens and data-selection heuristics.
@@ -1084,7 +1084,7 @@ def q94_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q95_bigram_lm_score",
+    "q124_bigram_lm_score",
     tags=("datapipe", "text", "lm"),
     oracle="""
 WITH base AS (
@@ -1118,7 +1118,7 @@ WHERE doc_id < 100
 GROUP BY doc_id
 """,
 )
-def q95_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model likelihood scoring: train MLE bigram
     probabilities P(w2|w1) = c(w1,w2)/c(w1) on the corpus, score each
     document by its mean bigram log-probability — the perplexity-proxy
@@ -1178,7 +1178,7 @@ _SHINGLE_K = 5
 
 
 @register(
-    "q96_shingle_novelty",
+    "q125_shingle_novelty",
     tags=("datapipe", "dedup", "text"),
     oracle=f"""
 WITH base AS (
@@ -1211,7 +1211,7 @@ FROM sh JOIN owner ON sh.shingle = owner.shingle
 GROUP BY sh.doc_id
 """,
 )
-def q96_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-level novelty: the fraction of a document's 5-gram
     shingles FIRST seen in that document (min-doc_id ownership) — the
     containment-dedup signal that catches partial copies, boilerplate,
@@ -1270,7 +1270,7 @@ _VOCAB_TOP_K = 200
 
 
 @register(
-    "q97_vocab_coverage",
+    "q126_vocab_coverage",
     tags=("datapipe", "text", "tokenizer"),
     oracle=f"""
 WITH tok AS (
@@ -1292,7 +1292,7 @@ FROM ranked CROSS JOIN total
 WHERE vocab_rank <= {_VOCAB_TOP_K}
 """,
 )
-def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q126_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: the top-{k} corpus vocabulary by frequency
     with cumulative token coverage — the "how big must the tokenizer
     vocab be to cover X% of the stream" curve.

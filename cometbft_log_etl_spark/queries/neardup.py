@@ -382,7 +382,7 @@ def q56_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q100_ngram_jaccard",
+    "q85_ngram_jaccard",
     tags=("datapipe", "dedup", "jaccard"),
     oracle=f"""
 WITH g_all AS (
@@ -414,7 +414,7 @@ WHERE CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
         / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) >= 0.2
 """,
 )
-def q100_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-2-gram Jaccard over blocked candidate pairs.
 
     Blocking on (lang, n_chars/100) bounds the self-join: only
@@ -536,7 +536,7 @@ def _bucket_sql(src_filter: str, id_alias: str, nplanes: int = _PLANES) -> str:
 
 
 @register(
-    "q101_ann_lsh",
+    "q86_ann_lsh",
     tags=("datapipe", "similarity", "lsh"),
     oracle=f"""
 WITH pb AS ({_bucket_sql("WHERE vec_id < 3", "probe_id")}),
@@ -582,7 +582,7 @@ SELECT probe_id, cand_id, bucket, round(cosine, 9) AS cosine, rank FROM (
 ) WHERE rank <= 5
 """,
 )
-def q101_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours.
 
     Random-hyperplane signs (±1 weights derived from md5(plane:dim) —
@@ -705,7 +705,7 @@ def q101_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q86_edit_distance",
+    "q101_edit_distance",
     tags=("datapipe", "dedup", "levenshtein"),
     oracle=f"""
 WITH {_Q55_CTES},
@@ -721,7 +721,7 @@ WHERE 1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
             / greatest(len(a.head), len(b.head)) >= 0.3
 """,
 )
-def q86_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q101_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup verification tier over LSH candidates.
 
     The expensive-but-precise tier composed on top of cheap candidate
@@ -2142,7 +2142,8 @@ def q07_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DESCENDS for an empty embedding and would fabricate a [0,-1]
     # pair where the old posexplode emitted none — unreachable only
     # because finite_embeddings screens empty arrays upstream; guard
-    # with F.size > 0 if that screen is ever relaxed. Like q101, each
+    # with F.size > 0 if that screen is ever relaxed. Like the ANN-LSH
+    # tier (ann_lsh), each
     # per-plane fold instantiates its own copy of this zip_with
     # subtree (once per plane per row — constant work).
     pairs = F.zip_with(

@@ -27,7 +27,7 @@ from ._det import dsum, sql_dsum
 
 
 @register(
-    "q108_rollup_native",
+    "q91_rollup_native",
     tags=("olap", "rollup"),
     oracle=f"""
 SELECT
@@ -43,7 +43,7 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
 """,
 )
-def q108_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ROLLUP: (nation, priority) → (nation) → grand total.
 
     The engine-level version of the reference's hand-made
@@ -118,7 +118,7 @@ def q78_cube_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q109_grouping_sets",
+    "q92_grouping_sets",
     tags=("olap", "grouping-sets"),
     oracle=f"""
 SELECT
@@ -130,7 +130,7 @@ FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
 """,
 )
-def q109_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS: two independent summaries in one pass."""
     tune_session(spark)
     load(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
@@ -148,7 +148,7 @@ def q109_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q110_approx_distinct",
+    "q93_approx_distinct",
     tags=("olap", "approx"),
     oracle="""
 WITH ex AS (
@@ -163,7 +163,7 @@ SELECT o_orderpriority, exact_customers,
 FROM ex
 """,
 )
-def q110_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count with a cross-engine tolerance contract.
 
     Spark's HLL++ and DuckDB's HLL produce different raw estimates, so
@@ -190,7 +190,7 @@ def q110_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q123_topk_per_group",
+    "q94_topk_per_group",
     tags=("olap", "window", "topk"),
     oracle="""
 SELECT n_name, c_custkey, acctbal_cents, rk FROM (
@@ -202,7 +202,7 @@ SELECT n_name, c_custkey, acctbal_cents, rk FROM (
 ) WHERE rk <= 3
 """,
 )
-def q123_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q94_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k rows per group — the window-rank idiom (rank pushdown at
     scale: Spark 3.5+ inserts a per-partition WindowGroupLimit so only k
     rows per group survive the map side of the shuffle)."""
@@ -228,7 +228,7 @@ def q123_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q124_window_battery",
+    "q95_window_battery",
     tags=("olap", "window"),
     oracle="""
 SELECT
@@ -249,7 +249,7 @@ FROM (
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
 """,
 )
-def q124_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/rank/dense_rank/running-sum in one pass over one window
     partitioning — one shuffle serves all five functions. Ranks order by
     a tie-heavy key (rank semantics are tie-stable); value-carrying
@@ -319,7 +319,7 @@ def q79_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q125_approx_quantile",
+    "q96_approx_quantile",
     tags=("olap", "approx", "sketch"),
     oracle="""
 WITH cents AS (
@@ -352,7 +352,7 @@ SELECT l_returnflag, n, exact_p50, exact_p95,
 FROM ex
 """,
 )
-def q125_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q96_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketches under a cross-engine tolerance contract.
 
     Spark's Greenwald-Khanna sketch and DuckDB's t-digest give different
@@ -407,7 +407,7 @@ def q125_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q126_correlated_subquery",
+    "q97_correlated_subquery",
     tags=("olap", "subquery"),
     oracle="""
 SELECT o_orderkey, o_custkey, price_cents
@@ -429,7 +429,7 @@ FROM (
 )
 """,
 )
-def q126_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q97_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery + correlated EXISTS in one query.
 
     Orders priced above 2× their customer's own average that also ship a

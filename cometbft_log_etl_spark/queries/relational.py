@@ -197,7 +197,7 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q102_selective_filter",
+    "q87_selective_filter",
     tags=("filter", "pushdown"),
     oracle=f"""
 SELECT
@@ -210,7 +210,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_quantity < 24
 """,
 )
-def q102_selective_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_selective_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: conjunctive predicates → parquet pushdown, scalar agg.
 
     Reference analog: the early `_msg` tag filters (S3/S4,
@@ -234,7 +234,7 @@ def q102_selective_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q103_semi_join",
+    "q88_semi_join",
     tags=("join", "semi"),
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_customers
@@ -246,7 +246,7 @@ WHERE EXISTS (
 GROUP BY c.c_mktsegment
 """,
 )
-def q103_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers with ≥1 finished order."""
     tune_session(spark)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -259,7 +259,7 @@ def q103_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q105_anti_join",
+    "q89_anti_join",
     tags=("join", "anti"),
     oracle="""
 SELECT c.c_custkey, c.c_name, c.c_mktsegment
@@ -267,7 +267,7 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
-def q105_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no orders.
 
     Reference analog: unmatched send/receive stats in network-latency
@@ -306,7 +306,7 @@ def q77_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q107_conditional_agg",
+    "q90_conditional_agg",
     tags=("agg", "conditional"),
     oracle=f"""
 SELECT
@@ -320,7 +320,7 @@ FROM orders o
 GROUP BY year(o.o_orderdate)
 """,
 )
-def q107_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional counts per group — the reference's by-step / by-type
     count maps (P8b, /root/reference/ossplugins/timeout-analysis/
     processor.go:217-239) as count_if columns."""

@@ -21,7 +21,7 @@ from . import register
 
 
 @register(
-    "q127_json_extract",
+    "q98_json_extract",
     tags=("scalar", "json"),
     oracle="""
 SELECT event_id,
@@ -32,7 +32,7 @@ FROM events
 WHERE event_type = 'purchase'
 """,
 )
-def q127_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured field access — the `_msg` tag peek (S3,
     /root/reference/internal/parser/dispatcher.go:69-97) is exactly
     get_json_object before full parse."""
@@ -48,7 +48,7 @@ def q127_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q128_string_funcs",
+    "q99_string_funcs",
     tags=("scalar", "string"),
     oracle="""
 SELECT doc_id,
@@ -70,7 +70,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q128_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar surface — split (C1), regexp_extract (C4/C13/C14),
     substring_index peer-id split (C10, /root/reference/lib/format.go:57-62),
     case conversion (C11), contains (S4)."""
@@ -207,7 +207,7 @@ def q131_case_when_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q98_vote_parse",
+    "q127_vote_parse",
     tags=("scalar", "textparse", "c14"),
     oracle="""
 SELECT event_id,
@@ -227,7 +227,7 @@ FROM events
 WHERE event_id < 300
 """,
 )
-def q98_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q127_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14 vote-string parse attested against ground truth: render the
     canonical cometbft `[Vote Vote{...}]` string from events columns
     JVM-side, parse it back with the PRODUCTION parser
@@ -311,7 +311,7 @@ def q98_vote_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q99_block_parse",
+    "q128_block_parse",
     tags=("scalar", "textparse", "c9"),
     oracle="""
 SELECT event_id,
@@ -335,7 +335,7 @@ FROM events
 WHERE event_id < 200
 """,
 )
-def q99_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q128_block_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 block-string parse attested against ground truth: render the
     full multi-line cometbft `Block{Header{...} Data{...}
     EvidenceData{...} Commit{...}}#H` text from events columns JVM-side

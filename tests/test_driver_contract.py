@@ -13,7 +13,7 @@ from cometbft_log_etl_spark.testing.compare import run_compare
 # Timestamp-heavy + iterative + new queries: the ones with the most to
 # lose if tune_session stops being called inside every query fn.
 _TZ_SENSITIVE = [
-    "q124_window_battery",
+    "q95_window_battery",
     "q23_sessionization",
     "q130_datetime_funcs",
     "q48_time_bucket_rollup",
@@ -21,8 +21,8 @@ _TZ_SENSITIVE = [
     "q37_neardup_clusters",
     # render→parse attestations format and re-parse RFC3339 strings:
     # a session-tz leak would shift both ts_us columns
-    "q98_vote_parse",
-    "q99_block_parse",
+    "q127_vote_parse",
+    "q128_block_parse",
 ]
 
 
@@ -65,7 +65,7 @@ def test_ann_tiers_recall_vs_brute_force(spark, sf_dir):
     # synthetic corpus (expected — recall needs multi-probe/more tables);
     # assert internal consistency instead: candidates exist and ranks
     # follow cosine order within each probe.
-    lsh = cat["q101_ann_lsh"].fn(spark, sf_dir).collect()
+    lsh = cat["q86_ann_lsh"].fn(spark, sf_dir).collect()
     assert lsh, "LSH tier returned no candidates"
     by_probe: dict = {}
     for r in lsh:

@@ -73,7 +73,7 @@ def test_query_survives_single_row_corpus(spark, tiny_sf_dir, name):
 # onto an otherwise single-shuffle Expand plan — a real-scale cost for
 # a degenerate case. Documented and pinned instead: if either engine
 # changes behavior, this test fails and the adjudication gets re-made.
-_ENGINE_DIVERGENT_ON_EMPTY = {"q78_cube_native", "q108_rollup_native"}
+_ENGINE_DIVERGENT_ON_EMPTY = {"q78_cube_native", "q91_rollup_native"}
 
 
 @pytest.fixture(scope="module")

@@ -49,9 +49,10 @@ def test_cap_keeps_lowest_ids_deterministically(spark):
     assert sorted(r.d for r in kept.collect()) == list(range(8))
 
 
-def test_hash_min_components_converges_on_path_graph(spark):
+def test_hash_min_components_converges_on_path_graph(spark, monkeypatch):
     import pytest
 
+    import cometbft_log_etl_spark.queries.neardup as nd
     from cometbft_log_etl_spark.queries.neardup import hash_min_components
 
     # Path graph 0-1-...-199: worst case for min-label propagation
@@ -59,7 +60,12 @@ def test_hash_min_components_converges_on_path_graph(spark):
     # Hash-Min moves a label ONE hop per iteration and would trip the
     # backstop on this legitimate input). The pointer-jump step makes
     # convergence logarithmic in diameter, so the default bound holds
-    # with two orders of magnitude to spare.
+    # with two orders of magnitude to spare. Forced onto the
+    # DISTRIBUTED path — the round-15 driver-local branch would solve
+    # this sub-threshold graph without iterating (its exactness has
+    # its own parity test in test_incremental_clusters.py); this test
+    # pins the loop's convergence and its backstop.
+    monkeypatch.setattr(nd, "_CC_LOCAL_MAX_EDGES", 0)
     n = 200
     edges = spark.range(n - 1).select(
         F.col("id").alias("a"), (F.col("id") + 1).alias("b")
@@ -72,8 +78,10 @@ def test_hash_min_components_converges_on_path_graph(spark):
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == n
 
-    # The bound is a hard backstop: too few iterations fails LOUD
-    # instead of returning half-propagated labels.
+    # The bound is a hard backstop on the distributed path: too few
+    # iterations fails LOUD instead of returning half-propagated
+    # labels. (The local branch computes exact components regardless
+    # of diameter, so the bound never applies below the threshold.)
     with pytest.raises(RuntimeError, match="no fixpoint"):
         hash_min_components(labels, sym, max_iters=2)
 
@@ -93,7 +101,9 @@ def test_hash_min_components_keeps_stdout_clean(spark, capsys):
     hash_min_components(labels, sym, max_iters=5).collect()
     captured = capsys.readouterr()
     assert captured.out == ""
-    assert "converged" in captured.err
+    # either branch (local union-find below the threshold, loop above)
+    # must note itself on stderr only
+    assert "local union-find" in captured.err or "converged" in captured.err
 
 
 def test_hash_min_components_matches_union_find_on_random_graphs(spark):

@@ -55,10 +55,10 @@ EXPECTATIONS = {
                         "contains_not": ["CartesianProduct"]},
     # one shuffle computes every rollup/cube level (Expand, not a union
     # of per-level jobs), dims broadcast
-    "q108_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
+    "q91_rollup_native": {"codegen": True, "max_scan_cols": 3, "broadcasts": 2, "no_smj": True, "contains": ["Expand"]},
     "q78_cube_native": {"codegen": True, "max_scan_cols": 4, "no_smj": True, "contains": ["Expand"]},
     # rank-limit pushdown: only k rows per group survive the map side
-    "q123_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
+    "q94_topk_per_group": {"codegen": True, "broadcasts": 1, "no_smj": True, "contains": ["WindowGroupLimit"]},
     # the codegen'd explode+partial-agg staging (the HOF formulation had
     # no codegen span at all — see _minhash_sigs docstring)
     # contains_n RoundRobin x2: the up-front input spread AND the
@@ -73,13 +73,13 @@ EXPECTATIONS = {
     # probe-bounded). A 3rd hint means a corpus-derived table (e.g. a
     # per-vector norms build) got broadcast again — norms are folded
     # into the dot-product agg (the q39 pattern).
-    "q101_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
+    "q86_ann_lsh": {"codegen": True, "contains": ["WindowGroupLimit"], "max_hint_broadcasts": 2},
     # blocked/tiered similarity: both must keep their degenerate-block
     # caps as map-side rank limits (q57 caps its (lang, size) blocks;
     # q86 inherits q55's bucket cap via lsh_band_pairs)
-    "q100_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
+    "q85_ngram_jaccard": {"codegen": True, "max_scan_cols": 4, "contains": ["WindowGroupLimit"],
                           "contains_n": {"RoundRobinPartitioning": 2}},
-    "q86_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
+    "q101_edit_distance": {"codegen": True, "contains": ["WindowGroupLimit"]},
     # embedding near-dup scores pairs INSIDE capped buckets (zip_with
     # folds over member arrays) — the plan must stay join-free with the
     # cap as a map-side rank limit; no codegen expectation (higher-order
@@ -326,8 +326,8 @@ EXPECTATIONS = {
                                "contains_not": ["CartesianProduct"]},
     # PII scrub and stratified sampling are map-only passes: any
     # Exchange would mean a shuffle crept into a linear scan
-    "q87_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
-    "q89_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q102_pii_scrub": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
+    "q105_stratified_sample": {"codegen": True, "max_scan_cols": 2, "contains_not": ["Exchange"]},
     # contamination screen: bench side must broadcast, corpus side streams
     "q38_contamination_screen": {"codegen": True, "max_scan_cols": 2, "broadcasts": 1, "no_smj": True},
     # the bucketized range join must plan as a HASH join on the bucket
@@ -358,25 +358,25 @@ EXPECTATIONS = {
                     "contains": ["WindowGroupLimit"], "contains_not": ["CartesianProduct"]},
     # retrieval/LM family: token explodes must stay 2-column scans and
     # the tf-idf top-3 must keep its map-side rank limit
-    "q93_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
-    "q95_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
-    "q96_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
+    "q110_tfidf_terms": {"codegen": True, "max_scan_cols": 2, "contains": ["WindowGroupLimit"]},
+    "q124_bigram_lm_score": {"codegen": True, "max_scan_cols": 2},
+    "q125_shingle_novelty": {"codegen": True, "max_scan_cols": 2},
     # global top-k must stay a TakeOrderedAndProject (map-side k-row
     # heaps). The operator currently also arises from a rank-filter
     # window via LimitPushDownThroughWindow; the gate pins it so any
     # edit that breaks that pushdown's preconditions (different rank
     # function, reordered filter) fails here instead of silently
     # single-partitioning the whole aggregate
-    "q97_vocab_coverage": {"codegen": True, "max_scan_cols": 1,
+    "q126_vocab_coverage": {"codegen": True, "max_scan_cols": 1,
                            "contains": ["TakeOrderedAndProject"]},
-    "q94_bm25_search": {"codegen": True, "max_scan_cols": 2,
+    "q123_bm25_search": {"codegen": True, "max_scan_cols": 2,
                         "contains": ["TakeOrderedAndProject"]},
     "q32_event_paths": {"codegen": True, "max_scan_cols": 4,
                         "contains": ["TakeOrderedAndProject"]},
     # vote-string render+parse is a pure map pass: any Exchange means a
     # shuffle crept into the Arrow kernel pipeline
-    "q98_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
-    "q99_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
+    "q127_vote_parse": {"max_scan_cols": 4, "contains_not": ["Exchange"]},
+    "q128_block_parse": {"max_scan_cols": 3, "contains_not": ["Exchange"]},
     "q44_varint_codec": {"max_scan_cols": 1, "contains_not": ["Exchange"]},
     # LSH-then-verify estimator audit: the candidate front keeps q55's
     # map-side bucket cap; the verify tier is two doc-keyed joins of
