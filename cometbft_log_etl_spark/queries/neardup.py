@@ -227,7 +227,21 @@ def capped_bucket_rows(banded: DataFrame, cap: int = _BUCKET_CAP) -> DataFrame:
 def bucket_pair_expand(capped: DataFrame) -> DataFrame:
     """In-bucket pair expansion over already-capped band rows: one
     shuffle on (band, bucket), pairs generated inside each bucket
-    array, deduped across bands with the shared-band count."""
+    array, deduped across bands with the shared-band count.
+
+    Output: (doc_a, doc_b, n_shared_bands, agree) — `agree` is the
+    signature agreement count (the MinHash Jaccard estimator's
+    numerator). Round-15 restatement (guide §2.3 "shuffle keys and
+    metadata instead of payloads"): the old shape carried BOTH
+    signatures (2 × K longs) through the cross-band dedup exchange per
+    pair COPY and every consumer then recomputed the same agreement
+    count from them; `agree` is a pure function of the two signatures,
+    so computing it in-row at expansion time shuffles one int instead
+    — bit-identical downstream (every consumer derives
+    est_jaccard = agree / K from the identical integer) and ~10×
+    fewer bytes per pair row in the only pair-keyed exchange. The
+    min() dedup is exact: all band copies of a pair carry the same
+    two signatures, hence the same agree."""
     from ..session import default_parallelism
 
     members = (
@@ -249,20 +263,26 @@ def bucket_pair_expand(capped: DataFrame) -> DataFrame:
                 lambda b: F.struct(
                     a["doc_id"].alias("doc_a"),
                     b["doc_id"].alias("doc_b"),
-                    a["sig"].alias("sig_a"),
-                    b["sig"].alias("sig_b"),
+                    # the exact expression every consumer used to
+                    # compute post-shuffle, moved pre-shuffle verbatim
+                    F.size(
+                        F.filter(
+                            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
+                            lambda i: F.element_at(a["sig"], i)
+                            == F.element_at(b["sig"], i),
+                        )
+                    ).alias("agree"),
                 ),
             ),
         )
     )
     return (
         members.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .select("p.doc_a", "p.doc_b", "p.agree")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared_bands"),
-            F.any_value(F.col("sig_a")).alias("sig_a"),
-            F.any_value(F.col("sig_b")).alias("sig_b"),
+            F.min(F.col("agree")).alias("agree"),
         )
     )
 
@@ -303,17 +323,14 @@ def q55_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sigs = _minhash_sigs(load(spark, sf_dir, "documents"))
     pairs = lsh_band_pairs(sigs)
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
+    # `agree` arrives precomputed from the pair expansion (the same
+    # element-wise count, now evaluated before the dedup exchange —
+    # see bucket_pair_expand)
     return pairs.select(
         "doc_a",
         "doc_b",
         "n_shared_bands",
-        (agree.cast("double") / _MINHASH_K).alias("est_jaccard"),
+        (F.col("agree").cast("double") / _MINHASH_K).alias("est_jaccard"),
     )
 
 
@@ -947,15 +964,11 @@ def jaccard_sym_edges(pairs: DataFrame) -> DataFrame:
     """Symmetrized dedup edges (a, b) from LSH candidate pairs:
     estimated jaccard (signature agreement fraction) >= the cluster
     threshold. Shared by dup_edges and the streaming incremental fold
-    so the edge rule exists once."""
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
+    so the edge rule exists once. `agree` is the precomputed
+    agreement count from bucket_pair_expand — the same integer the
+    old in-place element count produced."""
     edges = (
-        pairs.filter((agree.cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
+        pairs.filter((F.col("agree").cast("double") / _MINHASH_K) >= _CLUSTER_JACCARD)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     return edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -1448,14 +1461,8 @@ def lsh_verified_pairs(docs: DataFrame) -> DataFrame:
     )
     sh = base.select("doc_id", F.array_distinct(grams).alias("sh"))
     pairs = lsh_band_pairs(_minhash_sigs(docs))
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
     return (
-        pairs.select("doc_a", "doc_b", agree.alias("n_agree"))
+        pairs.select("doc_a", "doc_b", F.col("agree").alias("n_agree"))
         .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
         .select(
@@ -2377,13 +2384,7 @@ def q57_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_positive_pairs")
     )
     pairs = lsh_band_pairs(_minhash_sigs(docs))
-    agree = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(_MINHASH_K)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
-    scored = pairs.select((agree.cast("double") / _MINHASH_K).alias("est_j"))
+    scored = pairs.select((F.col("agree").cast("double") / _MINHASH_K).alias("est_j"))
     neg = scored.agg(
         F.count_if(F.col("est_j") < _CLUSTER_JACCARD).alias("n_hard_negative_pairs"),
         F.count_if(F.col("est_j") >= _CLUSTER_JACCARD).alias("n_excluded_neardups"),

@@ -27,8 +27,13 @@ def audit(spark, sf_dir):
 
 def test_audit_matches_pure_python(spark, sf_dir, audit):
     docs = load(spark, sf_dir, "documents")
+    # independent recount: signatures collected from the sig builder
+    # directly (lsh_band_pairs now ships only the agreement count —
+    # the round-15 payload slimming), so the pair frame's `agree`
+    # column is itself cross-checked against a pure-Python zip count
+    sig_map = {r.doc_id: list(r.sig) for r in _minhash_sigs(docs).collect()}
     pairs = [
-        (r.doc_a, r.doc_b, list(r.sig_a), list(r.sig_b))
+        (r.doc_a, r.doc_b, r.agree)
         for r in lsh_band_pairs(_minhash_sigs(docs)).collect()
     ]
     texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
@@ -38,8 +43,9 @@ def test_audit_matches_pure_python(spark, sf_dir, audit):
         return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
 
     groups: dict[int, list[float]] = defaultdict(list)
-    for a, b, sa, sb in pairs:
-        agree = sum(1 for x, y in zip(sa, sb) if x == y)
+    for a, b, agree_col in pairs:
+        agree = sum(1 for x, y in zip(sig_map[a], sig_map[b]) if x == y)
+        assert agree == agree_col, f"precomputed agree drifted for ({a},{b})"
         sha, shb = shingles(a), shingles(b)
         groups[agree].append(len(sha & shb) / len(sha | shb))
     assert set(audit) == set(groups)
